@@ -1,0 +1,24 @@
+"""PySpark-native analytics engine with the capabilities of
+opsgang/s3-parquet-to-postgres, rebuilt Spark-first.
+
+The reference is a checkpointed Parquet->Postgres ETL pipeline
+(reference: src/runner.rs:47-112). This package re-expresses its data
+model (per-file row streams, projected/renamed/cast flat columns,
+resumable work lists, fail-fast destination validation) on top of the
+Spark DataFrame API, and extends it with the relational query surface
+its tests exercise plus LLM-data-pipeline operators (dedup, similarity
+search, text analysis, multimodal columns).
+
+Layout:
+  session     SparkSession factory tuned for scale (AQE, Arrow, S3A)
+  catalog     test-table loading helpers (incl. ns-timestamp handling)
+  config      YAML job-spec model (reference: src/config.rs:7-37)
+  sources/    parquet scan + resolution, work-list manifest, s3 paths
+  operators/  cast planner, dedup, similarity, text stats, multimodal
+  sinks/      JDBC + Postgres COPY writers, fail-fast validation
+  plans/      declared query catalog (Spark query + DuckDB oracle SQL)
+  streaming/  incremental file ingestion, event-time windows
+  pipeline    end-to-end runner (reference: src/runner.rs:47-112)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,83 @@
+"""As-of (point-in-time) join: for each left row, the latest right row
+with the same key and right.time <= left.time.
+
+Spark has no built-in as-of join. The scalable composition used here is
+union + windowed carry-forward: tag both sides, union, sort within each
+key by (time, side) and carry the last right-side payload forward with
+``last(..., ignorenulls=True)``. Cost: ONE shuffle on the key, no
+row explosion -- unlike the naive join+filter+max which materializes
+every (left, right-candidate) pair. This is the pattern that survives
+a 100x scale-up; an equality+inequality join would become the dominant
+shuffle at 100 TB.
+
+Tie semantics: a right row at exactly left.time matches (<=), because
+right rows sort before left rows at equal timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_payload: list[str],
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Columns of ``left`` plus ``right_payload`` from the as-of match
+    (NULL when no earlier right row exists).
+
+    ``tolerance``: optional max staleness as an INTERVAL string (e.g.
+    ``'2 hours'``); matches older than it become NULL.
+    """
+    left_cols = left.columns
+    l = left.select(
+        *left_cols,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in right_payload],
+    )
+    r = right.select(
+        F.col(on).alias(on) if on not in right.columns else F.col(on),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_cols if c != on],
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+    ).select(*l.columns)  # align column order for union
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = r.unionByName(l)
+    out_cols = list(left_cols)
+    for c in right_payload:
+        carried = carried.withColumn(
+            f"__c_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w)
+        )
+    carried = carried.withColumn(
+        "__match_t",
+        F.last(F.when(F.col("__is_left") == 0, F.col("__t")), ignorenulls=True)
+        .over(w),
+    )
+    out = carried.filter(F.col("__is_left") == 1)
+    stale = (
+        F.col("__match_t").isNull()
+        | (F.col("__match_t") < F.col("__t") - F.expr(f"INTERVAL {tolerance}"))
+        if tolerance
+        else F.col("__match_t").isNull()
+    )
+    for c in right_payload:
+        out = out.withColumn(
+            c, F.when(stale, F.lit(None)).otherwise(F.col(f"__c_{c}"))
+        )
+    return out.select(*out_cols, *right_payload)

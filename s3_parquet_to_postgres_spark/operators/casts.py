@@ -1,0 +1,153 @@
+"""Cast-plan builder: the Spark analogue of converters::build.
+
+The reference compiles one converter closure per column from the
+(parquet physical, parquet logical, postgres) type triple
+(reference: src/converters.rs:224-268); unsupported pairs silently
+write NULL or panic. Here each supported pair is a Catalyst ``Cast``
+(or date_format) expression, built eagerly so a bad pairing fails at
+plan time, not mid-COPY. Coverage is the reference's documented table
+(reference: src/converters.rs:50-58) *completed*: timestamps and
+decimals -- NULL stubs in the reference (src/converters.rs:101-114,
+258-261, acknowledged TODO.md:4-8) -- are implemented with real
+TimestampType/DecimalType semantics rather than bug-for-bug NULLs.
+
+Destination types use Postgres names because that is the reference's
+config surface; the mapping is pure Catalyst and works for any sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    ByteType,
+    DataType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    TimestampType,
+)
+
+
+class CastPlanError(TypeError):
+    """No supported conversion from the source type to the PG target."""
+
+
+# Postgres type name -> Spark type. BPCHAR/CHAR/VARCHAR/TEXT collapse to
+# StringType (length enforcement belongs to the destination, as in the
+# reference where PG itself rejects oversize strings).
+_PG_TO_SPARK: dict[str, DataType] = {
+    "bool": BooleanType(),
+    "boolean": BooleanType(),
+    "int2": ShortType(),
+    "smallint": ShortType(),
+    "int4": IntegerType(),
+    "int": IntegerType(),
+    "integer": IntegerType(),
+    "int8": LongType(),
+    "bigint": LongType(),
+    "float4": FloatType(),
+    "real": FloatType(),
+    "float8": DoubleType(),
+    "double precision": DoubleType(),
+    "numeric": DecimalType(38, 18),
+    "decimal": DecimalType(38, 18),
+    "date": DateType(),
+    "timestamp": TimestampType(),
+    "timestamptz": TimestampType(),
+    "varchar": StringType(),
+    "text": StringType(),
+    "bpchar": StringType(),
+    "char": StringType(),
+    "inet": StringType(),
+    "cidr": StringType(),
+    "json": StringType(),
+    "jsonb": StringType(),
+}
+
+# Which source-type families may cast to which targets. Mirrors the
+# reference's accepted pairs (src/converters.rs:119-222) plus the
+# completed timestamp/decimal rows; anything else is a plan-time error
+# like the reference's fail-fast abort (README.md:36-37).
+_NUMERIC = (ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType, DecimalType)
+
+
+def _pg_type(pg_type: str) -> DataType:
+    dt = _PG_TO_SPARK.get(pg_type.strip().lower())
+    if dt is None:
+        raise CastPlanError(f"unsupported destination type: {pg_type!r}")
+    return dt
+
+
+def cast_expr(name: str, src_type: DataType, pg_type: str) -> Column:
+    """One column's conversion expression, or raise CastPlanError."""
+    target = _pg_type(pg_type)
+    col = F.col(f"`{name}`")
+
+    if src_type == target:
+        return col
+
+    # Int widening family (INT_8/INT_16/INT_32/INT_64 -> int2/4/8,
+    # reference: src/converters.rs:150-196) and general numerics; also
+    # the completed decimal path.
+    if isinstance(src_type, _NUMERIC) and isinstance(target, _NUMERIC):
+        return col.cast(target)
+
+    # DATE source -> DATE or %Y-%m-%d string (reference:
+    # src/converters.rs:16-20,198-222).
+    if isinstance(src_type, DateType):
+        if isinstance(target, DateType):
+            return col
+        if isinstance(target, StringType):
+            return F.date_format(col, "yyyy-MM-dd")
+        raise CastPlanError(f"{name}: DATE -> {pg_type} not supported")
+
+    # TIMESTAMP source: real conversion (reference stubs to NULL,
+    # src/converters.rs:258-261 -- we implement the documented intent).
+    if type(src_type).__name__ in ("TimestampType", "TimestampNTZType"):
+        if isinstance(target, (TimestampType, DateType)):
+            return col.cast(target)
+        if isinstance(target, StringType):
+            return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+        raise CastPlanError(f"{name}: TIMESTAMP -> {pg_type} not supported")
+
+    # String passthrough into any string-accepting PG type, including
+    # PG-side-parsed DATE/TIMESTAMP/INET/CIDR (reference:
+    # src/converters.rs:119-148). Date/timestamp parse happens here in
+    # Spark instead of inside PG.
+    if isinstance(src_type, StringType):
+        if isinstance(target, (StringType, DateType, TimestampType)):
+            return col.cast(target)
+        raise CastPlanError(f"{name}: STRING -> {pg_type} not supported")
+
+    if isinstance(src_type, BooleanType) and isinstance(target, BooleanType):
+        return col
+
+    raise CastPlanError(
+        f"{name}: no conversion {src_type.simpleString()} -> {pg_type!r}"
+    )
+
+
+def build_cast_plan(df: DataFrame, column_targets: dict[str, str]) -> DataFrame:
+    """Apply one cast per (column -> PG type) pair; unlisted columns
+    pass through unchanged. Fails at plan time on any unsupported pair,
+    before a single row moves (reference startup validation:
+    src/db.rs:134-145)."""
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    exprs: list[Column] = []
+    for name in df.columns:
+        if name in column_targets:
+            src_type = by_name[name]
+            exprs.append(cast_expr(name, src_type, column_targets[name]).alias(name))
+        else:
+            exprs.append(F.col(f"`{name}`"))
+    unknown = set(column_targets) - set(df.columns)
+    if unknown:
+        raise CastPlanError(f"cast targets for unknown columns: {sorted(unknown)}")
+    return df.select(*exprs)

@@ -1,0 +1,231 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard -- the standard near-dup ladder for training-corpus cleaning.
+
+Scale posture: nothing here ever builds an all-pairs cross join.
+Exact dedup is a hash aggregation on the content key; MinHash/LSH and
+shingle-Jaccard generate candidate pairs by *equi-joining on bucket
+keys* (band signatures / shared shingles), so the shuffle volume is
+proportional to collisions, not n^2. All hashing is Spark-built-in
+(xxhash64 / sha2 / crc32), JVM-side, deterministic across runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .textstats import ws_tokens
+
+# Mersenne prime 2^31-1: universal-hash modulus. 31-bit values keep
+# every intermediate (h*a + b, h,a,b < 2^31) below 2^63, so the math
+# stays in plain long arithmetic with no overflow even under ANSI mode
+# (Spark 4 default) -- no BIGDECIMAL, no wraparound, fully JVM-side.
+_P = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Keep exactly one row per key: the one with the smallest
+    ``order_col``. Deterministic (unlike dropDuplicates, whose survivor
+    depends on partition order) and shuffle-optimal: one hash
+    aggregation, no sort of the full data."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (JVM-side:
+    split + transform + array_distinct; no UDF)."""
+    toks = ws_tokens(text)
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+    return F.array_distinct(grams)
+
+
+def _minhash_sig(shingle_col: Column, num_hashes: int, seed: int = 7) -> Column:
+    """num_hashes MinHash values: min over shingles of universal hashes
+    of xxhash64(shingle). Parameters derive deterministically from the
+    permutation index so executors need no broadcast state."""
+    base = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+
+    # NB: capture hash params via a factory, NOT lambda default args --
+    # PySpark introspects the lambda signature, so `lambda h, a=a:`
+    # would be treated as a two-variable higher-order lambda.
+    def perm(a: int, b: int):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P))
+
+    sigs = []
+    for i in range(num_hashes):
+        a = (seed * 1_000_003 + i * 7_919) % _P or 1
+        b = (seed * 7_753 + i * 104_729) % _P
+        sigs.append(F.array_min(F.transform(base, perm(a, b))))
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    shingle -> minhash signature -> split into ``bands`` bands of
+    ``num_hashes/bands`` rows -> equi-join docs sharing any band hash
+    -> estimate Jaccard as matching-signature fraction. Returns
+    (id_a < id_b, jaccard_est). The equi-join on band keys is the 100TB
+    path: candidates only, never all pairs.
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        _minhash_sig(shingles(text_col, n), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",", F.transform(
+                            F.slice("sig", b * rows + 1, rows),
+                            lambda x: x.cast("string"),
+                        )
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
+        "band", "band_hash",
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
+        "band", "band_hash",
+    )
+    cand = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    match_frac = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(num_hashes)
+    )
+    return cand.select("id_a", "id_b", match_frac.alias("jaccard_est"))
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, sign of the sum
+    of +-1 votes from each token's xxhash64 bit. Hamming-close
+    signatures => near-duplicate texts. Pure column expressions."""
+    toks = F.array_distinct(ws_tokens(text_col))
+    hashes = F.transform(toks, lambda tk: F.xxhash64(tk))
+
+    # Factory capture (not lambda defaults -- see _minhash_sig) and
+    # getbit() rather than shiftright (whose int arg doesn't bridge
+    # into higher-order lambda scope in PySpark 4).
+    def bit_vote(i: int):
+        return lambda acc, h: acc + F.when(
+            F.getbit(h, F.lit(i)) == 1, 1
+        ).otherwise(-1)
+
+    bit_exprs = []
+    for i in range(min(bits, 63)):  # 2^63 would overflow signed long
+        votes = F.aggregate(hashes, F.lit(0), bit_vote(i))
+        bit_exprs.append(
+            F.when(votes > 0, F.lit(2 ** i).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    sig = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        sig = sig + e
+    return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 16-bit signature chunks
+    (pigeonhole: any pair within hamming distance <= 3*chunks-1 shares
+    a chunk), then verify hamming distance exactly."""
+    sigs = simhash(df, id_col, text_col)
+    chunks = sigs.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk_no"),
+                    F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
+                    .alias("chunk"),
+                )
+                for i in range(4)
+            ])
+        ).alias("c"),
+    ).select("id", "simhash", F.col("c.chunk_no"), F.col("c.chunk"))
+    a = chunks.select(F.col("id").alias("id_a"),
+                      F.col("simhash").alias("sim_a"), "chunk_no", "chunk")
+    b = chunks.select(F.col("id").alias("id_b"),
+                      F.col("simhash").alias("sim_b"), "chunk_no", "chunk")
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, ["chunk_no", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity for pairs sharing at least one
+    shingle. Inverted-index join (shingle -> doc list) keeps the
+    candidate set sparse; set sizes come from one aggregation, the
+    intersection from counting shared shingles -- no array cross
+    products, fully SQL-oracle-checkable."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    pair_inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        pair_inter.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

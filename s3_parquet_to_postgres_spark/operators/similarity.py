@@ -1,0 +1,206 @@
+"""Similarity search over embedding columns (ArrayType(FloatType)).
+
+Two tiers, as a 100 TB engine needs both:
+
+* ``cosine_topk`` -- exact brute-force: broadcast the (small) query
+  set against the corpus, JVM-side zip_with/aggregate dot products,
+  per-query top-k via window rank. Linear scan; the right answer for
+  correctness checks and small query batches.
+* ``lsh_topk`` -- random-hyperplane LSH: bucket the corpus by sign
+  signature, probe only matching buckets. Sub-linear candidate sets at
+  the cost of recall; deterministic hyperplanes (seeded) so runs are
+  reproducible. An IVF (k-means coarse quantizer) variant slots into
+  the same bucket-join shape.
+
+Embeddings here are L2-normalized (dot == cosine); ``cosine`` handles
+the general case anyway.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import dround
+
+
+def as_double(vec: Column | str) -> Column:
+    c = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Output: (query_id, neighbor_id, cosine_sim, rank). Queries are
+    broadcast -- at 100 TB the corpus never shuffles; each partition
+    scores locally and only k rows per query per partition survive to
+    the final rank (AQE prunes the rest in the window stage).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("c_vec")
+    )
+    sim = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            dround("sim", 4).alias("cosine_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 13) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure python LCG so
+    no numpy state leaks into executors; values are plan literals)."""
+    state = seed or 1
+    planes = []
+    for _ in range(n_planes):
+        vals = []
+        for _ in range(dim):
+            # xorshift64* PRNG -> uniform in (-1, 1)
+            state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+            state ^= state >> 7
+            state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+            vals.append((state % 2_000_001) / 1_000_000.0 - 1.0)
+        norm = math.sqrt(sum(v * v for v in vals)) or 1.0
+        planes.append([v / norm for v in vals])
+    return planes
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature of a vector against fixed hyperplanes."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(dot(vec, p) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig + bit * F.lit(2 ** i).cast("long")
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: multi-table random-hyperplane LSH.
+
+    Corpus rows land in one bucket per table; queries probe their
+    bucket in every table; exact cosine re-ranks the candidate union.
+    Bucket join replaces the all-pairs scan -- at scale, candidates
+    per query ~ corpus / 2^n_planes * n_tables.
+    """
+    all_tables = []
+    for ti in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=13 + 101 * ti)
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(vec_col).alias("c_vec"),
+            lsh_signature(as_double(vec_col), planes).alias("bucket"),
+            F.lit(ti).alias("table_id"),
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(vec_col).alias("q_vec"),
+            lsh_signature(as_double(vec_col), planes).alias("bucket"),
+            F.lit(ti).alias("table_id"),
+        )
+        all_tables.append((c, q))
+    cand = None
+    for c, q in all_tables:
+        hits = c.join(F.broadcast(q), ["table_id", "bucket"]).filter(
+            F.col("neighbor_id") != F.col("query_id")
+        )
+        cand = hits if cand is None else cand.unionByName(hits)
+    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    sim = cand.select(
+        "query_id", "neighbor_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                dround("sim", 4).alias("cosine_sim"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def cosine_near_pairs_blocked(
+    df: DataFrame,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within metadata blocks.
+
+    Blocking on a key (here ``label``) is the classic way to keep
+    near-dup detection out of n^2 territory when a cheap partitioner
+    exists; within a block the join is an equi-join on the block key.
+    """
+    a = df.select(
+        F.col(block_col).alias("block"), F.col(id_col).alias("id_a"),
+        as_double(vec_col).alias("v_a"),
+    )
+    b = df.select(
+        F.col(block_col).alias("block"), F.col(id_col).alias("id_b"),
+        as_double(vec_col).alias("v_b"),
+    )
+    sim = cosine(F.col("v_a"), F.col("v_b"))
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("block", "id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .select("block", "id_a", "id_b", dround("sim", 4).alias("cosine_sim"))
+    )

@@ -1,0 +1,110 @@
+"""Text analysis operators for LLM-data pipelines: tokenization counts,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All hot-path expressions are JVM-side Catalyst built-ins (split,
+regexp, length, filter/size higher-order functions) -- no Python UDFs
+-- so they run inside whole-stage codegen and scale linearly with no
+shuffle (pure narrow map over the documents table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deliberately deterministic and SQL-expressible so the DuckDB oracle
+# can replay the exact same scoring.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "a"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "la", "que", "es", "los"),
+    "zh": ("的", "是", "了", "我", "不"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+
+# BPE-ish word-piece tokenizer: runs of letters/digits or single
+# non-space symbols (a public, deterministic approximation of subword
+# pre-tokenization).
+WORD_REGEX = "[A-Za-z0-9]+"
+
+
+def ws_tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), "\\s+")
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace-token and regex-word-token counts per document."""
+    return df.withColumns(
+        {
+            "ws_tokens": F.size(ws_tokens(text_col)).cast("long"),
+            "word_tokens": F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(WORD_REGEX), 0)
+            ).cast("long"),
+            "chars": F.length(text_col).cast("long"),
+        }
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punctuation/stopword-ratio quality features (the standard
+    cheap pre-filters for web-scale corpus cleaning)."""
+    toks = ws_tokens(text_col)
+    n_toks = F.size(toks)
+    stop_lit = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_lit, F.lower(x))))
+    punct = F.length(F.regexp_replace(F.col(text_col), "[^.,;:!?]", ""))
+    return df.withColumns(
+        {
+            "n_tokens": n_toks.cast("long"),
+            "mean_token_len": (
+                F.length(F.regexp_replace(F.col(text_col), "\\s+", ""))
+                / F.greatest(n_toks, F.lit(1))
+            ),
+            "punct_ratio": punct / F.greatest(F.length(text_col), F.lit(1)),
+            "stopword_ratio": n_stop / F.greatest(n_toks, F.lit(1)),
+        }
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language scoring; argmax with deterministic
+    alphabetical tiebreak. A real deployment swaps the lexicons for
+    character-n-gram profiles; the plan shape (pure column expressions,
+    zero shuffle) is the point."""
+    toks = ws_tokens(F.lower(F.col(text_col)))
+
+    # Factory capture: a default arg (`lambda x, a=arr:`) would be
+    # introspected by PySpark as a second lambda variable.
+    def in_markers(arr: Column):
+        return lambda x: F.array_contains(arr, x)
+
+    scores: dict[str, Column] = {}
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(toks, in_markers(arr)))
+    best = F.greatest(*scores.values())
+    # argmax with alphabetical tiebreak: first lang reaching the max.
+    pred = F.lit(None).cast("string")
+    for lang in sorted(scores, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return df.withColumns(
+        {"lang_pred": pred, "lang_score": best.cast("long")}
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized content fingerprint: lowercase, strip punctuation,
+    collapse whitespace, sha256. Content-addressed dedup key that is
+    stable under formatting noise."""
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9\\s]", ""),
+            "\\s+",
+            " ",
+        )
+    )
+    return df.withColumn("fingerprint", F.sha2(normalized, 256))

@@ -1,0 +1,77 @@
+"""End-to-end batch pipeline: the Spark analogue of runner::run.
+
+Reference drain loop (reference: src/runner.rs:47-112):
+pop a batch of S3 keys -> download -> per file: scan, project, rename,
+convert, COPY into PG -> mark completed -> delete local file.
+
+Spark version: the download/stage/delete steps vanish (executors read
+s3a:// directly); a whole batch of files becomes ONE distributed scan;
+projection/rename/cast collapse into a single Catalyst plan whose
+column pruning reaches the parquet footer. The work-list manifest and
+fail-fast destination validation carry over unchanged. Per-file
+completion marking is preserved so resume granularity matches the
+reference (a crashed run re-processes at most one in-flight batch,
+deduped by the completed log).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .config import JobSpec
+from .operators.casts import build_cast_plan
+from .operators.project import project_rename
+from .sources.parquet import scan_parquet
+from .sources.work_list import WorkList
+
+
+@dataclass
+class BatchResult:
+    keys: list[str]
+    rows_written: int
+
+
+def transform(
+    df: DataFrame,
+    spec: JobSpec,
+    column_targets: dict[str, str] | None = None,
+) -> DataFrame:
+    """The reference's per-file "query": project -> rename -> cast
+    (reference: src/runner.rs:17-45). One narrow, shuffle-free plan."""
+    out = project_rename(df, spec.projection.desired_fields, spec.projection.renames)
+    if column_targets:
+        out = build_cast_plan(out, column_targets)
+    return out
+
+
+def run(
+    spark: SparkSession,
+    spec: JobSpec,
+    sink_fn: Callable[[DataFrame], int],
+    column_targets: dict[str, str] | None = None,
+) -> list[BatchResult]:
+    """Drain the work list through the transform into the sink.
+
+    ``sink_fn`` receives the transformed DataFrame for one batch and
+    returns rows written (JdbcSink/CopySink .write wrapped, or a
+    test-local parquet writer). Raises on the first failed batch --
+    fail-fast, nothing marked completed (reference: src/db.rs:202-239).
+    """
+    if spec.source.work_lists_dir is None:
+        raise ValueError("spec.source.work_lists_dir is required for run()")
+    wl = WorkList(spec.source.work_lists_dir)
+    results: list[BatchResult] = []
+    while True:
+        batch = wl.next_batch(spec.source.download_batch_size)
+        if not batch:
+            break
+        paths = [spec.source.key_to_path(k) for k in batch]
+        df = transform(scan_parquet(spark, paths), spec, column_targets)
+        rows = sink_fn(df)
+        for key in batch:
+            wl.mark_completed(key)
+        results.append(BatchResult(keys=batch, rows_written=rows))
+    return results

@@ -1,0 +1,426 @@
+"""Extension capability catalog (SURVEY.md §2.6 + event-time windows):
+dedup family, embedding similarity, text analysis, multimodal columns,
+as-of join, sessionization. Spark side uses the operators/ modules;
+oracle SQL replays the same deterministic semantics in DuckDB where
+SQL can express them (LSH internals intentionally have no oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dround, dsum, sql_dround, sql_dsum
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import textstats as T
+from ..operators.asof import asof_join
+from .base import QuerySpec, t
+
+# --------------------------------------------------------------------------
+# Dedup (E1/E2)
+# --------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy(F.sha2("text", 256).alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").alias("copies"),
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT sha256(text) AS content_hash,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS copies
+FROM documents GROUP BY sha256(text)
+"""
+
+
+def dedup_keep_first_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic survivor selection on a coarse content key (40-char
+    # prefix -- the synthetic corpus has real collisions there), via the
+    # exact_dedup operator (window rank, one shuffle).
+    d = t(spark, sf_dir, "documents").withColumn(
+        "content_key", F.sha2(F.substring("text", 1, 40), 256)
+    )
+    return D.exact_dedup(d, ["content_key"], "doc_id").select(
+        "doc_id", "lang", "source", "n_chars", "content_key"
+    )
+
+
+DEDUP_KEEP_FIRST_SQL = """
+SELECT doc_id, lang, source, n_chars, content_key
+FROM (SELECT *, sha256(substring(text, 1, 40)) AS content_key FROM documents)
+QUALIFY row_number() OVER (PARTITION BY content_key ORDER BY doc_id ASC) = 1
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), n=3, threshold=0.1
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           [array_to_string(l[i:i+2], ' ') FOR i IN range(1, len(l) - 1)]
+         )) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       i / (sa.n_sh + sb.n_sh - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i / (sa.n_sh + sb.n_sh - i) >= 0.1
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Banded MinHash LSH candidates; sketch internals are not
+    # SQL-expressible -> rows-only check (tests verify the estimate
+    # against exact Jaccard instead).
+    return D.minhash_lsh_pairs(t(spark, sf_dir, "documents"),
+                               num_hashes=32, bands=8)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_pairs(t(spark, sf_dir, "documents"),
+                                max_hamming=16)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_near_pairs_blocked(
+        t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.3
+    )
+
+
+DEDUP_EMBEDDING_COSINE_SQL = f"""
+WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+       {sql_dround('list_cosine_similarity(a.v, b.v)', 4)} AS cosine_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search (E3)
+# --------------------------------------------------------------------------
+
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+
+
+SIMILARITY_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+sims AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(qv, e.v) AS sim
+  FROM q JOIN e ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, {sql_dround('sim', 4)} AS cosine_sim,
+       CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+      FROM sims)
+WHERE rnk <= 10
+"""
+
+
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Approximate variant (random-hyperplane LSH, multi-table probe):
+    # rows-only; tests measure recall against cosine_topk.
+    e = t(spark, sf_dir, "embeddings")
+    return S.lsh_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+
+
+# --------------------------------------------------------------------------
+# Text analysis (E5)
+# --------------------------------------------------------------------------
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_counts(t(spark, sf_dir, "documents")).select(
+        "doc_id", "ws_tokens", "word_tokens", "chars"
+    )
+
+
+TEXT_TOKEN_STATS_SQL = """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS word_tokens,
+       CAST(length(text) AS BIGINT) AS chars
+FROM documents
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_scores(t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "mean_token_len", "punct_ratio", "stopword_ratio"
+    )
+
+
+TEXT_QUALITY_SQL = """
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  length(regexp_replace(text, '\\s+', '', 'g'))
+        / greatest(len(toks), 1) AS mean_token_len,
+  length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+        / greatest(length(text), 1) AS punct_ratio,
+  len(list_filter(toks,
+            tk -> list_contains(['the','a','of','and','is','to','in'],
+                                lower(tk))))
+        / greatest(len(toks), 1) AS stopword_ratio
+FROM (SELECT doc_id, text,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents)
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.language_id(t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "lang_pred", "lang_score"
+    )
+
+
+def _lang_score_sql(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(toks, tk -> list_contains([{lst}], tk)))"
+
+
+TEXT_LANG_ID_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_lang_score_sql(T.LANG_MARKERS['de'])} AS s_de,
+         {_lang_score_sql(T.LANG_MARKERS['en'])} AS s_en,
+         {_lang_score_sql(T.LANG_MARKERS['es'])} AS s_es,
+         {_lang_score_sql(T.LANG_MARKERS['fr'])} AS s_fr,
+         {_lang_score_sql(T.LANG_MARKERS['zh'])} AS s_zh
+  FROM (SELECT doc_id, lang,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents)
+)
+SELECT doc_id, lang,
+       CASE WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+            WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
+            ELSE 'zh' END AS lang_pred,
+       CAST(best AS BIGINT) AS lang_score
+FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM scored)
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprint(t(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+TEXT_FINGERPRINT_SQL = """
+SELECT doc_id,
+       sha256(trim(regexp_replace(
+         regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+         '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal columns (E4)
+# --------------------------------------------------------------------------
+
+def multimodal_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return M.attach_binary_payload(d, "text", mime="text/plain").select(
+        "doc_id", "content_sha256", "n_bytes", "mime"
+    )
+
+
+MULTIMODAL_PAYLOAD_SQL = """
+SELECT doc_id,
+       sha256(text) AS content_sha256,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       'text/plain' AS mime
+FROM documents
+"""
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arrow-batched decode plumbing with the deterministic fake codec
+    # (real codecs not installed) -- rows-only check.
+    d = t(spark, sf_dir, "documents")
+    payloads = M.attach_binary_payload(d, "text")
+    return M.extract_features(payloads)
+
+
+# --------------------------------------------------------------------------
+# Event-time operators over `events` (as-of, windows, sessionization)
+# --------------------------------------------------------------------------
+
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # For every error event: the user's most recent click at/before it.
+    e = t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join(
+        errors, clicks, on="user_id", left_time="ts", right_time="ts",
+        right_payload=["click_event_id", "click_value"],
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("error_ts"),
+        "click_event_id",
+        "click_value",
+    )
+
+
+ASOF_JOIN_EVENTS_SQL = """
+WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   event_type, value FROM events),
+errors AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'error'),
+clicks AS (SELECT user_id, ts, event_id AS click_event_id,
+                  value AS click_value FROM ev WHERE event_type = 'click')
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS error_ts,
+       c.click_event_id,
+       c.click_value AS click_value
+FROM errors e
+ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts
+"""
+
+
+def event_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("events"),
+             dsum("value", 4).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "events", "total_value",
+        )
+    )
+
+
+EVENT_WINDOW_TUMBLING_SQL = f"""
+SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS events,
+       {sql_dsum('value', 4)} AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def event_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "events",
+        )
+    )
+
+
+EVENT_WINDOW_SLIDING_SQL = """
+WITH b AS (
+  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS ws FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP),
+                     INTERVAL '30 minutes') AS ws FROM events
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS events
+FROM b GROUP BY ws
+"""
+
+
+def event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Session windows (30 min inactivity gap) as a *batch* groupBy --
+    # the same F.session_window drives the streaming variant
+    # (streaming/windows.py).
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+EVENT_SESSIONIZE_SQL = """
+WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
+    QuerySpec("dedup_keep_first_by_key", dedup_keep_first_by_key,
+              DEDUP_KEEP_FIRST_SQL),
+    QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard,
+              DEDUP_NGRAM_JACCARD_SQL),
+    QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, None,
+              "LSH sketch; verified against exact Jaccard in tests"),
+    QuerySpec("dedup_simhash", dedup_simhash, None,
+              "SimHash hamming pairs; hash internals not SQL-expressible"),
+    QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine,
+              DEDUP_EMBEDDING_COSINE_SQL),
+    QuerySpec("similarity_topk_cosine", similarity_topk_cosine,
+              SIMILARITY_TOPK_SQL),
+    QuerySpec("similarity_ann_lsh", similarity_ann_lsh, None,
+              "approximate ANN; recall measured against exact top-k in tests"),
+    QuerySpec("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL),
+    QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL),
+    QuerySpec("text_lang_id", text_lang_id, TEXT_LANG_ID_SQL),
+    QuerySpec("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_SQL),
+    QuerySpec("multimodal_payload", multimodal_payload, MULTIMODAL_PAYLOAD_SQL),
+    QuerySpec("multimodal_features", multimodal_features, None,
+              "Arrow-batched decode plumbing with stubbed codec"),
+    QuerySpec("asof_join_events", asof_join_events, ASOF_JOIN_EVENTS_SQL),
+    QuerySpec("event_window_tumbling", event_window_tumbling,
+              EVENT_WINDOW_TUMBLING_SQL),
+    QuerySpec("event_window_sliding", event_window_sliding,
+              EVENT_WINDOW_SLIDING_SQL),
+    QuerySpec("event_sessionize", event_sessionize, EVENT_SESSIONIZE_SQL),
+]

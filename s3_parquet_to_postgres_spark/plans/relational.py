@@ -1,0 +1,842 @@
+"""Relational capability catalog: reference-parity queries (SURVEY.md
+§2.2-2.4) plus the full §2.5 relational inventory (filters, joins,
+aggregations, windows, set ops, scalar function families), each with a
+DuckDB oracle.
+
+The REF-prefixed entries re-express the reference engine's pipeline and
+its test-oracle SQL surface (reference: src/runner.rs:177-232,
+src/db.rs:530) over the driver's synthetic tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..config import JobSpec, ProjectionSpec, SinkSpec, SourceSpec
+from ..functions import dround, dsum, sint, sql_dround, sql_dsum
+from ..pipeline import transform
+from .base import QuerySpec, t
+
+
+
+
+# --------------------------------------------------------------------------
+# REF parity: the reference's scan->project->rename->cast pipeline as a query
+# (reference: src/runner.rs:17-45, src/config.rs:12,30-32)
+# --------------------------------------------------------------------------
+
+def ref_project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = JobSpec(
+        source=SourceSpec(),
+        projection=ProjectionSpec(
+            desired_fields=("l_orderkey", "l_linenumber", "l_quantity",
+                            "l_shipdate", "l_returnflag"),
+            renames={"l_orderkey": "id", "l_linenumber": "line_no",
+                     "l_quantity": "qty", "l_shipdate": "ship_ts",
+                     "l_returnflag": None},
+        ),
+        sink=SinkSpec(),
+    )
+    df = transform(t(spark, sf_dir, "lineitem"), spec,
+                   column_targets={"line_no": "bigint", "qty": "int",
+                                   "ship_ts": "varchar"})
+    return df.withColumnRenamed("ship_ts", "ship_date")
+
+
+REF_PROJECT_RENAME_CAST_SQL = """
+SELECT l_orderkey AS id,
+       CAST(l_linenumber AS BIGINT) AS line_no,
+       CAST(l_quantity AS INT) AS qty,
+       strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_date,
+       l_returnflag
+FROM lineitem
+"""
+
+
+def ref_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("total"),
+        F.count("l_orderkey").alias("total_keys"),
+    )
+
+
+REF_COUNT_SQL = "SELECT count(*) AS total, count(l_orderkey) AS total_keys FROM lineitem"
+
+
+def ref_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(5)
+        .select("o_orderkey", F.col("o_totalprice").alias("price"))
+    )
+
+
+REF_SORT_LIMIT_SQL = """
+SELECT o_orderkey, o_totalprice AS price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5
+"""
+
+
+def ref_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's verification pattern: first-2 UNION ALL last-2
+    # (reference: src/runner.rs:192-197).
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    first2 = o.orderBy(F.col("o_orderkey").asc()).limit(2)
+    last2 = o.orderBy(F.col("o_orderkey").desc()).limit(2)
+    return first2.unionAll(last2)
+
+
+REF_UNION_ALL_SQL = """
+(SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey ASC LIMIT 2)
+UNION ALL
+(SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey DESC LIMIT 2)
+"""
+
+
+def ref_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IS NULL / IS NOT NULL predicate parity (reference:
+    # src/runner.rs:220). Testdata has no physical NULLs, so derive
+    # them with NULLIF -- the predicate machinery is what's under test.
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "tax_or_null", F.expr("nullif(l_tax, 0.0)")
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("tax_or_null").isNull(), 1)).alias("null_cnt"),
+        F.count("tax_or_null").alias("not_null_cnt"),
+    )
+
+
+REF_NULL_FILTER_SQL = """
+SELECT l_returnflag,
+       count(CASE WHEN nullif(l_tax, 0.0) IS NULL THEN 1 END) AS null_cnt,
+       count(nullif(l_tax, 0.0)) AS not_null_cnt
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def ref_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "region").select("*")
+
+
+REF_STAR_SQL = "SELECT * FROM region"
+
+
+# --------------------------------------------------------------------------
+# Filters / predicates
+# --------------------------------------------------------------------------
+
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_size").between(10, 20)
+        & F.col("p_type").like("%a%")
+        & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & (F.col("p_retailprice") > 500.0)
+    ).select("p_partkey", "p_name", "p_brand", "p_size",
+             F.col("p_retailprice").alias("price"))
+
+
+FILTER_PREDICATES_SQL = """
+SELECT p_partkey, p_name, p_brand, p_size, p_retailprice AS price
+FROM part
+WHERE p_size BETWEEN 10 AND 20
+  AND p_type LIKE '%a%'
+  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+  AND p_retailprice > 500.0
+"""
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dimension joins stay broadcast at any fact scale: region/nation
+    # are bounded-size, so no shuffle of the big side.
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("customers"),
+             dsum("c_acctbal").alias("total_bal"))
+    )
+
+
+JOIN_INNER_BROADCAST_SQL = f"""
+SELECT r_name, n_name, count(*) AS customers,
+       {sql_dsum('c_acctbal')} AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000.0)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("big_orders"))
+    )
+
+
+JOIN_LEFT_SQL = """
+SELECT c_custkey, count(o_orderkey) AS big_orders
+FROM customer
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 100000.0) o
+  ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Unmatched rows on both sides: rich customers vs huge orders.
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000.0) \
+        .select("c_custkey", "c_name")
+    o = (t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+         .groupBy("o_custkey").agg(F.count("*").alias("huge_orders")))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            F.coalesce("c_name", F.lit("<no-customer-row>")).alias("name"),
+            F.coalesce("huge_orders", F.lit(0)).cast("long").alias("huge_orders"),
+        )
+    )
+
+
+JOIN_FULL_OUTER_SQL = """
+WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000.0),
+     o AS (SELECT o_custkey, count(*) AS huge_orders FROM orders
+           WHERE o_totalprice > 400000.0 GROUP BY o_custkey)
+SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+       coalesce(c.c_name, '<no-customer-row>') AS name,
+       CAST(coalesce(o.huge_orders, 0) AS BIGINT) AS huge_orders
+FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi") \
+        .select("c_custkey", "c_name", "c_mktsegment")
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti") \
+        .select("c_custkey", "c_name", "c_mktsegment")
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+"""
+
+
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Equi key + inequality residual: per supplier, customers of the
+    # same nation with a larger account balance.
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    return (
+        s.join(c, (s.s_nationkey == c.c_nationkey)
+               & (c.c_acctbal > s.s_acctbal))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("richer_customers"))
+    )
+
+
+JOIN_THETA_SQL = """
+SELECT s_suppkey, s_name, count(*) AS richer_customers
+FROM supplier JOIN customer
+  ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal
+GROUP BY s_suppkey, s_name
+"""
+
+
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r1 = t(spark, sf_dir, "region").select(F.col("r_name").alias("from_region"))
+    r2 = t(spark, sf_dir, "region").select(F.col("r_name").alias("to_region"))
+    return r1.crossJoin(r2).filter(F.col("from_region") != F.col("to_region"))
+
+
+JOIN_CROSS_SQL = """
+SELECT a.r_name AS from_region, b.r_name AS to_region
+FROM region a CROSS JOIN region b
+WHERE a.r_name <> b.r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Aggregations
+# --------------------------------------------------------------------------
+
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q1 shape adapted to the synthetic lineitem columns.
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 4).alias("sum_charge"),
+            dround(dsum("l_quantity") / F.count("*"), 4).alias("avg_qty"),
+            dround(dsum("l_discount", 4) / F.count("*"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+AGG_PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  {sql_dsum('l_quantity')} AS sum_qty,
+  {sql_dsum('l_extendedprice')} AS sum_base_price,
+  {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+  {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 4)} AS sum_charge,
+  {sql_dround(f"{sql_dsum('l_quantity')} / count(*)", 4)} AS avg_qty,
+  {sql_dround(f"{sql_dsum('l_discount', 4)} / count(*)", 4)} AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey", "l_partkey").alias("distinct_sp_pairs"),
+    )
+
+
+AGG_DISTINCT_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS distinct_parts,
+       count(DISTINCT (l_suppkey, l_partkey)) AS distinct_sp_pairs
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sketch aggregates (HLL / quantile digest): values are estimates,
+    # so no value-exact oracle exists -- declared rows-only by design.
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000)
+        .alias("price_quantiles"),
+    )
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    joined = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+               .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("customers"))
+        .select(
+            F.coalesce("r_name", F.lit("<all>")).alias("region"),
+            F.coalesce("n_name", F.lit("<all>")).alias("nation"),
+            "customers",
+        )
+    )
+
+
+AGG_ROLLUP_SQL = """
+SELECT coalesce(r_name, '<all>') AS region,
+       coalesce(n_name, '<all>') AS nation,
+       count(*) AS customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("orders"),
+             dsum("o_totalprice").alias("total_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "orders", "total_price",
+        )
+    )
+
+
+AGG_CUBE_SQL = f"""
+SELECT coalesce(o_orderstatus, '<all>') AS status,
+       coalesce(o_orderpriority, '<all>') AS priority,
+       count(*) AS orders,
+       {sql_dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql("""
+        SELECT coalesce(l_returnflag, '<all>') AS flag,
+               coalesce(l_linestatus, '<all>') AS status,
+               count(*) AS cnt
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+AGG_GROUPING_SETS_SQL = """
+SELECT coalesce(l_returnflag, '<all>') AS flag,
+       coalesce(l_linestatus, '<all>') AS status,
+       count(*) AS cnt
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        dround(F.stddev_samp("l_extendedprice"), 2).alias("stddev_price"),
+        dround(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+    )
+
+
+AGG_STATS_SQL = f"""
+SELECT l_linestatus,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price,
+       {sql_dround('stddev_samp(l_extendedprice)', 2)} AS stddev_price,
+       {sql_dround('corr(l_quantity, l_extendedprice)', 4)} AS qty_price_corr
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-group top-k: the scalable pattern (single shuffle on the
+    # partition key, rank pruned before any global collect).
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey",
+                F.col("o_totalprice").alias("price"),
+                F.col("rn").cast("long").alias("rn"))
+    )
+
+
+WINDOW_TOPK_PER_GROUP_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice AS price,
+       CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_custkey
+      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 2
+"""
+
+
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_mktsegment", "c_custkey",
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
+    )
+
+
+WINDOW_RANKING_SQL = """
+SELECT c_mktsegment, c_custkey,
+       CAST(rank() OVER w AS BIGINT) AS bal_rank,
+       CAST(dense_rank() OVER w AS BIGINT) AS bal_dense_rank,
+       CAST(ntile(4) OVER w AS BIGINT) AS bal_quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        F.first("event_type").over(w).alias("first_type"),
+    )
+
+
+WINDOW_LAG_LEAD_SQL = """
+SELECT event_id, user_id,
+       lag(value, 1) OVER w AS prev_value,
+       lead(value, 1) OVER w AS next_value,
+       first_value(event_type) OVER w AS first_type
+FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_type
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Moving average (bounded ROWS frame) + running cumulative sum.
+    # Sums run over scaled integers: windowed float aggregation is
+    # engine-order-dependent (DuckDB uses segment trees), integers are
+    # exact under any combination order.
+    e = t(spark, sf_dir, "events").withColumn("v_s", sint("value", 4))
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_move = Window.partitionBy("user_id").orderBy(*order).rowsBetween(-2, 0)
+    w_cum = Window.partitionBy("user_id").orderBy(*order) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return e.select(
+        "event_id", "user_id",
+        (F.sum("v_s").over(w_move).cast("double")
+         / (F.count("*").over(w_move) * 10000).cast("double"))
+        .alias("moving_avg3"),
+        (F.sum("v_s").over(w_cum).cast("double") / F.lit(10000.0))
+        .alias("running_sum"),
+    )
+
+
+WINDOW_FRAMES_SQL = """
+SELECT event_id, user_id,
+       CAST(sum(v_s) OVER w_move AS DOUBLE)
+         / CAST(count(*) OVER w_move * 10000 AS DOUBLE) AS moving_avg3,
+       CAST(sum(v_s) OVER w_cum AS DOUBLE) / 10000.0 AS running_sum
+FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_s FROM events)
+WINDOW w_move AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+       w_cum AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
+# Sorts / set operations
+# --------------------------------------------------------------------------
+
+def sort_multi_key_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multi-key sort with NULLS LAST and a derived-null column.
+    s = t(spark, sf_dir, "supplier").withColumn(
+        "key_or_null", F.expr("nullif(s_suppkey % 3, 0)")
+    )
+    return (
+        s.orderBy(F.col("s_nationkey").asc(),
+                  F.col("key_or_null").desc_nulls_last(),
+                  F.col("s_suppkey").asc())
+        .limit(8)
+        .select("s_suppkey", "s_name", "s_nationkey",
+                F.col("key_or_null").cast("long").alias("sort_key"))
+    )
+
+
+SORT_MULTI_KEY_NULLS_SQL = """
+SELECT s_suppkey, s_name, s_nationkey,
+       CAST(key_or_null AS BIGINT) AS sort_key
+FROM (SELECT *, nullif(s_suppkey % 3, 0) AS key_or_null FROM supplier)
+ORDER BY s_nationkey ASC, key_or_null DESC NULLS LAST, s_suppkey ASC
+LIMIT 8
+"""
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+SET_INTERSECT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return n.exceptAll(s.distinct())
+
+
+SET_EXCEPT_SQL = """
+SELECT n_nationkey AS nationkey FROM nation
+EXCEPT ALL
+SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def set_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority").distinct()
+
+
+SET_DISTINCT_SQL = "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+
+# --------------------------------------------------------------------------
+# Scalar function families
+# --------------------------------------------------------------------------
+
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.element_at(F.split("p_type", " "), 1).alias("type_head"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+    )
+
+
+SCALAR_STRING_SQL = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substring(p_name, 1, 5) AS name_prefix,
+       string_split(p_type, ' ')[1] AS type_head,
+       regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       CAST(length(p_name) AS BIGINT) AS name_len
+FROM part
+"""
+
+
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("order_year"),
+        F.month(d).cast("long").alias("order_month"),
+        F.dayofmonth(d).cast("long").alias("order_day"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).cast("long")
+        .alias("days_to_2002"),
+        F.date_format(F.trunc(d, "month"), "yyyy-MM-dd").alias("order_month_start"),
+    )
+
+
+SCALAR_DATE_SQL = """
+SELECT o_orderkey,
+       year(d) AS order_year,
+       month(d) AS order_month,
+       day(d) AS order_day,
+       strftime(d + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+       date_diff('day', d, DATE '2002-01-01') AS days_to_2002,
+       strftime(date_trunc('month', d), '%Y-%m-%d') AS order_month_start
+FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+"""
+
+
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_extendedprice") * 0.5).alias("half_price"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        dround(F.log("l_extendedprice"), 6).alias("log_price"),
+        dround(F.pow("l_quantity", 2), 2).alias("qty_sq"),
+        F.sqrt("l_extendedprice").alias("sqrt_price"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("key_mod7"),
+    )
+
+
+SCALAR_MATH_SQL = f"""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * 0.5 AS half_price,
+       abs(l_discount - 0.05) AS disc_dev,
+       {sql_dround('ln(l_extendedprice)', 6)} AS log_price,
+       {sql_dround('pow(l_quantity, 2)', 2)} AS qty_sq,
+       sqrt(l_extendedprice) AS sqrt_price,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(l_orderkey % 7 AS BIGINT) AS key_mod7
+FROM lineitem WHERE l_orderkey < 100
+"""
+
+
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    dvec = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at(dvec, 1).alias("first_component"),
+        F.array_max(dvec).alias("max_component"),
+        F.aggregate(dvec, F.lit(0.0), lambda acc, x: acc + x * x)
+        .alias("norm_sq"),
+        F.size(F.filter(dvec, lambda x: x > F.lit(0.0))).cast("long")
+        .alias("positive_dims"),
+    )
+
+
+SCALAR_ARRAY_SQL = """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       v[1] AS first_component,
+       list_max(v) AS max_component,
+       list_reduce(list_prepend(0.0, [x * x FOR x IN v]),
+                   (a, b) -> a + b) AS norm_sq,
+       CAST(len(list_filter(v, x -> x > 0.0)) AS BIGINT) AS positive_dims
+FROM (SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM embeddings)
+"""
+
+
+def scalar_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lateral/UDTF-shaped: explode token arrays into rows.
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return tok.groupBy("token").agg(F.count("*").alias("occurrences"))
+
+
+SCALAR_EXPLODE_SQL = """
+SELECT token, count(*) AS occurrences
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id < 10)
+GROUP BY token
+"""
+
+
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+        F.when(F.get_json_object("props", "$.k").cast("long") >= 50, "high")
+        .otherwise("low").alias("k_band"),
+    )
+
+
+SCALAR_JSON_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+       CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+            THEN 'high' ELSE 'low' END AS k_band
+FROM events
+"""
+
+
+def conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "large")
+        .when(F.col("o_totalprice") > 100000, "medium")
+        .otherwise("small").alias("size_band"),
+        F.greatest(F.col("o_orderkey"), F.col("o_custkey")).alias("greatest_key"),
+        F.least(F.col("o_orderkey"), F.col("o_custkey")).alias("least_key"),
+    )
+
+
+CONDITIONAL_CASE_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000 THEN 'large'
+            WHEN o_totalprice > 100000 THEN 'medium'
+            ELSE 'small' END AS size_band,
+       greatest(o_orderkey, o_custkey) AS greatest_key,
+       least(o_orderkey, o_custkey) AS least_key
+FROM orders
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("ref_project_rename_cast", ref_project_rename_cast,
+              REF_PROJECT_RENAME_CAST_SQL,
+              "reference pipeline P1-P8 as a query (src/runner.rs:17-45)"),
+    QuerySpec("ref_count", ref_count, REF_COUNT_SQL,
+              "COUNT(*) / COUNT(col) (reference test SQL src/runner.rs:177)"),
+    QuerySpec("ref_sort_limit", ref_sort_limit, REF_SORT_LIMIT_SQL,
+              "ORDER BY ... LIMIT (reference src/runner.rs:193-196)"),
+    QuerySpec("ref_union_all", ref_union_all, REF_UNION_ALL_SQL,
+              "UNION ALL first/last pattern (reference src/runner.rs:192-197)"),
+    QuerySpec("ref_null_filter", ref_null_filter, REF_NULL_FILTER_SQL,
+              "IS NULL predicate (reference src/runner.rs:220)"),
+    QuerySpec("ref_star", ref_star, REF_STAR_SQL,
+              "SELECT * (reference src/runner.rs:220,324)"),
+    QuerySpec("filter_predicates", filter_predicates, FILTER_PREDICATES_SQL),
+    QuerySpec("join_inner_broadcast", join_inner_broadcast,
+              JOIN_INNER_BROADCAST_SQL),
+    QuerySpec("join_left", join_left, JOIN_LEFT_SQL),
+    QuerySpec("join_full_outer", join_full_outer, JOIN_FULL_OUTER_SQL),
+    QuerySpec("join_semi", join_semi, JOIN_SEMI_SQL),
+    QuerySpec("join_anti", join_anti, JOIN_ANTI_SQL),
+    QuerySpec("join_theta", join_theta, JOIN_THETA_SQL),
+    QuerySpec("join_cross", join_cross, JOIN_CROSS_SQL),
+    QuerySpec("agg_pricing_summary", agg_pricing_summary, AGG_PRICING_SUMMARY_SQL),
+    QuerySpec("agg_distinct", agg_distinct, AGG_DISTINCT_SQL),
+    QuerySpec("agg_approx", agg_approx, None,
+              "sketch aggregates; estimates have no exact oracle"),
+    QuerySpec("agg_rollup", agg_rollup, AGG_ROLLUP_SQL),
+    QuerySpec("agg_cube", agg_cube, AGG_CUBE_SQL),
+    QuerySpec("agg_grouping_sets", agg_grouping_sets, AGG_GROUPING_SETS_SQL),
+    QuerySpec("agg_stats", agg_stats, AGG_STATS_SQL),
+    QuerySpec("window_topk_per_group", window_topk_per_group,
+              WINDOW_TOPK_PER_GROUP_SQL),
+    QuerySpec("window_ranking", window_ranking, WINDOW_RANKING_SQL),
+    QuerySpec("window_lag_lead", window_lag_lead, WINDOW_LAG_LEAD_SQL),
+    QuerySpec("window_frames", window_frames, WINDOW_FRAMES_SQL),
+    QuerySpec("sort_multi_key_nulls", sort_multi_key_nulls,
+              SORT_MULTI_KEY_NULLS_SQL),
+    QuerySpec("set_intersect", set_intersect, SET_INTERSECT_SQL),
+    QuerySpec("set_except", set_except, SET_EXCEPT_SQL),
+    QuerySpec("set_distinct", set_distinct, SET_DISTINCT_SQL),
+    QuerySpec("scalar_string", scalar_string, SCALAR_STRING_SQL),
+    QuerySpec("scalar_date", scalar_date, SCALAR_DATE_SQL),
+    QuerySpec("scalar_math", scalar_math, SCALAR_MATH_SQL),
+    QuerySpec("scalar_array", scalar_array, SCALAR_ARRAY_SQL),
+    QuerySpec("scalar_explode", scalar_explode, SCALAR_EXPLODE_SQL),
+    QuerySpec("scalar_json", scalar_json, SCALAR_JSON_SQL),
+    QuerySpec("conditional_case", conditional_case, CONDITIONAL_CASE_SQL),
+]

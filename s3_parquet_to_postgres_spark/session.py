@@ -1,0 +1,92 @@
+"""SparkSession factory.
+
+One place to encode the scale posture: AQE on (runtime coalescing +
+skew-join splitting), Arrow for the few pandas-UDF paths, UTC session
+time so timestamp renderings are environment-independent, and the
+legacy nanos-as-long switch because the `events` table carries
+TIMESTAMP(NANOS) which vanilla Spark refuses to read.
+
+On a real cluster the same builder is used with a different master and
+shuffle-partition count; nothing else in the engine depends on local
+mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Baseline configs applied to every session this engine creates.
+# Values chosen for the local[32]/128GiB test harness; on a 1000-executor
+# cluster only shuffle.partitions and maxPartitionBytes warrant retuning
+# (AQE coalesces excess partitions at runtime either way).
+_BASE_CONFS: dict[str, str] = {
+    # Adaptive query execution: runtime shuffle-partition coalescing,
+    # skew-join splitting, and dynamic join-strategy switching.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for pandas UDFs / toPandas (10-100x over pickle).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp rendering regardless of host TZ.
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet stores TIMESTAMP(NANOS,false); Spark has no ns
+    # type, so read the raw int64 and convert explicitly (catalog.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Small-dim broadcast threshold: region/nation/supplier/part are
+    # all dimension-sized even at 100 TB fact scale.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def build_session(
+    app_name: str = "s3-parquet-to-postgres-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) the engine's SparkSession.
+
+    ``master=None`` defers to an externally configured cluster master
+    (spark-submit / cluster mode); tests and bench pass
+    ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    confs = dict(_BASE_CONFS)
+    confs["spark.sql.shuffle.partitions"] = str(
+        shuffle_partitions if shuffle_partitions is not None else DEFAULT_CPUS
+    )
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def local_session(app_name: str = "s3-parquet-to-postgres-spark") -> SparkSession:
+    """Local test/bench session on ``local[$SPARK_GRAFT_CPUS]``."""
+    return build_session(
+        app_name=app_name,
+        master=f"local[{DEFAULT_CPUS}]",
+        shuffle_partitions=DEFAULT_CPUS,
+        extra_confs={"spark.ui.enabled": "false", "spark.driver.memory": "8g"},
+    )
+
+
+def apply_required_confs(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable subset of base confs to an existing
+    session (the driver hands us a pre-built SparkSession; static confs
+    like nanosAsLong may already be fixed, but the rest are dynamic)."""
+    for k, v in _BASE_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Static conf on a live session (e.g. already-set legacy
+            # parquet switches) -- keep whatever the session has.
+            pass
+    return spark
