@@ -1,0 +1,81 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver-side collect, no result materialization skew). One warm-up
+run of a tiny query amortizes JVM/codegen startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from s3_parquet_to_postgres_spark.plans import all_queries  # noqa: E402
+from s3_parquet_to_postgres_spark.session import local_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: reference-parity ETL, join/agg/window relational core,
+# TPC-H shapes, and the LLM-pipeline extensions (dedup / similarity /
+# text / as-of / event-time). Names must exist in the plans registry.
+HEADLINE = [
+    "ref_project_rename_cast",
+    "agg_pricing_summary",
+    "join_inner_broadcast",
+    "window_topk_per_group",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk_cosine",
+    "text_quality",
+    "asof_join_events",
+    "event_sessionize",
+]
+
+
+def _force(df) -> None:
+    """Execute the full plan without collecting results to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = local_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # Warm-up: JVM JIT + codegen + parquet footer caches.
+    _force(queries["ref_count"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        _force(queries[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,24 +49,48 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def _minhash_sig(shingle_col: Column, num_hashes: int, seed: int = 7) -> Column:
-    """num_hashes MinHash values: min over shingles of universal hashes
-    of xxhash64(shingle). Parameters derive deterministically from the
-    permutation index so executors need no broadcast state."""
-    base = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
-
-    # NB: capture hash params via a factory, NOT lambda default args --
-    # PySpark introspects the lambda signature, so `lambda h, a=a:`
-    # would be treated as a two-variable higher-order lambda.
-    def perm(a: int, b: int):
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P))
-
-    sigs = []
+def _hash_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) universal-hash parameters per permutation;
+    derived from the index so executors need no broadcast state."""
+    out = []
     for i in range(num_hashes):
         a = (seed * 1_000_003 + i * 7_919) % _P or 1
         b = (seed * 7_753 + i * 104_729) % _P
-        sigs.append(F.array_min(F.transform(base, perm(a, b))))
-    return F.array(*sigs)
+        out.append((a, b))
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>) MinHash signatures.
+
+    Shape chosen for scale AND codegen: explode shingles once, hash
+    each to one long, then ONE hash aggregation computing all
+    num_hashes mins as flat agg expressions. Nesting the permutations
+    as array transforms instead (num_hashes copies of the shingle
+    expression tree) blows the whole-stage-codegen method-size limit
+    and falls back to interpreted eval -- ~100x slower at sf0.1.
+    Partial (map-side) min aggregation means shuffle volume is
+    num_hashes longs per doc, independent of document length.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, n)).alias("shingle"),
+    ).select("id", F.pmod(F.xxhash64("shingle"), F.lit(_P)).alias("h"))
+    mins = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"m{i}")
+        for i, (a, b) in enumerate(_hash_params(num_hashes))
+    ]
+    return (
+        sh.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+    )
 
 
 def minhash_lsh_pairs(
@@ -86,10 +110,7 @@ def minhash_lsh_pairs(
     path: candidates only, never all pairs.
     """
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        _minhash_sig(shingles(text_col, n), num_hashes).alias("sig"),
-    )
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
     banded = sig.select(
         "id",
         "sig",
@@ -138,28 +159,26 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """64-bit SimHash over whitespace tokens: per bit, sign of the sum
     of +-1 votes from each token's xxhash64 bit. Hamming-close
     signatures => near-duplicate texts. Pure column expressions."""
-    toks = F.array_distinct(ws_tokens(text_col))
-    hashes = F.transform(toks, lambda tk: F.xxhash64(tk))
-
-    # Factory capture (not lambda defaults -- see _minhash_sig) and
-    # getbit() rather than shiftright (whose int arg doesn't bridge
-    # into higher-order lambda scope in PySpark 4).
-    def bit_vote(i: int):
-        return lambda acc, h: acc + F.when(
-            F.getbit(h, F.lit(i)) == 1, 1
-        ).otherwise(-1)
-
-    bit_exprs = []
-    for i in range(min(bits, 63)):  # 2^63 would overflow signed long
-        votes = F.aggregate(hashes, F.lit(0), bit_vote(i))
-        bit_exprs.append(
-            F.when(votes > 0, F.lit(2 ** i).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-    sig = bit_exprs[0]
-    for e in bit_exprs[1:]:
-        sig = sig + e
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    # Explode distinct tokens to one row each, hash once, then ONE
+    # aggregation with a flat sum-of-votes expression per bit (nested
+    # array aggregates per bit would exceed the codegen method-size
+    # limit -- see minhash_signatures). Map-side partial sums keep the
+    # shuffle at `bits` longs per doc.
+    nbits = min(bits, 63)  # 2^63 would overflow signed long
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(ws_tokens(text_col))).alias("tk"),
+    ).select("id", F.xxhash64("tk").alias("h"))
+    votes = [
+        F.sum(F.when(F.getbit("h", F.lit(i)) == 1, 1).otherwise(-1)).alias(f"v{i}")
+        for i in range(nbits)
+    ]
+    agg = tok.groupBy("id").agg(*votes)
+    sig: Column = F.lit(0).cast("long")
+    for i in range(nbits):
+        sig = sig + F.when(F.col(f"v{i}") > 0, F.lit(2 ** i).cast("long")) \
+                     .otherwise(F.lit(0).cast("long"))
+    return agg.select(F.col("id").alias(id_col), sig.alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
