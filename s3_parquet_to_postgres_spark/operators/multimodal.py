@@ -15,6 +15,7 @@ plumbing -- schema, batching, partitioning -- is real and tested.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Iterator
 from typing import Callable
 
@@ -30,6 +31,13 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+
+# Ship function bodies by value (workers may not have this package on
+# PYTHONPATH when the driver embeds us from an arbitrary cwd).
+from pyspark import cloudpickle
+
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 
 def attach_binary_payload(

@@ -768,6 +768,72 @@ FROM events
 """
 
 
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Map-typed column surface: parse JSON props into map<string,long>,
+    # then map_keys / element_at / map_contains_key.
+    e = t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
+        F.element_at(m, "k").alias("k_value"),
+        F.map_contains_key(m, "missing").alias("has_missing"),
+    )
+
+
+SCALAR_MAP_SQL = """
+SELECT event_id,
+       array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+       json_extract(props, '$.missing') IS NOT NULL AS has_missing
+FROM events
+"""
+
+
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arrow-vectorized scalar pandas UDF (functions/udfs.py); body is
+    # IEEE-only arithmetic so the oracle comparison is value-exact.
+    from ..functions.udfs import discounted_price
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        discounted_price("l_extendedprice", "l_discount").alias("disc_price"),
+    )
+
+
+UDF_PANDAS_SCALAR_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1.0 - l_discount) AS disc_price
+FROM lineitem WHERE l_orderkey < 500
+"""
+
+
+def udf_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Grouped-map applyInPandas (UDAF-shaped): per-event-type OLS slope
+    # of value over hours-since-first-event. regr_slope is the oracle.
+    from ..functions.udfs import grouped_ols_slope
+
+    out = grouped_ols_slope(t(spark, sf_dir, "events"))
+    return out.select("event_type", "n", dround("slope", 6).alias("slope"))
+
+
+UDF_GROUPED_OLS_SQL = f"""
+WITH prep AS (
+  SELECT event_type,
+         (epoch_us(CAST(ts AS TIMESTAMP))
+          - min(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY event_type))
+         / 3600000000.0 AS x,
+         value AS y
+  FROM events
+)
+SELECT event_type, count(*) AS n,
+       {sql_dround('regr_slope(y, x)', 6)} AS slope
+FROM prep GROUP BY event_type
+"""
+
+
 def conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     return o.select(
@@ -838,5 +904,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("scalar_array", scalar_array, SCALAR_ARRAY_SQL),
     QuerySpec("scalar_explode", scalar_explode, SCALAR_EXPLODE_SQL),
     QuerySpec("scalar_json", scalar_json, SCALAR_JSON_SQL),
+    QuerySpec("scalar_map", scalar_map, SCALAR_MAP_SQL),
+    QuerySpec("udf_pandas_scalar", udf_pandas_scalar, UDF_PANDAS_SCALAR_SQL),
+    QuerySpec("udf_grouped_ols", udf_grouped_ols, UDF_GROUPED_OLS_SQL),
     QuerySpec("conditional_case", conditional_case, CONDITIONAL_CASE_SQL),
 ]

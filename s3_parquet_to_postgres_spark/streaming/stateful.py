@@ -14,6 +14,7 @@ abandoned keys from accumulating forever.
 
 from __future__ import annotations
 
+import sys
 from typing import Any, Iterator, Tuple
 
 import pandas as pd
@@ -26,6 +27,13 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+# Ship function bodies by value (workers may not have this package on
+# PYTHONPATH when the driver embeds us from an arbitrary cwd).
+from pyspark import cloudpickle
+
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
 
 STATE_SCHEMA = StructType(
     [
