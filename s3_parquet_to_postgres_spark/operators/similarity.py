@@ -175,6 +175,82 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    Centroids are a deterministic hash-sample of the corpus itself
+    (cheap stand-in for k-means; the plan shape is identical). Corpus
+    vectors index into their nearest centroid's list; queries probe
+    their ``n_probe`` nearest lists; exact cosine re-ranks candidates.
+    Candidates per query ~ corpus * n_probe / n_centroids -- and the
+    centroid tables are tiny broadcasts, so the corpus never shuffles
+    until the (much smaller) candidate re-rank.
+    """
+    cent = (
+        corpus.select(
+            F.col(id_col).alias("centroid_id"), as_double(vec_col).alias("cent_vec")
+        )
+        .withColumn("__h", F.xxhash64(F.col("centroid_id").cast("string")))
+        .orderBy("__h")
+        .limit(n_centroids)
+        .drop("__h")
+    )
+
+    def nearest(df: DataFrame, side_id: str, side_vec: str, keep: int) -> DataFrame:
+        scored = df.join(F.broadcast(cent)).select(
+            side_id,
+            side_vec,
+            "centroid_id",
+            cosine(F.col(side_vec), F.col("cent_vec")).alias("c_sim"),
+        )
+        w = Window.partitionBy(side_id).orderBy(
+            F.col("c_sim").desc(), F.col("centroid_id").asc()
+        )
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= keep)
+            .drop("__r", "c_sim")
+        )
+
+    c = nearest(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      as_double(vec_col).alias("c_vec")),
+        "neighbor_id", "c_vec", 1,
+    )
+    q = nearest(
+        queries.select(F.col(id_col).alias("query_id"),
+                       as_double(vec_col).alias("q_vec")),
+        "query_id", "q_vec", n_probe,
+    )
+    cand = (
+        c.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sim = cand.select(
+        "query_id", "neighbor_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                dround("sim", 4).alias("cosine_sim"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def cosine_near_pairs_blocked(
     df: DataFrame,
     block_col: str = "label",

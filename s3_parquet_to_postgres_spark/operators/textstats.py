@@ -96,6 +96,54 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 3,
+) -> DataFrame:
+    """Top-n terms per document by tf-idf (idf = ln(N / df)).
+
+    Classic two-aggregation shape: one explode+count for term
+    frequencies, one distinct-count for document frequencies, a
+    broadcast-sized join on term, window top-n. All counts are exact
+    integers; only the final score is float (ln), so the oracle
+    comparison rounds the score alone. At 100 TB the df table is
+    vocabulary-sized -- fits broadcast for natural-language corpora.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions import dround
+
+    terms = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.filter(ws_tokens(F.lower(F.col(text_col))), lambda x: x != "")
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    dfreq = terms.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.count()  # driver-side scalar; one job, fine at any scale
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc", "term", "tf", "df",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("score"),
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_n)
+        .select(
+            F.col("doc").alias(id_col), "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("doc_freq"),
+            dround("score", 6).alias("tfidf"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized content fingerprint: lowercase, strip punctuation,
     collapse whitespace, sha256. Content-addressed dedup key that is

@@ -149,6 +149,12 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(e, e.filter(F.col("vec_id") < 5), k=10)
 
 
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF coarse-quantizer variant (tests measure recall vs exact).
+    e = t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+
+
 # --------------------------------------------------------------------------
 # Text analysis (E5)
 # --------------------------------------------------------------------------
@@ -220,6 +226,38 @@ SELECT doc_id, lang,
             ELSE 'zh' END AS lang_pred,
        CAST(best AS BIGINT) AS lang_score
 FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM scored)
+"""
+
+
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.tfidf_top_terms(t(spark, sf_dir, "documents"), top_n=3)
+
+
+TEXT_TFIDF_SQL = f"""
+WITH terms AS (
+  SELECT doc_id AS doc,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc, term, count(*) AS tf FROM terms GROUP BY doc, term
+), dfreq AS (
+  SELECT term, count(DISTINCT doc) AS df FROM terms GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc, tf.term, tf, df,
+         tf * ln(n_docs / df) AS score
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+)
+SELECT doc AS doc_id, term,
+       CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS doc_freq,
+       {sql_dround('score', 6)} AS tfidf,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY doc ORDER BY score DESC, term ASC) AS rnk
+      FROM scored)
+WHERE rnk <= 3
 """
 
 
@@ -410,6 +448,9 @@ SPECS: list[QuerySpec] = [
               SIMILARITY_TOPK_SQL),
     QuerySpec("similarity_ann_lsh", similarity_ann_lsh, None,
               "approximate ANN; recall measured against exact top-k in tests"),
+    QuerySpec("similarity_ann_ivf", similarity_ann_ivf, None,
+              "IVF coarse-quantizer ANN; recall measured in tests"),
+    QuerySpec("text_tfidf", text_tfidf, TEXT_TFIDF_SQL),
     QuerySpec("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL),
     QuerySpec("text_lang_id", text_lang_id, TEXT_LANG_ID_SQL),

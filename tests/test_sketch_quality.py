@@ -1,0 +1,93 @@
+"""Quality checks for the approximate operators -- the promises the
+rows-only catalog entries make (LSH/IVF recall vs exact top-k, MinHash
+estimate vs exact Jaccard, SimHash vs exact Jaccard ordering)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_parquet_to_postgres_spark.catalog import read_table
+from s3_parquet_to_postgres_spark.operators import dedup as D
+from s3_parquet_to_postgres_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return read_table(spark, SF, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_table(spark, SF, "documents")
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def _recall(approx, exact):
+    hits = sum(len(approx.get(q, set()) & nbrs) for q, nbrs in exact.items())
+    total = sum(len(nbrs) for nbrs in exact.values())
+    return hits / total
+
+
+def test_lsh_recall_vs_exact(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = _topk_sets(S.cosine_topk(emb, queries, k=10))
+    # Bucket width must track corpus size: 4 planes = 16 buckets over
+    # 500 vectors (~30 candidates/table); the production defaults
+    # (8 planes) suit 100x larger lists.
+    approx = _topk_sets(S.lsh_topk(emb, queries, k=10, n_planes=4, n_tables=8))
+    r = _recall(approx, exact)
+    assert r >= 0.4, f"LSH recall collapsed: {r}"
+
+
+def test_ivf_recall_vs_exact(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = _topk_sets(S.cosine_topk(emb, queries, k=10))
+    approx = _topk_sets(S.ivf_topk(emb, queries, k=10))
+    r = _recall(approx, exact)
+    assert r >= 0.4, f"IVF recall collapsed: {r}"
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    # Exact Jaccard on candidate pairs vs the MinHash estimate:
+    # mean absolute error must be within the 1/sqrt(num_hashes) regime.
+    exact = D.ngram_jaccard_pairs(docs, threshold=0.0).select(
+        "id_a", "id_b", "jaccard"
+    )
+    est = D.minhash_lsh_pairs(docs, num_hashes=64, bands=16)
+    joined = est.join(exact, ["id_a", "id_b"])
+    rows = joined.select(
+        F.abs(F.col("jaccard_est") - F.col("jaccard")).alias("err")
+    ).collect()
+    assert rows, "no overlapping candidate pairs to compare"
+    mae = sum(r["err"] for r in rows) / len(rows)
+    assert mae <= 0.2, f"MinHash estimate error too high: {mae}"
+
+
+def test_simhash_orders_like_jaccard(spark, docs):
+    # Pairs at small hamming distance should have higher exact Jaccard
+    # than pairs at large hamming distance (rank-consistency smoke).
+    pairs = D.simhash_near_pairs(docs, max_hamming=40)
+    exact = D.ngram_jaccard_pairs(docs, threshold=0.0)
+    j = pairs.join(exact, ["id_a", "id_b"])
+    close = j.filter(F.col("hamming") <= 10).agg(F.avg("jaccard")).first()[0]
+    far = j.filter(F.col("hamming") >= 30).agg(F.avg("jaccard")).first()[0]
+    if close is not None and far is not None:
+        assert close > far, (close, far)
+
+
+def test_exact_dedup_survivor_is_min(spark, docs):
+    d = docs.withColumn("key", F.sha2(F.substring("text", 1, 40), 256))
+    out = D.exact_dedup(d, ["key"], "doc_id")
+    # Survivor per key == global min doc_id per key.
+    expected = d.groupBy("key").agg(F.min("doc_id").alias("doc_id"))
+    assert out.select("key", "doc_id").exceptAll(expected).count() == 0
+    assert out.count() == expected.count()
