@@ -834,6 +834,44 @@ FROM prep GROUP BY event_type
 """
 
 
+def udtf_json_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Python UDTF (Spark 3.5+/4): one input row -> N output rows, used
+    # through a SQL LATERAL join. Class defined in-function so
+    # cloudpickle ships it by value (workers can't import this repo).
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="k string, v bigint")
+    class ExplodeProps:
+        def eval(self, props: str):
+            import json
+
+            if props:
+                for key, val in sorted(json.loads(props).items()):
+                    yield key, int(val)
+
+    spark.udtf.register("explode_props", ExplodeProps)
+    t(spark, sf_dir, "events").filter(F.col("event_id") < 1000) \
+        .createOrReplaceTempView("events_udtf_src")
+    return spark.sql(
+        """
+        SELECT e.event_id, t.k AS prop_key, t.v AS prop_value
+        FROM events_udtf_src e, LATERAL explode_props(e.props) t
+        """
+    )
+
+
+UDTF_JSON_KV_SQL = """
+WITH kv AS (
+  SELECT event_id, unnest(json_keys(props)) AS prop_key, props
+  FROM events WHERE event_id < 1000
+)
+SELECT event_id, prop_key,
+       CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT)
+         AS prop_value
+FROM kv
+"""
+
+
 def conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     return o.select(
@@ -907,5 +945,6 @@ SPECS: list[QuerySpec] = [
     QuerySpec("scalar_map", scalar_map, SCALAR_MAP_SQL),
     QuerySpec("udf_pandas_scalar", udf_pandas_scalar, UDF_PANDAS_SCALAR_SQL),
     QuerySpec("udf_grouped_ols", udf_grouped_ols, UDF_GROUPED_OLS_SQL),
+    QuerySpec("udtf_json_kv", udtf_json_kv, UDTF_JSON_KV_SQL),
     QuerySpec("conditional_case", conditional_case, CONDITIONAL_CASE_SQL),
 ]
