@@ -290,6 +290,57 @@ WHERE a.r_name <> b.r_name
 # Aggregations
 # --------------------------------------------------------------------------
 
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Interval join via bucket quantization (operators/rangejoin.py):
+    # ship events matched into 30-day order windows through an
+    # equi-join on bucket id -- no BroadcastNestedLoop, no cross join.
+    from ..operators.rangejoin import point_in_interval_join
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 2000)
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.unix_date(F.col("l_shipdate").cast("date")).cast("long")
+            .alias("ship_day"),
+        )
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 400)
+        .select(
+            F.col("o_orderkey").alias("win_id"),
+            F.unix_date(F.col("o_orderdate").cast("date")).cast("long")
+            .alias("start_day"),
+        )
+        .withColumn("end_day", F.col("start_day") + 30)
+    )
+    out = point_in_interval_join(
+        li, o, "ship_day", "start_day", "end_day", bucket_width=30
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "win_id", "ship_day", "start_day"
+    )
+
+
+JOIN_RANGE_BUCKETED_SQL = """
+WITH p AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS ship_day
+  FROM lineitem WHERE l_orderkey < 2000
+), iv AS (
+  SELECT o_orderkey AS win_id,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS start_day
+  FROM orders WHERE o_orderkey < 400
+)
+SELECT l_orderkey, l_linenumber, win_id, ship_day, start_day
+FROM p JOIN iv
+  ON iv.start_day <= p.ship_day AND p.ship_day < iv.start_day + 30
+"""
+
+
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q1 shape adapted to the synthetic lineitem columns.
     li = t(spark, sf_dir, "lineitem").filter(
@@ -918,6 +969,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("join_anti", join_anti, JOIN_ANTI_SQL),
     QuerySpec("join_theta", join_theta, JOIN_THETA_SQL),
     QuerySpec("join_cross", join_cross, JOIN_CROSS_SQL),
+    QuerySpec("join_range_bucketed", join_range_bucketed,
+              JOIN_RANGE_BUCKETED_SQL),
     QuerySpec("agg_pricing_summary", agg_pricing_summary, AGG_PRICING_SUMMARY_SQL),
     QuerySpec("agg_distinct", agg_distinct, AGG_DISTINCT_SQL),
     QuerySpec("agg_approx", agg_approx, None,
