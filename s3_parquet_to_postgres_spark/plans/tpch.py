@@ -189,10 +189,115 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q14: share of revenue from promo parts in one month.
+    # Conditional aggregation over a fact->dim join; part broadcasts.
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
+    )
+    p = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return joined.agg(
+        (F.lit(100.0) * dsum(promo, 4) / dsum(rev, 4)).alias("promo_pct"),
+        F.count("*").alias("matched_rows"),
+    )
+
+
+Q14_SQL = f"""
+SELECT 100.0 * ({sql_dsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 4)})
+         / ({sql_dsum('l_extendedprice * (1 - l_discount)', 4)}) AS promo_pct,
+       count(*) AS matched_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q17 (adapted to available columns: p_brand instead of
+    # brand+container): revenue lost to small orders -- the correlated
+    # scalar subquery (per-part avg quantity) decorrelated into an
+    # aggregate + join. The threshold avg is computed with exact scaled-
+    # integer sums so both engines derive the identical cutoff and no
+    # borderline row can flip.
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    per_part = li.groupBy("l_partkey").agg(
+        (dsum("l_quantity", 4) / F.count("*")).alias("avg_qty")
+    )
+    out = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(per_part, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    )
+    return out.agg(
+        (dsum("l_extendedprice", 4) / F.lit(7.0)).alias("avg_yearly"),
+        F.count("*").alias("matched_rows"),
+    )
+
+
+Q17_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         {sql_dsum('l_quantity', 4)} / count(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT {sql_dsum('l_extendedprice', 4)} / 7.0 AS avg_yearly,
+       count(*) AS matched_rows
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN per_part USING (l_partkey)
+WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty
+"""
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q22 (adapted: nationkey stands in for the phone prefix):
+    # above-average-balance customers with no orders. Scalar-subquery
+    # average (exact arithmetic) + anti join + aggregation.
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    pos = c.filter(F.col("c_acctbal") > 0.0)
+    avg_bal = (
+        pos.agg((dsum("c_acctbal", 2) / F.count("*")).alias("a"))
+        .first()["a"]
+    )
+    rich = c.filter(F.col("c_acctbal") > F.lit(avg_bal))
+    dormant = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        dormant.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal", 2).alias("totacctbal"),
+        )
+    )
+
+
+Q22_SQL = f"""
+WITH avg_bal AS (
+  SELECT {sql_dsum('c_acctbal', 2)} / count(*) AS a
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, count(*) AS numcust,
+       {sql_dsum('c_acctbal', 2)} AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT a FROM avg_bal)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("tpch_q3_shipping_priority", q3_shipping_priority, Q3_SQL),
     QuerySpec("tpch_q5_local_supplier", q5_local_supplier_volume, Q5_SQL),
     QuerySpec("tpch_q6_revenue_forecast", q6_revenue_forecast, Q6_SQL),
     QuerySpec("tpch_q10_returned_items", q10_returned_items, Q10_SQL),
+    QuerySpec("tpch_q14_promo_revenue", q14_promo_revenue, Q14_SQL),
+    QuerySpec("tpch_q17_small_qty_revenue", q17_small_quantity_revenue,
+              Q17_SQL),
     QuerySpec("tpch_q18_large_volume", q18_large_volume_customer, Q18_SQL),
+    QuerySpec("tpch_q22_dormant_customers", q22_dormant_customers, Q22_SQL),
 ]
