@@ -1,0 +1,127 @@
+"""Partition-pruning and property-based invariants.
+
+The pruning test pins the engine's core scale claim: a filter on a
+partition column must show up as a PartitionFilter (directory pruning),
+not a data filter. The hypothesis tests pin the pure functions whose
+corner cases matter at scale (COPY encoding round-trips, cast-plan
+totality).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from s3_parquet_to_postgres_spark.catalog import read_table
+from s3_parquet_to_postgres_spark.operators.casts import (
+    CastPlanError,
+    cast_expr,
+)
+from s3_parquet_to_postgres_spark.sinks.copy import encode_rows
+from s3_parquet_to_postgres_spark.sources.parquet import (
+    partition_filters_of,
+    write_partitioned,
+)
+from pyspark.sql.types import (
+    DateType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    TimestampType,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    li = read_table(spark, SF, "lineitem").withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    out = str(tmp_path / "li_part")
+    write_partitioned(li, out, ["ship_month"])
+
+    filtered = spark.read.parquet(out).filter(F.col("ship_month") == "1997-03")
+    pf = partition_filters_of(filtered)
+    assert "ship_month" in pf, f"no partition filter in plan: {pf!r}"
+    # And the filter is NOT also a post-scan data filter on all rows:
+    # row counts must match the unpartitioned filter exactly.
+    expected = li.filter(F.col("ship_month") == "1997-03").count()
+    assert filtered.count() == expected > 0
+
+
+def test_partition_pruning_absent_for_data_columns(spark, tmp_path):
+    li = read_table(spark, SF, "lineitem").withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    out = str(tmp_path / "li_part2")
+    write_partitioned(li, out, ["ship_month"])
+    unpruned = spark.read.parquet(out).filter(F.col("l_quantity") > 10)
+    assert partition_filters_of(unpruned) == ""
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis)
+# ---------------------------------------------------------------------------
+
+printable = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-2**31, 2**31), printable,
+                      st.booleans(), st.binary(max_size=16)),
+            st.one_of(st.none(), st.floats(allow_nan=False), printable),
+        ),
+        max_size=20,
+    )
+)
+def test_copy_encoding_roundtrip(rows):
+    """Every encoded line is one row, tab-separated at top level, with
+    no raw newline/tab/backslash leaking unescaped -- the invariant
+    that makes the stream parseable by Postgres COPY."""
+    lines = list(encode_rows(rows))
+    assert len(lines) == len(rows)
+    for line in lines:
+        assert line.endswith("\n")
+        body = line[:-1]
+        # Unescaped control characters must not appear.
+        stripped = (
+            body.replace("\\\\", "")
+            .replace("\\t", "")
+            .replace("\\n", "")
+            .replace("\\r", "")
+        )
+        assert "\n" not in stripped and "\r" not in stripped
+        assert all(c != "\\" for c in stripped.replace("\\N", ""))
+    for row, line in zip(rows, lines):
+        assert line[:-1].count("\t") >= len(row) - 1
+
+
+_SRC_TYPES = [
+    IntegerType(), LongType(), DoubleType(), StringType(),
+    DateType(), TimestampType(),
+]
+_PG_TYPES = [
+    "bool", "int2", "int4", "int8", "float4", "float8", "numeric",
+    "date", "timestamp", "varchar", "text", "inet", "blob", "uuid",
+]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.sampled_from(_SRC_TYPES), st.sampled_from(_PG_TYPES))
+def test_cast_plan_total(src, pg):
+    """cast_expr either returns an expression or raises CastPlanError --
+    never a silent NULL converter (the reference's NULL-on-unknown
+    behavior is deliberately NOT replicated)."""
+    try:
+        expr = cast_expr("c", src, pg)
+    except CastPlanError:
+        return
+    assert expr is not None
