@@ -30,15 +30,19 @@ HEADLINE = [
     "ref_project_rename_cast",
     "agg_pricing_summary",
     "join_inner_broadcast",
+    "join_range_bucketed",
     "window_topk_per_group",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
+    "tpch_q6_revenue_forecast",
     "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
     "tpch_q18_large_volume",
     "dedup_exact",
     "dedup_minhash_lsh",
     "similarity_topk_cosine",
     "text_quality",
+    "text_tfidf",
     "asof_join_events",
     "event_sessionize",
 ]
