@@ -131,10 +131,10 @@ REF_STAR_SQL = "SELECT * FROM region"
 def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part")
     return p.filter(
-        F.col("p_size").between(10, 20)
-        & F.col("p_type").like("%a%")
-        & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
-        & (F.col("p_retailprice") > 500.0)
+        F.col("p_size").between(10, 30)
+        & F.col("p_type").like("%AND%")
+        & F.col("p_brand").isin("Brand#1", "Brand#12", "Brand#23")
+        & (F.col("p_retailprice") > 940.0)
     ).select("p_partkey", "p_name", "p_brand", "p_size",
              F.col("p_retailprice").alias("price"))
 
@@ -142,10 +142,10 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 FILTER_PREDICATES_SQL = """
 SELECT p_partkey, p_name, p_brand, p_size, p_retailprice AS price
 FROM part
-WHERE p_size BETWEEN 10 AND 20
-  AND p_type LIKE '%a%'
-  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
-  AND p_retailprice > 500.0
+WHERE p_size BETWEEN 10 AND 30
+  AND p_type LIKE '%AND%'
+  AND p_brand IN ('Brand#1', 'Brand#12', 'Brand#23')
+  AND p_retailprice > 940.0
 """
 
 
@@ -653,8 +653,14 @@ SELECT s_nationkey AS nationkey FROM supplier
 
 
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Nations with no very-rich supplier (threshold keeps the result
+    # non-empty at every test scale factor).
     n = t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
-    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    s = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9500.0)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
     return n.exceptAll(s.distinct())
 
 
@@ -662,6 +668,7 @@ SET_EXCEPT_SQL = """
 SELECT n_nationkey AS nationkey FROM nation
 EXCEPT ALL
 SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+WHERE s_acctbal > 9500.0
 """
 
 
