@@ -136,29 +136,31 @@ def lsh_topk(
     Bucket join replaces the all-pairs scan -- at scale, candidates
     per query ~ corpus / 2^n_planes * n_tables.
     """
-    all_tables = []
-    for ti in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed=13 + 101 * ti)
-        c = corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            as_double(vec_col).alias("c_vec"),
-            lsh_signature(as_double(vec_col), planes).alias("bucket"),
-            F.lit(ti).alias("table_id"),
+    # All tables' signatures in ONE pass per side: a single select
+    # computes the n_tables bucket ids as an array, posexplode turns
+    # them into (table_id, bucket) rows. One scan + one equi-join
+    # total, vs. a scan and join per table.
+    table_planes = [
+        _hyperplanes(dim, n_planes, seed=13 + 101 * ti)
+        for ti in range(n_tables)
+    ]
+
+    def with_buckets(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        v = as_double(vec_col)
+        sigs = F.array(*[lsh_signature(v, planes) for planes in table_planes])
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            v.alias(vec_alias),
+            F.posexplode(sigs).alias("table_id", "bucket"),
         )
-        q = queries.select(
-            F.col(id_col).alias("query_id"),
-            as_double(vec_col).alias("q_vec"),
-            lsh_signature(as_double(vec_col), planes).alias("bucket"),
-            F.lit(ti).alias("table_id"),
-        )
-        all_tables.append((c, q))
-    cand = None
-    for c, q in all_tables:
-        hits = c.join(F.broadcast(q), ["table_id", "bucket"]).filter(
-            F.col("neighbor_id") != F.col("query_id")
-        )
-        cand = hits if cand is None else cand.unionByName(hits)
-    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+
+    c = with_buckets(corpus, "neighbor_id", "c_vec")
+    q = with_buckets(queries, "query_id", "q_vec")
+    cand = (
+        c.join(F.broadcast(q), ["table_id", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     sim = cand.select(
         "query_id", "neighbor_id",
         cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
