@@ -84,6 +84,22 @@ def test_simhash_orders_like_jaccard(spark, docs):
         assert close > far, (close, far)
 
 
+def test_jaccard_strategies_agree(spark, docs):
+    # Prefix filtering and the inverted-index count are both EXACT:
+    # identical pair sets and values at the same threshold.
+    kw = dict(n=3, threshold=0.35)
+    inv = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in D.ngram_jaccard_pairs(docs, strategy="inverted", **kw).collect()
+    }
+    pre = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in D.ngram_jaccard_pairs(docs, strategy="prefix", **kw).collect()
+    }
+    assert inv == pre
+    assert len(inv) > 0
+
+
 def test_exact_dedup_survivor_is_min(spark, docs):
     d = docs.withColumn("key", F.sha2(F.substring("text", 1, 40), 256))
     out = D.exact_dedup(d, ["key"], "doc_id")
