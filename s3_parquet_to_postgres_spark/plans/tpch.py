@@ -254,6 +254,148 @@ WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty
 """
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q7 (adapted: l_shipdate year stands in for the missing
+    # supp/cust nation pair filter's fixed nations -- we keep ALL nation
+    # pairs where customer and supplier nations differ).
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(_revenue().alias("revenue"))
+    )
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       {_REV_SQL} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q13: distribution of customers by order count (left join
+    # keeps zero-order customers; two-level aggregation).
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        ~F.col("o_orderpriority").startswith("4")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN (SELECT * FROM orders
+             WHERE o_orderpriority NOT LIKE '4%') o
+    ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q15: supplier(s) with maximum revenue in a quarter -- the
+    # revenue "view" + scalar-max pattern.
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _revenue().alias("total_revenue")
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("m"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_revenue == max_rev.m)
+        .join(s, rev.supplier_no == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no, {_REV_SQL} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue0 JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
+"""
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q19 (adapted to available columns): disjunctive predicate
+    # groups over a fact->dim join -- the OR-of-ANDs pattern Catalyst
+    # must keep push-down-able.
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    g1 = (
+        (F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    g2 = (
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 40)
+    )
+    g3 = (
+        (F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 50)
+    )
+    return joined.filter(g1 | g2 | g3).agg(
+        _revenue().alias("revenue"), F.count("*").alias("matched_rows")
+    )
+
+
+Q19_SQL = f"""
+SELECT {_REV_SQL} AS revenue, count(*) AS matched_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 30)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 40)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
 def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q22 (adapted: nationkey stands in for the phone prefix):
     # above-average-balance customers with no orders. Scalar-subquery
@@ -294,10 +436,15 @@ SPECS: list[QuerySpec] = [
     QuerySpec("tpch_q3_shipping_priority", q3_shipping_priority, Q3_SQL),
     QuerySpec("tpch_q5_local_supplier", q5_local_supplier_volume, Q5_SQL),
     QuerySpec("tpch_q6_revenue_forecast", q6_revenue_forecast, Q6_SQL),
+    QuerySpec("tpch_q7_volume_shipping", q7_volume_shipping, Q7_SQL),
     QuerySpec("tpch_q10_returned_items", q10_returned_items, Q10_SQL),
+    QuerySpec("tpch_q13_customer_distribution", q13_customer_distribution,
+              Q13_SQL),
+    QuerySpec("tpch_q15_top_supplier", q15_top_supplier, Q15_SQL),
     QuerySpec("tpch_q14_promo_revenue", q14_promo_revenue, Q14_SQL),
     QuerySpec("tpch_q17_small_qty_revenue", q17_small_quantity_revenue,
               Q17_SQL),
     QuerySpec("tpch_q18_large_volume", q18_large_volume_customer, Q18_SQL),
+    QuerySpec("tpch_q19_discounted_revenue", q19_discounted_revenue, Q19_SQL),
     QuerySpec("tpch_q22_dormant_customers", q22_dormant_customers, Q22_SQL),
 ]
