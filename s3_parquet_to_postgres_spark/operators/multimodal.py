@@ -89,6 +89,87 @@ def strict_decode_stub(payload: bytes) -> list[float]:
     )
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("content_sha256", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("resized", BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Arrow-batched image resize plumbing. The real codec (PIL) is not
+    installed here, so the default ``resize_fn`` is a deterministic
+    fake (truncate/pad payload to width*height bytes); swap in
+    ``lambda b, w, h: PIL_resize(b, w, h)`` in production. One output
+    row per input row -- mapInPandas, no shuffle."""
+
+    def default_resize(payload: bytes, w: int, h: int) -> bytes:
+        need = w * h
+        return (payload * (need // max(len(payload), 1) + 1))[:need]
+
+    fn = resize_fn or default_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "content_sha256": pdf["content_sha256"].values,
+                    "width": width,
+                    "height": height,
+                    "resized": [fn(bytes(p), width, height)
+                                for p in pdf["payload"]],
+                }
+            )
+
+    return df.select("doc_id", "payload", "content_sha256").mapInPandas(
+        run, schema=RESIZE_SCHEMA
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n_bytes: int = 256,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: one input row
+    fans out to <= max_frames rows (mapInPandas generator shape). The
+    deterministic fake treats every ``every_n_bytes`` slice as a
+    "frame"; a real build decodes with av/ffmpeg. Output is exploded
+    (doc_id, frame_no, frame) -- the shape downstream feature
+    extraction expects."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                for i in range(min(max_frames, max(len(raw), 1) // every_n_bytes + 1)):
+                    ids.append(doc_id)
+                    nos.append(i)
+                    frames.append(raw[i * every_n_bytes:(i + 1) * every_n_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_no": nos, "frame": frames})
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def extract_features(
     df: DataFrame,
     decode_fn: Callable[[bytes], list[float]] = fake_decode,
