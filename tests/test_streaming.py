@@ -111,6 +111,35 @@ def test_incremental_load_applies_transform(spark, tmp_path):
     assert out.columns == ["o_orderkey", "price"]
 
 
+def test_foreach_batch_load_ids_and_resume(spark, tmp_path):
+    from s3_parquet_to_postgres_spark.streaming.ingest import (
+        foreach_batch_load,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    orders.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    _copy_part_files(str(tmp_path / "stage"), str(src), 1)
+
+    seen: list[tuple[int, int]] = []
+    foreach_batch_load(
+        spark, str(src), str(tmp_path / "ckpt"),
+        lambda df, bid: seen.append((bid, df.count())),
+    )
+    assert sum(n for _, n in seen) == orders.count()
+    # batch_id is stable/monotonic -- the idempotence key for sinks.
+    assert [b for b, _ in seen] == sorted({b for b, _ in seen})
+
+    # Re-run with the same checkpoint: nothing new to process.
+    seen2: list[int] = []
+    foreach_batch_load(
+        spark, str(src), str(tmp_path / "ckpt"),
+        lambda df, bid: seen2.append(df.count()),
+    )
+    assert sum(seen2) == 0
+
+
 def test_streaming_tumbling_counts_match_batch(spark, events, tmp_path):
     # Batch ground truth through the very same helper.
     expected = {
