@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.layout import spread
 from .textstats import ws_tokens
 
 # Mersenne prime 2^31-1: universal-hash modulus. 31-bit values keep
@@ -78,7 +79,7 @@ def minhash_signatures(
     Partial (map-side) min aggregation means shuffle volume is
     num_hashes longs per doc, independent of document length.
     """
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, n)).alias("shingle"),
     ).select("id", F.pmod(F.xxhash64("shingle"), F.lit(_P)).alias("h"))
@@ -165,7 +166,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # limit -- see minhash_signatures). Map-side partial sums keep the
     # shuffle at `bits` longs per doc.
     nbits = min(bits, 63)  # 2^63 would overflow signed long
-    tok = df.select(
+    tok = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(ws_tokens(text_col))).alias("tk"),
     ).select("id", F.xxhash64("tk").alias("h"))
@@ -248,7 +249,7 @@ def ngram_jaccard_pairs(
         return _jaccard_inverted(df, id_col, text_col, n, threshold)
     if strategy != "prefix":
         raise ValueError(f"unknown strategy: {strategy!r}")
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, n)).alias("shingle"),
     )
@@ -317,7 +318,7 @@ def _jaccard_inverted(
     df: DataFrame, id_col: str, text_col: str, n: int, threshold: float
 ) -> DataFrame:
     """Inverted-index exact Jaccard: count shared shingles per pair."""
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, n)).alias("shingle"),
     )

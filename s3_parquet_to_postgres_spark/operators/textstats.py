@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.layout import spread
+
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
 # Deliberately deterministic and SQL-expressible so the DuckDB oracle
 # can replay the exact same scoring.
@@ -38,6 +40,7 @@ def ws_tokens(text: Column | str) -> Column:
 
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace-token and regex-word-token counts per document."""
+    df = spread(df)
     return df.withColumns(
         {
             "ws_tokens": F.size(ws_tokens(text_col)).cast("long"),
@@ -52,6 +55,7 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length/punctuation/stopword-ratio quality features (the standard
     cheap pre-filters for web-scale corpus cleaning)."""
+    df = spread(df)
     toks = ws_tokens(text_col)
     n_toks = F.size(toks)
     stop_lit = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -75,6 +79,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     alphabetical tiebreak. A real deployment swaps the lexicons for
     character-n-gram profiles; the plan shape (pure column expressions,
     zero shuffle) is the point."""
+    df = spread(df)
     toks = ws_tokens(F.lower(F.col(text_col)))
 
     # Factory capture: a default arg (`lambda x, a=arr:`) would be
@@ -115,7 +120,7 @@ def tfidf_top_terms(
 
     from ..functions import dround
 
-    terms = df.select(
+    terms = spread(df).select(
         F.col(id_col).alias("doc"),
         F.explode(
             F.filter(ws_tokens(F.lower(F.col(text_col))), lambda x: x != "")
