@@ -107,3 +107,12 @@ def test_exact_dedup_survivor_is_min(spark, docs):
     expected = d.groupBy("key").agg(F.min("doc_id").alias("doc_id"))
     assert out.select("key", "doc_id").exceptAll(expected).count() == 0
     assert out.count() == expected.count()
+
+
+def test_pandas_cosine_matches_expression(spark, emb):
+    # The numpy/Arrow kernel and the JVM expression variant are the
+    # same operator: identical output.
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, S.cosine_topk(emb, queries, k=10).collect()))
+    b = sorted(map(tuple, S.cosine_topk_pandas(emb, queries, k=10).collect()))
+    assert a == b
