@@ -1,0 +1,44 @@
+"""As-of join unit tests: tie semantics and tolerance."""
+
+
+def test_asof_tolerance_nullifies_stale_matches(spark):
+    from s3_parquet_to_postgres_spark.operators.asof import asof_join
+    import datetime
+
+    def ts(minute):
+        return datetime.datetime(2024, 1, 1, 0, minute)
+
+    left = spark.createDataFrame(
+        [(1, ts(10)), (1, ts(40)), (2, ts(30))], "k long, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(9), "a"), (1, ts(11), "b"), (2, ts(0), "c")],
+        "k long, t timestamp, v string",
+    )
+    out = asof_join(
+        left, right.withColumnRenamed("t", "rt"),
+        on="k", left_time="t", right_time="rt", right_payload=["v"],
+        tolerance="20 minutes",
+    ).orderBy("k", "t").collect()
+    # (1, :10) -> 'a' (:09, fresh); (1, :40) -> 'b' (:11 is latest <= :40
+    # but 29min stale > 20min tolerance -> NULL); (2, :30) -> 'c' stale.
+    assert [r["v"] for r in out] == ["a", None, None]
+
+
+def test_asof_without_tolerance_keeps_latest(spark):
+    from s3_parquet_to_postgres_spark.operators.asof import asof_join
+    import datetime
+
+    def ts(minute):
+        return datetime.datetime(2024, 1, 1, 0, minute)
+
+    left = spark.createDataFrame([(1, ts(40))], "k long, t timestamp")
+    right = spark.createDataFrame(
+        [(1, ts(9), "a"), (1, ts(11), "b"), (1, ts(41), "late")],
+        "k long, t timestamp, v string",
+    )
+    out = asof_join(
+        left, right.withColumnRenamed("t", "rt"),
+        on="k", left_time="t", right_time="rt", right_payload=["v"],
+    ).collect()
+    assert [r["v"] for r in out] == ["b"]
