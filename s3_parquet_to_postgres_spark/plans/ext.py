@@ -106,6 +106,42 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 max_hamming=4)
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pairwise matches -> transitive duplicate GROUPS via iterative
+    # hash-min label propagation (operators/components.py). Oracle:
+    # the same edges closed with a recursive CTE.
+    from ..operators.components import dedup_groups
+
+    pairs = D.ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), n=3, threshold=0.1
+    ).select("id_a", "id_b")
+    return dedup_groups(pairs)
+
+
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE pairs AS ({DEDUP_NGRAM_JACCARD_SQL}),
+e AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s
+),
+comp AS (
+  SELECT n.s AS id, least(n.s, min(r.d)) AS comp
+  FROM (SELECT DISTINCT s FROM e) n
+  LEFT JOIN reach r ON r.s = n.s
+  GROUP BY n.s
+)
+SELECT comp AS component, CAST(count(*) AS BIGINT) AS group_size,
+       min(id) AS keeper_id
+FROM comp GROUP BY comp
+"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_near_pairs_blocked(
         t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.3
@@ -447,6 +483,7 @@ SPECS: list[QuerySpec] = [
               "LSH sketch; verified against exact Jaccard in tests"),
     QuerySpec("dedup_simhash", dedup_simhash, None,
               "SimHash hamming pairs; hash internals not SQL-expressible"),
+    QuerySpec("dedup_components", dedup_components, DEDUP_COMPONENTS_SQL),
     QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine,
               DEDUP_EMBEDDING_COSINE_SQL),
     QuerySpec("similarity_topk_cosine", similarity_topk_cosine,
