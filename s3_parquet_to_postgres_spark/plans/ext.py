@@ -142,6 +142,48 @@ FROM comp GROUP BY comp
 """
 
 
+def dedup_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The full corpus-cleaning composition: near-dup edges ->
+    # transitive groups -> drop every non-canonical member. What a
+    # training-data pipeline actually ships.
+    from ..operators.components import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.1).select(
+        "id_a", "id_b"
+    )
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("id") != F.col("comp")).select("id")
+    return (
+        docs.join(losers, docs.doc_id == losers.id, "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+DEDUP_CORPUS_PIPELINE_SQL = f"""
+WITH RECURSIVE pairs AS ({DEDUP_NGRAM_JACCARD_SQL}),
+e AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s
+),
+comp AS (
+  SELECT n.s AS id, least(n.s, min(r.d)) AS comp
+  FROM (SELECT DISTINCT s FROM e) n
+  LEFT JOIN reach r ON r.s = n.s
+  GROUP BY n.s
+)
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> comp)
+"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_near_pairs_blocked(
         t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.3
@@ -484,6 +526,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("dedup_simhash", dedup_simhash, None,
               "SimHash hamming pairs; hash internals not SQL-expressible"),
     QuerySpec("dedup_components", dedup_components, DEDUP_COMPONENTS_SQL),
+    QuerySpec("dedup_corpus_pipeline", dedup_corpus_pipeline,
+              DEDUP_CORPUS_PIPELINE_SQL),
     QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine,
               DEDUP_EMBEDDING_COSINE_SQL),
     QuerySpec("similarity_topk_cosine", similarity_topk_cosine,
