@@ -238,6 +238,29 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(e, e.filter(F.col("vec_id") < 5), k=10)
 
 
+def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Iterative ML over the embedding column (MLlib KMeans, fixed seed;
+    # Lloyd's algorithm is not SQL-expressible -> rows-only; cluster
+    # quality asserted in tests/test_kmeans.py). Output: one row per
+    # cluster with its population and label purity signal.
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = t(spark, sf_dir, "embeddings").withColumn(
+        "features",
+        array_to_vector(F.transform("embedding", lambda x: x.cast("double"))),
+    )
+    model = KMeans(k=10, seed=42, maxIter=20).fit(e)
+    pred = model.transform(e)
+    return (
+        pred.groupBy(F.col("prediction").cast("long").alias("cluster"))
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.countDistinct("label").cast("long").alias("distinct_labels"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis (E5)
 # --------------------------------------------------------------------------
@@ -536,6 +559,8 @@ SPECS: list[QuerySpec] = [
               "approximate ANN; recall measured against exact top-k in tests"),
     QuerySpec("similarity_ann_ivf", similarity_ann_ivf, None,
               "IVF coarse-quantizer ANN; recall measured in tests"),
+    QuerySpec("ml_kmeans_embeddings", ml_kmeans_embeddings, None,
+              "iterative Lloyd's clustering (MLlib); quality in tests"),
     QuerySpec("text_tfidf", text_tfidf, TEXT_TFIDF_SQL),
     QuerySpec("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL),
