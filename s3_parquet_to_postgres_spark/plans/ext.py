@@ -335,6 +335,39 @@ FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM scored)
 """
 
 
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reproducible train/val/test split by content-independent hash:
+    # the split of a document never changes as the corpus grows or
+    # repartitions (md5 of the stable id, first two hex chars ->
+    # 256 buckets). The portable primitive behind held-out sets in
+    # every training pipeline; rand()-based sampling can't give this.
+    d = t(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < F.lit("1a"), "test")       # ~10% (0x1a/256)
+        .when(bucket < F.lit("33"), "validation")  # next ~10%
+        .otherwise("train")
+    )
+    return d.withColumn("split", split).groupBy("split").agg(
+        F.count("*").alias("docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+SAMPLE_SPLIT_SQL = """
+SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+            THEN 'test'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '33'
+            THEN 'validation'
+            ELSE 'train' END AS split,
+       count(*) AS docs,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents GROUP BY 1
+"""
+
+
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.tfidf_top_terms(t(spark, sf_dir, "documents"), top_n=3)
 
@@ -561,6 +594,7 @@ SPECS: list[QuerySpec] = [
               "IVF coarse-quantizer ANN; recall measured in tests"),
     QuerySpec("ml_kmeans_embeddings", ml_kmeans_embeddings, None,
               "iterative Lloyd's clustering (MLlib); quality in tests"),
+    QuerySpec("sample_split", sample_split, SAMPLE_SPLIT_SQL),
     QuerySpec("text_tfidf", text_tfidf, TEXT_TFIDF_SQL),
     QuerySpec("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL),
