@@ -41,3 +41,25 @@ def test_dates_and_timestamps():
 def test_multiple_rows_stream():
     lines = list(encode_rows([(1,), (2,)]))
     assert lines == ["1\n", "2\n"]
+
+
+def test_copy_sink_fails_cleanly_without_psycopg2(spark):
+    # psycopg2 isn't installed in this container; the executor-side
+    # import gate must surface a clear error, not a bare ImportError.
+    import pytest as _pytest
+
+    from s3_parquet_to_postgres_spark.sinks.copy import CopySink
+
+    sink = CopySink(conn_string="postgresql://nope", table="t",
+                    columns=("a",))
+    df = spark.createDataFrame([(1,), (2,)], ["a"])
+    with _pytest.raises(Exception, match="psycopg2|CopySink"):
+        sink.write(df)
+
+
+def test_copy_sql_quotes_identifiers():
+    from s3_parquet_to_postgres_spark.sinks.copy import CopySink
+
+    sink = CopySink(conn_string="", table="my table",
+                    columns=("a", "select"))
+    assert sink.copy_sql() == 'COPY "my table" ("a", "select") FROM STDIN'
