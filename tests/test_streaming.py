@@ -230,3 +230,69 @@ def test_stateful_user_profile(spark, events, tmp_path):
         | (F.abs(F.col("total_value") - F.col("tv")) > 1e-6)
     )
     assert bad.count() == 0
+
+
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    """A row whose event time is older than the committed watermark is
+    dropped (numRowsDroppedByWatermark). The watermark computed from
+    batch N's data is committed at N's end and applied from batch N+1
+    on, so the late row rides the third micro-batch: batch 0 advances
+    event time to 12:00, batch 1 commits watermark 10:00, batch 2's
+    05:00 row is late."""
+    import datetime
+    import time
+
+    from s3_parquet_to_postgres_spark.streaming.windows import (
+        tumbling_counts,
+    )
+
+    def ts(h, m=0):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    schema = "event_id long, ts timestamp, event_type string"
+    src = tmp_path / "src"
+    src.mkdir()
+
+    batches = [
+        [(1, ts(11, 30), "click"), (2, ts(12, 0), "click")],
+        [(3, ts(12, 15), "click")],
+        [(4, ts(5, 0), "click"), (5, ts(11, 45), "click")],
+    ]
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"b{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(stage)
+        )
+        part = [f for f in os.listdir(str(stage)) if f.endswith(".parquet")][0]
+        shutil.copyfile(str(stage / part), str(src / f"f{i}.parquet"))
+        time.sleep(1.1)  # file-source orders micro-batches by mtime
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        tumbling_counts(stream, duration="1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1  # exactly the 05:00 row
+
+    totals = {}
+    for r in spark.sql("select * from t_late").collect():
+        h = r["window_start"].hour
+        totals[h] = max(totals.get(h, 0), r["events"])
+    assert 5 not in totals       # never aggregated
+    assert totals.get(11) == 2   # 11:30 + late-but-in-watermark 11:45
