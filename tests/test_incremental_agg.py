@@ -1,0 +1,79 @@
+"""Incrementally-maintained aggregate == full recompute, across
+multiple drain rounds, with only new files read per round."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from s3_parquet_to_postgres_spark.catalog import read_table
+from s3_parquet_to_postgres_spark.streaming.incremental_agg import (
+    maintain_running_agg,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _stage(df, stage_dir, src_dir, name):
+    df.coalesce(1).write.parquet(str(stage_dir))
+    part = [f for f in os.listdir(str(stage_dir)) if f.endswith(".parquet")][0]
+    shutil.copyfile(str(stage_dir / part), str(src_dir / name))
+
+
+def test_running_agg_matches_full_recompute(spark, tmp_path):
+    li = read_table(spark, SF, "lineitem")
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    part1 = li.filter(F.col("l_orderkey") % 2 == 0)
+    part2 = li.filter(F.col("l_orderkey") % 2 == 1)
+
+    # Round 1.
+    _stage(part1, tmp_path / "s1", src, "f1.parquet")
+    maintain_running_agg(
+        spark, str(src), state, ckpt,
+        group_cols=["l_returnflag"], sum_cols=["l_quantity"],
+    )
+    got1 = {
+        r["l_returnflag"]: (r["rows"], r["sum_l_quantity"])
+        for r in spark.read.parquet(state).collect()
+    }
+    exp1 = {
+        r["l_returnflag"]: (r["rows"], r["s"])
+        for r in part1.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).cast("long").alias("rows"),
+             F.sum("l_quantity").alias("s")).collect()
+    }
+    assert {k: v[0] for k, v in got1.items()} == {k: v[0] for k, v in exp1.items()}
+
+    # Round 2: second half lands; state must now equal the FULL agg.
+    _stage(part2, tmp_path / "s2", src, "f2.parquet")
+    maintain_running_agg(
+        spark, str(src), state, ckpt,
+        group_cols=["l_returnflag"], sum_cols=["l_quantity"],
+    )
+    got2 = {
+        r["l_returnflag"]: r["rows"]
+        for r in spark.read.parquet(state).collect()
+    }
+    expected_full = {
+        r["l_returnflag"]: r["rows"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).cast("long").alias("rows")).collect()
+    }
+    assert got2 == expected_full
+
+    # Round 3: no new data -> state unchanged (exactly-once per file).
+    maintain_running_agg(
+        spark, str(src), state, ckpt,
+        group_cols=["l_returnflag"], sum_cols=["l_quantity"],
+    )
+    got3 = {
+        r["l_returnflag"]: r["rows"]
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got3 == expected_full
