@@ -404,6 +404,53 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pivot: one column per return-flag value. Explicit value list =>
+    # single pass (no distinct-collection job), stable output schema.
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(dsum("l_quantity").alias("qty"))
+        .select(
+            "l_linestatus",
+            F.coalesce("A", F.lit(0.0)).alias("qty_a"),
+            F.coalesce("N", F.lit(0.0)).alias("qty_n"),
+            F.coalesce("R", F.lit(0.0)).alias("qty_r"),
+        )
+    )
+
+
+AGG_PIVOT_SQL = f"""
+SELECT l_linestatus,
+       coalesce({sql_dsum("CASE WHEN l_returnflag = 'A' THEN l_quantity END")}, 0.0) AS qty_a,
+       coalesce({sql_dsum("CASE WHEN l_returnflag = 'N' THEN l_quantity END")}, 0.0) AS qty_n,
+       coalesce({sql_dsum("CASE WHEN l_returnflag = 'R' THEN l_quantity END")}, 0.0) AS qty_r
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def scalar_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Unpivot/melt: wide metric columns -> (metric, value) rows.
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 50)
+    return o.unpivot(
+        ["o_orderkey"],
+        [F.col("o_totalprice").alias("totalprice"),
+         F.col("o_custkey").cast("double").alias("custkey")],
+        "metric",
+        "value",
+    )
+
+
+SCALAR_UNPIVOT_SQL = """
+SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value
+FROM orders WHERE o_orderkey < 50
+UNION ALL
+SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE)
+FROM orders WHERE o_orderkey < 50
+"""
+
+
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
@@ -982,6 +1029,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("agg_distinct", agg_distinct, AGG_DISTINCT_SQL),
     QuerySpec("agg_approx", agg_approx, None,
               "sketch aggregates; estimates have no exact oracle"),
+    QuerySpec("agg_pivot", agg_pivot, AGG_PIVOT_SQL),
+    QuerySpec("scalar_unpivot", scalar_unpivot, SCALAR_UNPIVOT_SQL),
     QuerySpec("agg_rollup", agg_rollup, AGG_ROLLUP_SQL),
     QuerySpec("agg_cube", agg_cube, AGG_CUBE_SQL),
     QuerySpec("agg_grouping_sets", agg_grouping_sets, AGG_GROUPING_SETS_SQL),
