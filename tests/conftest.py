@@ -27,4 +27,7 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
-    return SF_SMOKE
+    # Default: smoke scale for fast iteration. Set
+    # SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01 to replay the oracle
+    # suite at the driver's correctness scale.
+    return os.environ.get("SPARK_GRAFT_TEST_SF", SF_SMOKE)
