@@ -149,6 +149,37 @@ def tfidf_top_terms(
     )
 
 
+# Patterns chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB): plain character classes, no lookaround/backrefs.
+EMAIL_REGEX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_REGEX = "https?://[^\\s]+"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Detect and redact emails/URLs (the baseline PII pass every
+    training-data pipeline runs before release). Adds per-doc match
+    counts and the redacted text plus its content hash, so downstream
+    dedup keys on the CLEAN text. Pure JVM regex -- one narrow pass."""
+    df = spread(df)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_REGEX, "<EMAIL>"),
+        URL_REGEX,
+        "<URL>",
+    )
+    return df.withColumns(
+        {
+            "n_emails": F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_REGEX), 0)
+            ).cast("long"),
+            "n_urls": F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(URL_REGEX), 0)
+            ).cast("long"),
+            "scrubbed_text": scrubbed,
+            "scrubbed_sha256": F.sha2(scrubbed, 256),
+        }
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized content fingerprint: lowercase, strip punctuation,
     collapse whitespace, sha256. Content-addressed dedup key that is

@@ -400,6 +400,25 @@ WHERE rnk <= 3
 """
 
 
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.pii_scrub(t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_emails", "n_urls", "scrubbed_sha256"
+    )
+
+
+TEXT_PII_SCRUB_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{T.EMAIL_REGEX}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{T.URL_REGEX}')) AS BIGINT)
+         AS n_urls,
+       sha256(regexp_replace(
+         regexp_replace(text, '{T.EMAIL_REGEX}', '<EMAIL>', 'g'),
+         '{T.URL_REGEX}', '<URL>', 'g')) AS scrubbed_sha256
+FROM documents
+"""
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint(t(spark, sf_dir, "documents")).select(
         "doc_id", "fingerprint"
@@ -600,6 +619,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL),
     QuerySpec("text_lang_id", text_lang_id, TEXT_LANG_ID_SQL),
     QuerySpec("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_SQL),
+    QuerySpec("text_pii_scrub", text_pii_scrub, TEXT_PII_SCRUB_SQL),
     QuerySpec("multimodal_payload", multimodal_payload, MULTIMODAL_PAYLOAD_SQL),
     QuerySpec("multimodal_features", multimodal_features, None,
               "Arrow-batched decode plumbing with stubbed codec"),
