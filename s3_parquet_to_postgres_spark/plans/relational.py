@@ -197,6 +197,25 @@ GROUP BY c_custkey
 """
 
 
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Right outer: every customer kept even with no qualifying order.
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000.0)
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("huge_orders"))
+    )
+
+
+JOIN_RIGHT_SQL = """
+SELECT c_custkey, c_name, count(o_orderkey) AS huge_orders
+FROM (SELECT * FROM orders WHERE o_totalprice > 350000.0) o
+RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Unmatched rows on both sides: rich customers vs huge orders.
     c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000.0) \
@@ -1018,6 +1037,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("join_inner_broadcast", join_inner_broadcast,
               JOIN_INNER_BROADCAST_SQL),
     QuerySpec("join_left", join_left, JOIN_LEFT_SQL),
+    QuerySpec("join_right", join_right, JOIN_RIGHT_SQL),
     QuerySpec("join_full_outer", join_full_outer, JOIN_FULL_OUTER_SQL),
     QuerySpec("join_semi", join_semi, JOIN_SEMI_SQL),
     QuerySpec("join_anti", join_anti, JOIN_ANTI_SQL),
