@@ -13,11 +13,17 @@ Layout:
   session     SparkSession factory tuned for scale (AQE, Arrow, S3A)
   catalog     test-table loading helpers (incl. ns-timestamp handling)
   config      YAML job-spec model (reference: src/config.rs:7-37)
-  sources/    parquet scan + resolution, work-list manifest, s3 paths
-  operators/  cast planner, dedup, similarity, text stats, multimodal
+  sources/    parquet scan/partitioning, work-list manifest, bucketed
+              tables, small-file compaction
+  operators/  cast planner, dedup ladder (exact/MinHash/SimHash/
+              Jaccard/components), similarity (exact/LSH/IVF), text
+              stats + PII scrub, as-of & range joins, skew salting,
+              Z-order clustering, multimodal binary columns
+  functions/  cross-engine-exact numerics, UDF surface, layout helpers
   sinks/      JDBC + Postgres COPY writers, fail-fast validation
   plans/      declared query catalog (Spark query + DuckDB oracle SQL)
-  streaming/  incremental file ingestion, event-time windows
+  streaming/  incremental ingestion, watermarked windows, stateful
+              processing, stream-stream joins, incremental aggregates
   pipeline    end-to-end runner (reference: src/runner.rs:47-112)
 """
 
