@@ -127,7 +127,9 @@ def tfidf_top_terms(
         ).alias("term"),
     )
     tf = terms.groupBy("doc", "term").agg(F.count("*").alias("tf"))
-    dfreq = terms.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    # Document frequency derived FROM the tf table (one row per
+    # (doc, term) already) -- avoids a second explode pass over text.
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.count()  # driver-side scalar; one job, fine at any scale
     scored = tf.join(F.broadcast(dfreq), "term").select(
         "doc", "term", "tf", "df",
