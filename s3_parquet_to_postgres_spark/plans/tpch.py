@@ -432,7 +432,391 @@ GROUP BY c_nationkey
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q2 (adapted: no partsupp table -- the part<->supplier
+    # relation is derived from lineitem as DISTINCT pairs, and
+    # s_acctbal stands in for ps_supplycost): for each qualifying part,
+    # the European supplier(s) with the minimum balance. The correlated
+    # scalar-min subquery decorrelates into a groupBy-min + join back.
+    # The distinct-pairs shuffle is map-side combinable; all dims
+    # broadcast.
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = t(spark, sf_dir, "supplier")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    ps = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    cand = ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey).join(
+        F.broadcast(eu), ps.l_suppkey == eu.s_suppkey
+    )
+    min_bal = cand.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        cand.join(
+            F.broadcast(min_bal),
+            (cand.l_partkey == min_bal.mk)
+            & (cand.s_acctbal == min_bal.min_bal),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+eu AS (
+  SELECT s_suppkey, s_acctbal, s_name, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+cand AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+  FROM ps
+  JOIN part ON l_partkey = p_partkey
+  JOIN eu ON l_suppkey = s_suppkey
+  WHERE p_type = 'LARGE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+FROM cand c
+WHERE s_acctbal = (SELECT min(s_acctbal) FROM cand c2
+                   WHERE c2.p_partkey = c.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q4 (adapted: no l_commitdate/l_receiptdate -- "late" is
+    # modeled as EXISTS a returned lineitem): order counts by priority
+    # for one quarter. The EXISTS is a left-semi join on the order key;
+    # the returned-lines side is pre-filtered before the shuffle.
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    ret = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(ret, o.o_orderkey == ret.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q8 (adapted to available columns): NATION_7's share of ASIA
+    # ECONOMY-part revenue by order year. Conditional numerator over
+    # the full joined fact stream; single groupBy on year.
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    c = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = t(spark, sf_dir, "supplier")
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(
+        F.lit(0.0)
+    )
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg((dsum(target, 4) / dsum(rev, 4)).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       ({sql_dsum("CASE WHEN n2.n_name = 'NATION_7' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 4)})
+         / ({sql_dsum('l_extendedprice * (1 - l_discount)', 4)}) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY year(o_orderdate)
+ORDER BY o_year
+"""
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q9 (adapted: no ps_supplycost -- unit cost modeled as
+    # 0.8 * p_retailprice): profit by supplier nation and ship year for
+    # one part-name family. Two broadcast dims + one conditional
+    # arithmetic expression; single shuffle on the group keys.
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.8) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(amount, 4).alias("sum_profit"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation,
+       CAST(year(l_shipdate) AS BIGINT) AS o_year,
+       {sql_dsum('l_extendedprice * (1 - l_discount) - 0.8 * p_retailprice * l_quantity', 4)} AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(l_shipdate)
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q11 (adapted: no partsupp -- part "stock value" is the
+    # shipped value sum(l_extendedprice * l_quantity) restricted to
+    # EUROPE suppliers): parts whose value exceeds a fixed fraction of
+    # the total. Scalar-subquery total broadcast against the per-part
+    # aggregate.
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_li = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    val = F.col("l_extendedprice") * F.col("l_quantity")
+    per_part = eu_li.groupBy("l_partkey").agg(dsum(val, 2).alias("value"))
+    total = eu_li.agg(dsum(val, 2).alias("total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > 0.001 * F.col("total"))
+        .select("l_partkey", "value")
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+Q11_SQL = f"""
+WITH eu_li AS (
+  SELECT l_partkey, l_extendedprice * l_quantity AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT l_partkey, {sql_dsum('val', 2)} AS value
+FROM eu_li
+GROUP BY l_partkey
+HAVING {sql_dsum('val', 2)} >
+       0.001 * (SELECT {sql_dsum('val', 2)} FROM eu_li)
+ORDER BY value DESC, l_partkey
+"""
+
+
+def q12_shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q12 (adapted: l_linestatus stands in for l_shipmode, ship
+    # date for receipt date): high- vs low-priority order counts per
+    # line status for one year. Conditional aggregation after the
+    # orders<->lineitem shuffle join.
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    o = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q16 (adapted: part<->supplier pairs derived from lineitem;
+    # the "complaints" exclusion keys on a supplier-name suffix):
+    # distinct supplier counts per (brand, type, size) bucket, with a
+    # NOT-IN supplier blacklist as a broadcast anti join BEFORE the
+    # distinct-count shuffle.
+    excl = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").endswith("7"))
+        .select("s_suppkey")
+    )
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 19, 23)
+    )
+    ps = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        ps.join(F.broadcast(excl), ps.l_suppkey == excl.s_suppkey,
+                "left_anti")
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type",
+                 "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 13, 19, 23)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_name LIKE '%7')
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q21 (adapted: "kept the order waiting" = sole supplier
+    # whose lines were returned, in a finished multi-supplier order).
+    # The double correlated EXISTS / NOT EXISTS is re-expressed as ONE
+    # per-order aggregate (distinct suppliers, distinct returning
+    # suppliers) joined back -- one shuffle over lineitem instead of
+    # two self-joins, which is the shape that survives 100 TB.
+    li = t(spark, sf_dir, "lineitem")
+    ostat = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = t(spark, sf_dir, "supplier")
+    ret = li.filter(F.col("l_returnflag") == "R")
+    return (
+        ret.join(ostat, ret.l_orderkey == ostat.ok)
+        .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+        .join(o, ret.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), ret.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
+    )
+
+
+Q21_SQL = """
+WITH ostat AS (
+  SELECT l_orderkey AS ok,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l_returnflag = 'R'
+                             THEN l_suppkey END) AS n_ret_supp
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT s_name, count(DISTINCT l_orderkey) AS numwait
+FROM lineitem
+JOIN ostat ON l_orderkey = ok
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE l_returnflag = 'R' AND n_supp > 1 AND n_ret_supp = 1
+  AND o_orderstatus = 'F'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 25
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("tpch_q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),
+    QuerySpec("tpch_q4_order_priority", q4_order_priority, Q4_SQL),
+    QuerySpec("tpch_q8_market_share", q8_national_market_share, Q8_SQL),
+    QuerySpec("tpch_q9_product_profit", q9_product_type_profit, Q9_SQL),
+    QuerySpec("tpch_q11_important_stock", q11_important_stock, Q11_SQL),
+    QuerySpec("tpch_q12_shipping_modes", q12_shipping_modes, Q12_SQL),
+    QuerySpec("tpch_q16_part_supplier_counts", q16_supplier_part_counts,
+              Q16_SQL),
+    QuerySpec("tpch_q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
     QuerySpec("tpch_q3_shipping_priority", q3_shipping_priority, Q3_SQL),
     QuerySpec("tpch_q5_local_supplier", q5_local_supplier_volume, Q5_SQL),
     QuerySpec("tpch_q6_revenue_forecast", q6_revenue_forecast, Q6_SQL),
