@@ -12,10 +12,15 @@ repeated until a fixed point. Converges in O(component diameter)
 iterations -- near-dup clusters are shallow (dup groups, not social
 graphs), so typically <5. Each iteration is one shuffle on the node
 id; ``localCheckpoint`` truncates the growing lineage so iteration N
-doesn't replay iterations 1..N-1. For adversarial graphs with long
-chains, the large-star/small-star algorithm halves diameter per round;
-this implementation exposes ``max_iter`` and fails loudly rather than
-silently returning partial components.
+doesn't replay iterations 1..N-1, and exposes ``max_iter`` failing
+loudly rather than silently returning partial components.
+
+For adversarial graphs (long chains, deep trees) where diameter-bound
+propagation is too slow, ``connected_components_star`` implements the
+two-phase large-star/small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14), which
+contracts components in O(log^2 n) rounds independent of diameter.
+Both return the identical (id, comp) labeling.
 """
 
 from __future__ import annotations
@@ -74,6 +79,103 @@ def connected_components(
             return labels
     raise ConvergenceError(
         f"components did not converge in {max_iter} iterations"
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple:
+    """Order-independent fingerprint of an edge set, used as the
+    fixed-point test (one tiny aggregate instead of a full anti-join
+    of two big edge sets)."""
+    # bit_xor, not sum: ANSI mode (Spark 4 default) makes a long-sum
+    # of 64-bit hashes throw ARITHMETIC_OVERFLOW; xor is overflow-free
+    # and order-independent, and edges are distinct so nothing cancels.
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64("s", "d")).alias("h"),
+        F.bit_xor(F.xxhash64("d", "s")).alias("h2"),
+    ).first()
+    return (row["n"], row["h"], row["h2"])
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, component) via alternating large-star / small-star rounds.
+
+    Each round is two grouped aggregations on node id (no diameter
+    dependence): large-star hangs every neighbor larger than the
+    center off the neighborhood minimum; small-star re-parents the
+    smaller neighbors. Edges strictly decrease toward a forest of
+    stars whose hubs are the component minima. Round count is
+    O(log^2 n) worst-case, 2-4 in practice, so deep chains that take
+    label propagation O(diameter) shuffles finish in a handful.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+    ).filter(F.col("s") != F.col("d"))
+    # Orient every edge large->small: (hi, lo) with hi > lo.
+    cur = (
+        e.select(
+            F.greatest("s", "d").alias("s"), F.least("s", "d").alias("d")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    singletons = (
+        edges.select(F.col(src).cast("long").alias("id"))
+        .unionByName(edges.select(F.col(dst).cast("long").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        # Large-star, centered on u over BOTH orientations: m =
+        # min(neighborhood + u); emit (v, m) for neighbors v > u.
+        # min-then-join-back instead of collect_set: a mega-component
+        # hub may have millions of neighbors, and neighbor ARRAYS of
+        # that size break executors while a grouped min + equi-join
+        # (co-partitioned on the group key) does not.
+        nbrs = cur.unionByName(
+            cur.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        )
+        mins = nbrs.groupBy("s").agg(
+            F.least(F.min("d"), F.first("s")).alias("m")
+        )
+        lg = (
+            nbrs.join(mins, "s")
+            .filter(F.col("d") > F.col("s"))
+            .select(F.col("d").alias("s"), F.col("m").alias("d"))
+            .filter(F.col("s") != F.col("d"))
+            .distinct()
+        )
+        # Small-star, centered on u over the (u > v)-oriented edges:
+        # m = min(smaller-neighbors + u); re-parent them all (and u).
+        mins2 = lg.groupBy("s").agg(F.min("d").alias("m"))
+        sm = (
+            lg.join(mins2, "s")
+            .select(F.col("d").alias("s"), F.col("m").alias("d"))
+            .unionByName(
+                mins2.select(F.col("s"), F.col("m").alias("d"))
+            )
+            .filter(F.col("s") != F.col("d"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = _checksum(sm)
+        cur = sm
+        if sig == prev_sig:
+            labels = cur.select(F.col("s").alias("id"),
+                                F.col("d").alias("comp"))
+            hubs = singletons.join(
+                cur.select(F.col("s").alias("id")), "id", "left_anti"
+            ).withColumn("comp", F.col("id"))
+            return labels.unionByName(hubs)
+        prev_sig = sig
+    raise ConvergenceError(
+        f"star components did not converge in {max_iter} iterations"
     )
 
 
