@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from ..config import JobSpec, ProjectionSpec, SinkSpec, SourceSpec
 from ..functions import dround, dsum, sint, sql_dround, sql_dsum
+from ..operators.bloom import bloom_filter_join
 from ..pipeline import transform
 from .base import QuerySpec, t
 
@@ -1019,7 +1020,43 @@ FROM orders
 """
 
 
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Semi-join reduction: lineitem (probe) is pruned by a Bloom
+    # filter of the selective orders subset (build) before the shuffle
+    # join -- the explicit form of runtime filter pushdown for builds
+    # too big to broadcast as hash tables. Pruning admits no false
+    # negatives, so the oracle is simply the plain join.
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    joined = bloom_filter_join(
+        li, o, "l_orderkey", "o_orderkey", num_bits=1 << 18
+    )
+    return joined.groupBy("l_returnflag").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+        .alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+JOIN_BLOOM_PRUNED_SQL = f"""
+SELECT l_returnflag,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("join_bloom_pruned", join_bloom_pruned,
+              JOIN_BLOOM_PRUNED_SQL),
     QuerySpec("ref_project_rename_cast", ref_project_rename_cast,
               REF_PROJECT_RENAME_CAST_SQL,
               "reference pipeline P1-P8 as a query (src/runner.rs:17-45)"),
