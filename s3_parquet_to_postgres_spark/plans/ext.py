@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import dround, dsum, sql_dround, sql_dsum
 from ..operators import dedup as D
@@ -590,7 +591,77 @@ FROM numbered GROUP BY user_id, session_id
 """
 
 
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ordered conversion funnel view -> click -> purchase: each stage
+    # counts users whose earliest qualifying event strictly follows
+    # the previous stage's. Three window mins over ONE user_id
+    # partitioning (single shuffle; same sort reused), then a global
+    # roll-up -- the scalable shape for per-entity ordered-sequence
+    # analytics (no self-joins over the event log).
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = (
+        e.withColumn(
+            "t_view",
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("t_view").alias("viewed"),
+        F.count("t_click").alias("clicked"),
+        F.count("t_purchase").alias("purchased"),
+    )
+
+
+EVENT_FUNNEL_SQL = """
+WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+            FROM events),
+v AS (SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM ev GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t_click
+      FROM ev e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM ev e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM v WHERE t_view IS NOT NULL) AS viewed,
+       (SELECT count(*) FROM c) AS clicked,
+       (SELECT count(*) FROM p) AS purchased
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("event_funnel", event_funnel, EVENT_FUNNEL_SQL),
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     QuerySpec("dedup_keep_first_by_key", dedup_keep_first_by_key,
               DEDUP_KEEP_FIRST_SQL),
