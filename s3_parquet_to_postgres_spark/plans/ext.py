@@ -660,8 +660,163 @@ SELECT (SELECT count(*) FROM v WHERE t_view IS NOT NULL) AS viewed,
 """
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Weekly cohort retention: users grouped by first-active week,
+    # counted in each later week they return. Reduce to distinct
+    # (user, week) BEFORE the per-user window -- partial aggregation
+    # shrinks the event log map-side, so the window sort runs over
+    # user-weeks (bounded) rather than raw events (unbounded).
+    e = t(spark, sf_dir, "events")
+    uw = (
+        e.select(
+            "user_id",
+            F.to_date(F.date_trunc("week", F.col("ts"))).alias("week"),
+        )
+        .distinct()
+        .withColumn(
+            "cohort", F.min("week").over(Window.partitionBy("user_id"))
+        )
+    )
+    return uw.groupBy(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        (F.datediff(F.col("week"), F.col("cohort")) / 7)
+        .cast("long")
+        .alias("weeks_since"),
+    ).agg(F.count("*").alias("active_users"))
+
+
+COHORT_RETENTION_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+), coh AS (
+  SELECT user_id, week,
+         min(week) OVER (PARTITION BY user_id) AS cohort
+  FROM uw
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cohort, week) / 7 AS BIGINT) AS weeks_since,
+       count(*) AS active_users
+FROM coh GROUP BY 1, 2
+"""
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # First-order Markov transition matrix over per-user event
+    # sequences: lag() within user (ties broken by event_id for
+    # determinism), then one global (src, dst) count. The pair table
+    # is tiny (|event_type|^2) regardless of log size, so the share
+    # window after the groupBy is effectively free.
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("dst"),
+    ).withColumn("src", F.lag("dst").over(w))
+    pairs = (
+        seq.filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("transitions"))
+    )
+    total = F.sum("transitions").over(Window.partitionBy("src"))
+    return pairs.withColumn("share", dround(F.col("transitions") / total, 6))
+
+
+EVENT_TRANSITIONS_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_type AS dst,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS src
+  FROM events
+), pairs AS (
+  SELECT src, dst, count(*) AS transitions
+  FROM seq WHERE src IS NOT NULL GROUP BY 1, 2
+)
+SELECT src, dst, transitions,
+       {sql_dround(
+           'transitions / CAST(sum(transitions) OVER (PARTITION BY src)'
+           ' AS DOUBLE)', 6)} AS share
+FROM pairs
+"""
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixed-width histogram of events.value: bucket arithmetic stays
+    # JVM-side (floor/least, no UDF), one hash aggregate, output
+    # bounded by the bucket count. Top bucket clamped so out-of-range
+    # values at larger scale factors land in the last bin instead of
+    # growing the output.
+    e = t(spark, sf_dir, "events")
+    bucket = F.least(
+        F.floor(F.col("value") / F.lit(50.0)), F.lit(9)
+    ).cast("long")
+    return e.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("events"),
+        F.min("value").alias("lo_seen"),
+        F.max("value").alias("hi_seen"),
+    ).withColumn("bucket_lo", (F.col("bucket") * 50).cast("double"))
+
+
+VALUE_HISTOGRAM_SQL = """
+SELECT least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bucket,
+       count(*) AS events,
+       min(value) AS lo_seen,
+       max(value) AS hi_seen,
+       CAST(least(CAST(floor(value / 50.0) AS BIGINT), 9) * 50
+            AS DOUBLE) AS bucket_lo
+FROM events GROUP BY 1
+"""
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-stratum deterministic downsampling: dominant language kept
+    # at ~10%, the rest at ~50%, decided by the same content-stable
+    # md5-bucket primitive as sample_split, so membership never
+    # changes with corpus growth or repartitioning. Single pass,
+    # conditional aggregates -- no join against per-stratum totals.
+    d = t(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    threshold = F.when(F.col("lang") == "en", F.lit("1a")).otherwise(
+        F.lit("80")
+    )
+    keep = bucket < threshold
+    return d.groupBy("lang").agg(
+        F.count("*").alias("total_docs"),
+        F.count(F.when(keep, 1)).alias("sampled_docs"),
+        F.sum(F.when(keep, F.col("doc_id"))).alias("id_checksum"),
+        dround(
+            F.count(F.when(keep, 1)) / F.count("*"), 6
+        ).alias("sample_rate"),
+    )
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+WITH flagged AS (
+  SELECT lang, doc_id,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+           < CASE WHEN lang = 'en' THEN '1a' ELSE '80' END AS keep
+  FROM documents
+)
+SELECT lang,
+       count(*) AS total_docs,
+       count(CASE WHEN keep THEN 1 END) AS sampled_docs,
+       CAST(sum(CASE WHEN keep THEN doc_id END) AS BIGINT) AS id_checksum,
+       {sql_dround(
+           'count(CASE WHEN keep THEN 1 END)'
+           ' / CAST(count(*) AS DOUBLE)', 6)} AS sample_rate
+FROM flagged GROUP BY lang
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("event_funnel", event_funnel, EVENT_FUNNEL_SQL),
+    QuerySpec("cohort_retention", cohort_retention, COHORT_RETENTION_SQL),
+    QuerySpec("event_transitions", event_transitions, EVENT_TRANSITIONS_SQL),
+    QuerySpec("value_histogram", value_histogram, VALUE_HISTOGRAM_SQL),
+    QuerySpec("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_SQL),
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     QuerySpec("dedup_keep_first_by_key", dedup_keep_first_by_key,
               DEDUP_KEEP_FIRST_SQL),
