@@ -811,12 +811,54 @@ FROM flagged GROUP BY lang
 """
 
 
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus-wide bigram heavy hitters: adjacent-pair array built with
+    # one JVM-side transform over the token array (narrow, no UDF),
+    # then a single map-side-combinable count aggregate -- the only
+    # shuffle carries (distinct bigram, partial count), not the
+    # corpus. Lexical tiebreak gives the LIMIT a total order.
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.col("text"), " ").alias("w")).filter(
+        F.size("w") >= 2
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> concat(w[i - 1], ' ', w[i]))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("occurrences"))
+        .orderBy(F.desc("occurrences"), F.asc("bigram"))
+        .limit(25)
+    )
+
+
+TEXT_TOP_BIGRAMS_SQL = """
+WITH toks AS (
+  SELECT string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), b AS (
+  SELECT unnest(list_transform(range(2, len(w) + 1),
+                               i -> w[i - 1] || ' ' || w[i])) AS bigram
+  FROM toks
+)
+SELECT bigram, count(*) AS occurrences
+FROM b GROUP BY bigram
+ORDER BY occurrences DESC, bigram ASC LIMIT 25
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("event_funnel", event_funnel, EVENT_FUNNEL_SQL),
     QuerySpec("cohort_retention", cohort_retention, COHORT_RETENTION_SQL),
     QuerySpec("event_transitions", event_transitions, EVENT_TRANSITIONS_SQL),
     QuerySpec("value_histogram", value_histogram, VALUE_HISTOGRAM_SQL),
     QuerySpec("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_SQL),
+    QuerySpec("text_top_bigrams", text_top_bigrams, TEXT_TOP_BIGRAMS_SQL),
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     QuerySpec("dedup_keep_first_by_key", dedup_keep_first_by_key,
               DEDUP_KEEP_FIRST_SQL),

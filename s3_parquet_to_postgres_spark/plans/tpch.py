@@ -397,11 +397,18 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
 
 
 def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # TPC-H Q22 (adapted: nationkey stands in for the phone prefix):
-    # above-average-balance customers with no orders. Scalar-subquery
-    # average (exact arithmetic) + anti join + aggregation.
+    # TPC-H Q22 (adapted: nationkey stands in for the phone prefix,
+    # and "dormant" means no orders since 2000-01-01 -- the synthetic
+    # generator gives every customer at least one order overall, so
+    # the unfiltered anti join would be empty by construction):
+    # above-average-balance customers with no recent orders.
+    # Scalar-subquery average (exact arithmetic) + anti join +
+    # aggregation; the date predicate is pushed to the orders scan, so
+    # the anti join's build side shrinks before any shuffle.
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    )
     pos = c.filter(F.col("c_acctbal") > 0.0)
     avg_bal = (
         pos.agg((dsum("c_acctbal", 2) / F.count("*")).alias("a"))
@@ -427,7 +434,9 @@ SELECT c_nationkey, count(*) AS numcust,
        {sql_dsum('c_acctbal', 2)} AS totacctbal
 FROM customer
 WHERE c_acctbal > (SELECT a FROM avg_bal)
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 GROUP BY c_nationkey
 """
 
