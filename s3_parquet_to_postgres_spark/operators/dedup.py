@@ -101,14 +101,24 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     n: int = 3,
+    max_bucket_size: int = 4096,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     shingle -> minhash signature -> split into ``bands`` bands of
-    ``num_hashes/bands`` rows -> equi-join docs sharing any band hash
-    -> estimate Jaccard as matching-signature fraction. Returns
-    (id_a < id_b, jaccard_est). The equi-join on band keys is the 100TB
-    path: candidates only, never all pairs.
+    ``num_hashes/bands`` rows -> group docs by (band, band-hash) ->
+    emit in-bucket pairs. Returns (id_a < id_b, jaccard_est).
+
+    Grouping into buckets (collect_list) instead of a band-key
+    self-join means the signature aggregation -- the expensive
+    full-corpus scan -- runs ONCE; Catalyst does not deduplicate the
+    common subplan of a self-join, so the join formulation scans and
+    sketches the corpus twice. Shuffle volume is one (sig, band) row
+    per doc-band either way; candidates only, never all pairs.
+    ``max_bucket_size`` drops degenerate buckets (boilerplate/empty
+    text collapsing onto one band hash) whose in-bucket pairing would
+    go quadratic at corpus scale; everything in such a bucket pairs
+    with everything, so no discriminating near-dup signal is lost.
     """
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
@@ -129,30 +139,28 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    a = banded.select(
-        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
-        "band", "band_hash",
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.collect_list(F.struct("id", "sig")).alias("ms"))
+        .filter(
+            (F.size("ms") >= 2) & (F.size("ms") <= max_bucket_size)
+        )
     )
-    b = banded.select(
-        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
-        "band", "band_hash",
+    pair_expr = F.expr(
+        "flatten(transform(ms, (x, i) ->"
+        " transform(slice(ms, i + 2, size(ms)), y ->"
+        " named_struct("
+        "   'id_a', least(x.id, y.id),"
+        "   'id_b', greatest(x.id, y.id),"
+        "   'jaccard_est',"
+        "   size(filter(zip_with(x.sig, y.sig, (p, q) -> p = q),"
+        f"              e -> e)) / {num_hashes}))))"
     )
-    cand = (
-        a.join(b, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+    return (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.jaccard_est")
         .dropDuplicates(["id_a", "id_b"])
     )
-    match_frac = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        )
-        / F.lit(num_hashes)
-    )
-    return cand.select("id_a", "id_b", match_frac.alias("jaccard_est"))
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

@@ -109,12 +109,15 @@ def tfidf_top_terms(
 ) -> DataFrame:
     """Top-n terms per document by tf-idf (idf = ln(N / df)).
 
-    Classic two-aggregation shape: one explode+count for term
-    frequencies, one distinct-count for document frequencies, a
-    broadcast-sized join on term, window top-n. All counts are exact
-    integers; only the final score is float (ln), so the oracle
-    comparison rounds the score alone. At 100 TB the df table is
-    vocabulary-sized -- fits broadcast for natural-language corpora.
+    One explode+count for term frequencies; document frequency as a
+    ``count over (partition by term)`` window on that SAME tf table
+    (one row per (doc, term) already, so the window count IS df).
+    A broadcast-join formulation (tf -> groupBy term -> join back to
+    tf) reads nicer but Catalyst does not deduplicate the shared tf
+    subplan, so it explodes and aggregates the corpus twice; the
+    window touches only the vocabulary-sized tf table. All counts are
+    exact integers; only the final score is float (ln), so the oracle
+    comparison rounds the score alone.
     """
     from pyspark.sql.window import Window
 
@@ -127,11 +130,10 @@ def tfidf_top_terms(
         ).alias("term"),
     )
     tf = terms.groupBy("doc", "term").agg(F.count("*").alias("tf"))
-    # Document frequency derived FROM the tf table (one row per
-    # (doc, term) already) -- avoids a second explode pass over text.
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.count()  # driver-side scalar; one job, fine at any scale
-    scored = tf.join(F.broadcast(dfreq), "term").select(
+    scored = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
+    ).select(
         "doc", "term", "tf", "df",
         (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("score"),
     )
