@@ -101,7 +101,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     n: int = 3,
-    max_bucket_size: int = 4096,
+    max_bucket_size: int = 1024,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -192,10 +192,19 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
-                       max_hamming: int = 8) -> DataFrame:
+                       max_hamming: int = 8,
+                       max_bucket_size: int = 1024) -> DataFrame:
     """Near-dup pairs by SimHash: block on 16-bit signature chunks
     (pigeonhole: any pair within hamming distance <= 3*chunks-1 shares
-    a chunk), then verify hamming distance exactly."""
+    a chunk), then verify hamming distance exactly.
+
+    Like ``minhash_lsh_pairs``, buckets are grouped (collect_list)
+    rather than self-joined on the chunk key: the signature
+    aggregation is the expensive corpus scan and a self-join would
+    run it twice. Oversize buckets (a chunk value shared by huge
+    cohorts of boilerplate docs) are dropped -- their in-bucket
+    pairing is quadratic and carries no discriminating signal.
+    """
     sigs = simhash(df, id_col, text_col)
     chunks = sigs.select(
         F.col(id_col).alias("id"),
@@ -211,17 +220,27 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
             ])
         ).alias("c"),
     ).select("id", "simhash", F.col("c.chunk_no"), F.col("c.chunk"))
-    a = chunks.select(F.col("id").alias("id_a"),
-                      F.col("simhash").alias("sim_a"), "chunk_no", "chunk")
-    b = chunks.select(F.col("id").alias("id_b"),
-                      F.col("simhash").alias("sim_b"), "chunk_no", "chunk")
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    buckets = (
+        chunks.groupBy("chunk_no", "chunk")
+        .agg(F.collect_list(F.struct("id", "simhash")).alias("ms"))
+        .filter(
+            (F.size("ms") >= 2) & (F.size("ms") <= max_bucket_size)
+        )
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ms, (x, i) ->"
+        " transform(slice(ms, i + 2, size(ms)), y ->"
+        " named_struct("
+        "   'id_a', least(x.id, y.id),"
+        "   'id_b', greatest(x.id, y.id),"
+        "   'hamming',"
+        "   CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)))))"
+    )
     return (
-        a.join(b, ["chunk_no", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
