@@ -8,8 +8,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from ..functions import dsum, sql_dsum
+from ..functions import dsum, sint, sql_dsum
 from .base import QuerySpec, t
 
 
@@ -225,13 +226,20 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # borderline row can flip.
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
-    per_part = li.groupBy("l_partkey").agg(
-        (dsum("l_quantity", 4) / F.count("*")).alias("avg_qty")
+    # The brand filter cuts lineitem to the qualifying parts FIRST
+    # (broadcast join), and the per-part average is a window over that
+    # reduced set -- a partkey equi-join keeps every line of a part, so
+    # the windowed average equals the whole-table per-part average. The
+    # aggregate-then-join-back alternative scans full lineitem twice.
+    # Same scaled-integer arithmetic as the oracle for the cutoff.
+    lip = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(sint("l_quantity", 4)).over(w).cast("double") / F.lit(1e4)
+        / F.count("*").over(w)
     )
-    out = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(per_part, "l_partkey")
-        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    out = lip.withColumn("avg_qty", avg_qty).filter(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
     )
     return out.agg(
         (dsum("l_extendedprice", 4) / F.lit(7.0)).alias("avg_yearly"),
@@ -337,10 +345,14 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         _revenue().alias("total_revenue")
     )
-    max_rev = rev.agg(F.max("total_revenue").alias("m"))
+    # Scalar max as a global window over the supplier-count-sized
+    # aggregate -- the broadcast-join formulation re-runs the lineitem
+    # scan + aggregation to build the max.
+    max_rev = F.max("total_revenue").over(Window.partitionBy(F.lit(1)))
     s = t(spark, sf_dir, "supplier")
     return (
-        rev.join(F.broadcast(max_rev), rev.total_revenue == max_rev.m)
+        rev.withColumn("m", max_rev)
+        .filter(F.col("total_revenue") == F.col("m"))
         .join(s, rev.supplier_no == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
@@ -466,15 +478,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey).join(
         F.broadcast(eu), ps.l_suppkey == eu.s_suppkey
     )
-    min_bal = cand.groupBy(F.col("l_partkey").alias("mk")).agg(
-        F.min("s_acctbal").alias("min_bal")
-    )
+    # Per-part min as a window over cand, not an aggregate joined back:
+    # the join-back formulation re-evaluates cand -- and its lineitem
+    # DISTINCT, the expensive scan -- twice, because Catalyst does not
+    # deduplicate shared subplans. The window touches only the small
+    # candidate set.
+    min_bal = F.min("s_acctbal").over(Window.partitionBy("l_partkey"))
     return (
-        cand.join(
-            F.broadcast(min_bal),
-            (cand.l_partkey == min_bal.mk)
-            & (cand.s_acctbal == min_bal.min_bal),
-        )
+        cand.withColumn("min_bal", min_bal)
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
         .orderBy(
             F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
@@ -654,9 +666,18 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     val = F.col("l_extendedprice") * F.col("l_quantity")
     per_part = eu_li.groupBy("l_partkey").agg(dsum(val, 2).alias("value"))
-    total = eu_li.agg(dsum(val, 2).alias("total"))
+    # Grand total as a global window over the per-part aggregate, not
+    # a second aggregate joined back: the join-back would re-run the
+    # lineitem scan + dimension joins. Per-part values are exact
+    # multiples of 0.01 (scaled-integer sums), so re-quantizing and
+    # summing them equals the direct total exactly. The single window
+    # partition holds only part-count rows.
+    total = (
+        F.sum(sint("value", 2)).over(Window.partitionBy(F.lit(1)))
+        .cast("double") / F.lit(100.0)
+    )
     return (
-        per_part.join(F.broadcast(total))
+        per_part.withColumn("total", total)
         .filter(F.col("value") > 0.001 * F.col("total"))
         .select("l_partkey", "value")
         .orderBy(F.col("value").desc(), "l_partkey")
@@ -774,18 +795,32 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # suppliers) joined back -- one shuffle over lineitem instead of
     # two self-joins, which is the shape that survives 100 TB.
     li = t(spark, sf_dir, "lineitem")
-    ostat = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_ret_supp"),
-    )
+    # Per-order supplier stats as collect_set windows over the order
+    # key, NOT an aggregate joined back to a second lineitem branch:
+    # that shape scans lineitem twice (Catalyst keeps shared subplans
+    # separate). One scan, one shuffle; the downstream orderkey join
+    # reuses the window's hash partitioning. collect_set drops nulls,
+    # so size(...) == countDistinct.
+    w = Window.partitionBy("l_orderkey")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = t(spark, sf_dir, "supplier")
-    ret = li.filter(F.col("l_returnflag") == "R")
+    ret = (
+        li.withColumn(
+            "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+        )
+        .withColumn(
+            "n_ret_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("l_returnflag") == "R",
+                           F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .filter(F.col("l_returnflag") == "R")
+    )
     return (
-        ret.join(ostat, ret.l_orderkey == ostat.ok)
-        .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+        ret.filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
         .join(o, ret.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), ret.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
