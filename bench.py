@@ -77,13 +77,33 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(json.dumps({
+    result = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-    }))
+    }
+    print(json.dumps(result))
+
+    # Per-query history for cross-round regression tracking (stdout
+    # contract above stays one line; the log is best-effort).
+    try:
+        import subprocess
+        rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+        entry = {"ts": int(time.time()), "rev": rev or None, **result}
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_HISTORY.jsonl",
+        )
+        with open(path, "a") as fh:
+            fh.write(json.dumps(entry) + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
