@@ -563,6 +563,79 @@ FROM lineitem GROUP BY l_linestatus
 """
 
 
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Extremal row per group via max_by/min_by -- one hash aggregate
+    # carrying (value, order-key) pairs; no window sort, no join-back.
+    # Ties on balance are broken by custkey through a composite BIGINT
+    # order key (cents * 2^31 + key: lexicographic on (cents, key)
+    # because 0 <= key < 2^31), which both engines order identically.
+    c = t(spark, sf_dir, "customer")
+    ord_key = sint("c_acctbal", 2) * F.lit(1 << 31) + F.col("c_custkey")
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", ord_key).alias("richest"),
+        F.min_by("c_name", ord_key).alias("poorest"),
+        F.max("c_acctbal").alias("top_bal"),
+        F.count("*").alias("n_cust"),
+    )
+
+
+_ARGMAX_ORD = "CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)*2147483648 + c_custkey"
+AGG_ARGMAX_SQL = f"""
+SELECT c_nationkey,
+       arg_max(c_name, {_ARGMAX_ORD}) AS richest,
+       arg_min(c_name, {_ARGMAX_ORD}) AS poorest,
+       max(c_acctbal) AS top_bal,
+       count(*) AS n_cust
+FROM customer GROUP BY c_nationkey
+"""
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACT interpolated percentiles per group (the approx variant is
+    # agg_approx): both engines use the same rank = p*(n-1) linear
+    # interpolation; the result is rounded only to absorb float
+    # noise in the interpolation arithmetic. Exact percentile sorts
+    # within groups -- the approx sketch is the 100 TB default, this
+    # entry is the accuracy reference.
+    o = t(spark, sf_dir, "orders")
+    pct = F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.95))")
+    return o.groupBy("o_orderpriority").agg(
+        dround(pct[0], 4).alias("p25"),
+        dround(pct[1], 4).alias("p50"),
+        dround(pct[2], 4).alias("p95"),
+    )
+
+
+AGG_PERCENTILES_SQL = f"""
+SELECT o_orderpriority,
+       {sql_dround('quantile_cont(o_totalprice, 0.25)', 4)} AS p25,
+       {sql_dround('quantile_cont(o_totalprice, 0.5)', 4)} AS p50,
+       {sql_dround('quantile_cont(o_totalprice, 0.95)', 4)} AS p95
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic string aggregation: collect_set -> array_sort ->
+    # array_join, so the concatenation order is a property of the
+    # values (binary collation on both engines), not of partitioning.
+    p = t(spark, sf_dir, "part")
+    return p.groupBy("p_type").agg(
+        F.array_join(F.array_sort(F.collect_set("p_brand")), ",")
+        .alias("brands"),
+        F.countDistinct("p_brand").alias("n_brands"),
+    )
+
+
+AGG_STRING_CONCAT_SQL = """
+SELECT p_type,
+       array_to_string(list_sort(list_distinct(list(p_brand))), ',')
+         AS brands,
+       CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands
+FROM part GROUP BY p_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Window functions
 # --------------------------------------------------------------------------
@@ -1092,6 +1165,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("agg_cube", agg_cube, AGG_CUBE_SQL),
     QuerySpec("agg_grouping_sets", agg_grouping_sets, AGG_GROUPING_SETS_SQL),
     QuerySpec("agg_stats", agg_stats, AGG_STATS_SQL),
+    QuerySpec("agg_argmax", agg_argmax, AGG_ARGMAX_SQL),
+    QuerySpec("agg_percentiles", agg_percentiles, AGG_PERCENTILES_SQL),
+    QuerySpec("agg_string_concat", agg_string_concat, AGG_STRING_CONCAT_SQL),
     QuerySpec("window_topk_per_group", window_topk_per_group,
               WINDOW_TOPK_PER_GROUP_SQL),
     QuerySpec("window_ranking", window_ranking, WINDOW_RANKING_SQL),

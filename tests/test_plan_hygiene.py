@@ -60,6 +60,26 @@ def test_ref_pipeline_is_scan_only(spark):
     assert "Exchange" not in plan, "narrow pipeline must not shuffle"
 
 
+# Queries rewritten from aggregate-join-back to window form so their
+# expensive input is scanned exactly once (Catalyst does not dedupe
+# shared subplans). A second lineitem scan here is a regression.
+SINGLE_LINEITEM_SCAN = [
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q18_large_volume",
+]
+
+
+@pytest.mark.parametrize("name", SINGLE_LINEITEM_SCAN)
+def test_single_lineitem_scan(name, spark):
+    plan = _plan_of(all_queries()[name](spark, SF))
+    scans = plan.count("lineitem.parquet")
+    assert scans == 1, f"{name}: {scans} lineitem scans (want 1)"
+
+
 def test_every_query_has_doc_or_oracle():
     # Catalog invariant: an entry either has a DuckDB oracle or an
     # explicit doc string explaining why it is rows-only.
