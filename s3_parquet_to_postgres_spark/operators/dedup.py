@@ -71,11 +71,15 @@ def minhash_signatures(
     """(id, sig: array<long>) MinHash signatures.
 
     Shape chosen for scale AND codegen: explode shingles once, hash
-    each to one long, then ONE hash aggregation computing all
-    num_hashes mins as flat agg expressions. Nesting the permutations
-    as array transforms instead (num_hashes copies of the shingle
-    expression tree) blows the whole-stage-codegen method-size limit
-    and falls back to interpreted eval -- ~100x slower at sf0.1.
+    each to one long, compute the num_hashes permuted hashes in a
+    single Project, then ONE hash aggregation of plain ``min(col)``
+    functions. Nesting the permutations as array transforms instead
+    (num_hashes copies of the shingle expression tree) blows the
+    whole-stage-codegen method-size limit and falls back to
+    interpreted eval -- ~100x slower at sf0.1. Keeping the pmod
+    arithmetic in the Project rather than inside the aggregate
+    functions roughly halves the generated aggregate class, cutting
+    its janino compile time (the dominant fixed cost of this plan).
     Partial (map-side) min aggregation means shuffle volume is
     num_hashes longs per doc, independent of document length.
     """
@@ -83,13 +87,16 @@ def minhash_signatures(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, n)).alias("shingle"),
     ).select("id", F.pmod(F.xxhash64("shingle"), F.lit(_P)).alias("h"))
-    mins = [
-        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"m{i}")
-        for i, (a, b) in enumerate(_hash_params(num_hashes))
-    ]
+    proj = sh.select(
+        "id",
+        *[
+            F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_P)).alias(f"h{i}")
+            for i, (a, b) in enumerate(_hash_params(num_hashes))
+        ],
+    )
     return (
-        sh.groupBy("id")
-        .agg(*mins)
+        proj.groupBy("id")
+        .agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)])
         .select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
     )
 
@@ -168,21 +175,28 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """64-bit SimHash over whitespace tokens: per bit, sign of the sum
     of +-1 votes from each token's xxhash64 bit. Hamming-close
     signatures => near-duplicate texts. Pure column expressions."""
-    # Explode distinct tokens to one row each, hash once, then ONE
-    # aggregation with a flat sum-of-votes expression per bit (nested
-    # array aggregates per bit would exceed the codegen method-size
-    # limit -- see minhash_signatures). Map-side partial sums keep the
-    # shuffle at `bits` longs per doc.
+    # Explode distinct tokens to one row each, hash once, compute the
+    # per-bit +-1 votes in one Project, then ONE aggregation of plain
+    # sum(col) functions (nested array aggregates per bit would exceed
+    # the codegen method-size limit, and votes inside the aggregate
+    # functions double its generated-code size -- see
+    # minhash_signatures). Map-side partial sums keep the shuffle at
+    # `bits` longs per doc.
     nbits = min(bits, 63)  # 2^63 would overflow signed long
     tok = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(ws_tokens(text_col))).alias("tk"),
     ).select("id", F.xxhash64("tk").alias("h"))
-    votes = [
-        F.sum(F.when(F.getbit("h", F.lit(i)) == 1, 1).otherwise(-1)).alias(f"v{i}")
-        for i in range(nbits)
-    ]
-    agg = tok.groupBy("id").agg(*votes)
+    proj = tok.select(
+        "id",
+        *[
+            F.when(F.getbit("h", F.lit(i)) == 1, 1).otherwise(-1).alias(f"b{i}")
+            for i in range(nbits)
+        ],
+    )
+    agg = proj.groupBy("id").agg(
+        *[F.sum(f"b{i}").alias(f"v{i}") for i in range(nbits)]
+    )
     sig: Column = F.lit(0).cast("long")
     for i in range(nbits):
         sig = sig + F.when(F.col(f"v{i}") > 0, F.lit(2 ** i).cast("long")) \

@@ -39,6 +39,12 @@ _BASE_CONFS: dict[str, str] = {
     # Small-dim broadcast threshold: region/nation/supplier/part are
     # all dimension-sized even at 100 TB fact scale.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Generated-class cache (default 100 entries). The sketch operators
+    # (minhash/simhash: 32-64 aggregate functions) produce large janino
+    # units that take seconds to recompile; with a realistic mixed
+    # workload the default cache thrashes and every query pays the
+    # compile again. Static conf -- a no-op when set on a live session.
+    "spark.sql.codegen.cache.maxEntries": "2000",
 }
 
 
