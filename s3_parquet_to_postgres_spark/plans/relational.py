@@ -692,6 +692,84 @@ WINDOW w AS (PARTITION BY c_mktsegment
 """
 
 
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distribution window functions (percent_rank / cume_dist): both
+    # engines define percent_rank = (rank-1)/(n-1) and cume_dist =
+    # |rows <= current| / n, so with a total order the doubles match
+    # bit-for-bit; rounding only absorbs the division's last-ulp noise.
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_mktsegment", "c_custkey",
+        dround(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        dround(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )
+
+
+WINDOW_DISTRIBUTION_SQL = f"""
+SELECT c_mktsegment, c_custkey,
+       {sql_dround('percent_rank() OVER w', 6)} AS bal_pct_rank,
+       {sql_dround('cume_dist() OVER w', 6)} AS bal_cume_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal ASC, c_custkey ASC)
+"""
+
+
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic per-group mode: count per (group, value), then one
+    # max_by over the (count, value) struct -- two hash aggregations
+    # with map-side partials, no window sort of the raw data. Ties
+    # break to the lexicographically greatest value on both engines
+    # (built-in mode() is tie-arbitrary in both, so it can't be the
+    # oracle-checked formulation).
+    o = t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt")
+    )
+    return counts.groupBy("o_orderstatus").agg(
+        F.max_by(
+            "o_orderpriority", F.struct(F.col("cnt"), F.col("o_orderpriority"))
+        ).alias("mode_priority"),
+        F.max("cnt").alias("mode_count"),
+    )
+
+
+AGG_MODE_SQL = """
+WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+           FROM orders GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+            ORDER BY cnt DESC, o_orderpriority DESC) AS rn
+      FROM c)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count
+FROM r WHERE rn = 1
+"""
+
+
+def scalar_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Edit-distance scalar kernel (fuzzy matching / OCR-noise dedup)
+    # evaluated against a deterministic neighbor -- each part name vs
+    # the previous name within its brand -- so the work is linear and
+    # shuffle-bounded by the window partition, never an n^2 pair join.
+    p = t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_name", "p_partkey")
+    return p.select(
+        "p_partkey", "p_brand",
+        F.levenshtein("p_name", F.lag("p_name", 1).over(w))
+        .cast("long").alias("edit_prev"),
+    )
+
+
+SCALAR_EDIT_DISTANCE_SQL = """
+SELECT p_partkey, p_brand,
+       CAST(levenshtein(p_name, lag(p_name, 1) OVER w) AS BIGINT) AS edit_prev
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_name, p_partkey)
+"""
+
+
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1171,6 +1249,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec("window_topk_per_group", window_topk_per_group,
               WINDOW_TOPK_PER_GROUP_SQL),
     QuerySpec("window_ranking", window_ranking, WINDOW_RANKING_SQL),
+    QuerySpec("window_distribution", window_distribution,
+              WINDOW_DISTRIBUTION_SQL),
+    QuerySpec("agg_mode", agg_mode, AGG_MODE_SQL),
+    QuerySpec("scalar_edit_distance", scalar_edit_distance,
+              SCALAR_EDIT_DISTANCE_SQL),
     QuerySpec("window_lag_lead", window_lag_lead, WINDOW_LAG_LEAD_SQL),
     QuerySpec("window_frames", window_frames, WINDOW_FRAMES_SQL),
     QuerySpec("sort_multi_key_nulls", sort_multi_key_nulls,
