@@ -27,10 +27,15 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
 
-# BPE-ish word-piece tokenizer: runs of letters/digits or single
-# non-space symbols (a public, deterministic approximation of subword
-# pre-tokenization).
+# Simple word tokenizer: runs of letters/digits.
 WORD_REGEX = "[A-Za-z0-9]+"
+
+# BPE-ish pre-tokenizer: a GPT-2-style split (contraction suffixes,
+# space-prefixed letter runs, digit runs, symbol runs) restricted to
+# the regex subset Java regex (Spark) and RE2 (DuckDB) interpret
+# identically -- no lookahead, so the original's \s+(?!\S) tail rule
+# is approximated by folding whitespace into the following token.
+BPE_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
 
 
 def ws_tokens(text: Column | str) -> Column:
@@ -39,13 +44,18 @@ def ws_tokens(text: Column | str) -> Column:
 
 
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace-token and regex-word-token counts per document."""
+    """Whitespace-, word-, and BPE-pre-tokenizer token counts per
+    document -- the cheap LLM-budget estimators (all JVM regex, one
+    narrow pass, no UDF)."""
     df = spread(df)
     return df.withColumns(
         {
             "ws_tokens": F.size(ws_tokens(text_col)).cast("long"),
             "word_tokens": F.size(
                 F.regexp_extract_all(F.col(text_col), F.lit(WORD_REGEX), 0)
+            ).cast("long"),
+            "bpe_tokens": F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), 0)
             ).cast("long"),
             "chars": F.length(text_col).cast("long"),
         }

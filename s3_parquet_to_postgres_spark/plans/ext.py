@@ -268,14 +268,16 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.token_counts(t(spark, sf_dir, "documents")).select(
-        "doc_id", "ws_tokens", "word_tokens", "chars"
+        "doc_id", "ws_tokens", "word_tokens", "bpe_tokens", "chars"
     )
 
 
-TEXT_TOKEN_STATS_SQL = """
+_BPE_SQL_RE = T.BPE_REGEX.replace("'", "''")
+TEXT_TOKEN_STATS_SQL = f"""
 SELECT doc_id,
        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
        CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS word_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_SQL_RE}')) AS BIGINT) AS bpe_tokens,
        CAST(length(text) AS BIGINT) AS chars
 FROM documents
 """
