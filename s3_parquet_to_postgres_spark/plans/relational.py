@@ -692,6 +692,36 @@ WINDOW w AS (PARTITION BY c_mktsegment
 """
 
 
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Correlated subqueries through the SQL surface, so Catalyst's
+    # decorrelation does the planning: the scalar subquery rewrites to
+    # an aggregate + left outer join (RewriteCorrelatedScalarSubquery),
+    # EXISTS to a left semi join -- at scale both are ordinary shuffled
+    # joins with partial aggregation, never per-row re-execution.
+    t(spark, sf_dir, "customer").createOrReplaceTempView("_sq_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders")
+    return spark.sql("""
+        SELECT c.c_custkey,
+               (SELECT max(o.o_totalprice) FROM _sq_orders o
+                WHERE o.o_custkey = c.c_custkey) AS max_order
+        FROM _sq_customer c
+        WHERE EXISTS (SELECT 1 FROM _sq_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 200000.0)
+    """)
+
+
+SUBQUERY_CORRELATED_SQL = """
+SELECT c.c_custkey,
+       (SELECT max(o.o_totalprice) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS max_order
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 200000.0)
+"""
+
+
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Distribution window functions (percent_rank / cume_dist): both
     # engines define percent_rank = (rank-1)/(n-1) and cume_dist =
@@ -1249,6 +1279,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("window_topk_per_group", window_topk_per_group,
               WINDOW_TOPK_PER_GROUP_SQL),
     QuerySpec("window_ranking", window_ranking, WINDOW_RANKING_SQL),
+    QuerySpec("subquery_correlated", subquery_correlated,
+              SUBQUERY_CORRELATED_SQL),
     QuerySpec("window_distribution", window_distribution,
               WINDOW_DISTRIBUTION_SQL),
     QuerySpec("agg_mode", agg_mode, AGG_MODE_SQL),
