@@ -80,6 +80,25 @@ def test_single_lineitem_scan(name, spark):
     assert scans == 1, f"{name}: {scans} lineitem scans (want 1)"
 
 
+# Sketch pipelines group band/chunk buckets instead of self-joining on
+# the bucket key precisely so the expensive signature aggregation runs
+# once; a second documents scan is that optimization regressing.
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_simhash"])
+def test_single_documents_scan(name, spark):
+    plan = _plan_of(all_queries()[name](spark, SF))
+    scans = plan.count("documents.parquet")
+    assert scans == 1, f"{name}: {scans} documents scans (want 1)"
+
+
+def test_correlated_subquery_decorrelates(spark):
+    # Catalyst must rewrite the scalar subquery + EXISTS into joins;
+    # a surviving per-row subquery plan would re-execute orders per
+    # customer row at scale.
+    plan = _plan_of(all_queries()["subquery_correlated"](spark, SF))
+    assert "Subquery" not in plan, plan[:2000]
+    assert "LeftSemi" in plan, plan[:2000]
+
+
 def test_every_query_has_doc_or_oracle():
     # Catalog invariant: an entry either has a DuckDB oracle or an
     # explicit doc string explaining why it is rows-only.
