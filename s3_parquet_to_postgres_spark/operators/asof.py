@@ -11,7 +11,11 @@ a 100x scale-up; an equality+inequality join would become the dominant
 shuffle at 100 TB.
 
 Tie semantics: a right row at exactly left.time matches (<=), because
-right rows sort before left rows at equal timestamps.
+right rows sort before left rows at equal timestamps. Among right rows
+sharing (key, time), pass ``right_order`` to make the winner
+deterministic (the greatest order value); without it the winner is
+partition-order-dependent, which an order-insensitive oracle can't see
+but a re-run at different parallelism can.
 """
 
 from __future__ import annotations
@@ -29,18 +33,25 @@ def asof_join(
     right_time: str,
     right_payload: list[str],
     tolerance: str | None = None,
+    right_order: str | None = None,
 ) -> DataFrame:
     """Columns of ``left`` plus ``right_payload`` from the as-of match
     (NULL when no earlier right row exists).
 
     ``tolerance``: optional max staleness as an INTERVAL string (e.g.
     ``'2 hours'``); matches older than it become NULL.
+    ``right_order``: optional right-side column breaking ties among
+    right rows with equal (key, time) -- the greatest value wins.
     """
     left_cols = left.columns
+    tie_type = (
+        right.schema[right_order].dataType if right_order else "int"
+    )
     l = left.select(
         *left_cols,
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
+        F.lit(None).cast(tie_type).alias("__tie"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
           for c in right_payload],
     )
@@ -50,12 +61,14 @@ def asof_join(
           for c in left_cols if c != on],
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
+        (F.col(right_order) if right_order else F.lit(0)).alias("__tie"),
         *[F.col(c).alias(f"__r_{c}") for c in right_payload],
     ).select(*l.columns)  # align column order for union
 
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc(),
+                 F.col("__tie").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = r.unionByName(l)

@@ -483,6 +483,7 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = asof_join(
         errors, clicks, on="user_id", left_time="ts", right_time="ts",
         right_payload=["click_event_id", "click_value"],
+        right_order="click_event_id",
     )
     return out.select(
         "event_id", "user_id",

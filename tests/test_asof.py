@@ -42,3 +42,22 @@ def test_asof_without_tolerance_keeps_latest(spark):
         on="k", left_time="t", right_time="rt", right_payload=["v"],
     ).collect()
     assert [r["v"] for r in out] == ["b"]
+
+
+def test_asof_right_order_breaks_equal_time_ties(spark):
+    from s3_parquet_to_postgres_spark.operators.asof import asof_join
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 10)
+    left = spark.createDataFrame([(1, t0)], "k long, t timestamp")
+    # Three right rows at the identical (key, time): the greatest
+    # right_order value must win, independent of partition order.
+    right = spark.createDataFrame(
+        [(1, t0, 7, "lo"), (1, t0, 9, "hi"), (1, t0, 8, "mid")],
+        "k long, rt timestamp, seq long, v string",
+    ).repartition(4)
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="rt",
+        right_payload=["v"], right_order="seq",
+    ).collect()
+    assert len(out) == 1 and out[0]["v"] == "hi"
