@@ -692,6 +692,54 @@ WINDOW w AS (PARTITION BY c_mktsegment
 """
 
 
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The explicit skew-mitigation join declared as a correctness
+    # entry: output must equal the plain equi-join (oracle) while the
+    # hot keys are spread over (key, salt) shuffle partitions. The
+    # mechanic matters when the build side exceeds broadcast size and
+    # one key dominates -- here it runs over dimension-sized data so
+    # the oracle can pin its semantics.
+    from ..operators.skew import salted_join
+
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation").withColumnRenamed(
+        "n_nationkey", "c_nationkey"
+    )
+    return salted_join(c, n, on="c_nationkey", salt=8).select(
+        "c_custkey", "c_name", "n_name"
+    )
+
+
+JOIN_SKEW_SALTED_SQL = """
+SELECT c_custkey, c_name, n_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-phase salted aggregation on a 3-value (maximally hot) key;
+    # result must equal the plain GROUP BY. Sums stay exact because
+    # l_quantity is integral (double-typed but < 2^53 total).
+    from ..operators.skew import salted_agg
+
+    return salted_agg(
+        t(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        {"l_quantity": "sum", "l_orderkey": "count",
+         "l_extendedprice": "max"},
+        salt=16,
+    )
+
+
+AGG_SKEW_SALTED_SQL = """
+SELECT l_returnflag,
+       sum(l_quantity) AS l_quantity_sum,
+       count(l_orderkey) AS l_orderkey_count,
+       max(l_extendedprice) AS l_extendedprice_max
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Correlated subqueries through the SQL surface, so Catalyst's
     # decorrelation does the planning: the scalar subquery rewrites to
@@ -1279,6 +1327,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("window_topk_per_group", window_topk_per_group,
               WINDOW_TOPK_PER_GROUP_SQL),
     QuerySpec("window_ranking", window_ranking, WINDOW_RANKING_SQL),
+    QuerySpec("join_skew_salted", join_skew_salted, JOIN_SKEW_SALTED_SQL),
+    QuerySpec("agg_skew_salted", agg_skew_salted, AGG_SKEW_SALTED_SQL),
     QuerySpec("subquery_correlated", subquery_correlated,
               SUBQUERY_CORRELATED_SQL),
     QuerySpec("window_distribution", window_distribution,
