@@ -61,3 +61,51 @@ def test_asof_right_order_breaks_equal_time_ties(spark):
         right_payload=["v"], right_order="seq",
     ).collect()
     assert len(out) == 1 and out[0]["v"] == "hi"
+
+
+def test_asof_matches_brute_force_on_random_data(spark):
+    """Randomized (seeded) differential test: the union+carry-forward
+    plan must equal the obvious per-row definition -- latest right row
+    with rt <= t, ties by right_order, staleness by tolerance."""
+    import datetime
+    import random
+
+    from s3_parquet_to_postgres_spark.operators.asof import asof_join
+
+    rng = random.Random(0)
+    base = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return base + datetime.timedelta(minutes=m)
+
+    left_rows = [
+        (rng.randrange(6), ts(rng.randrange(120)), i) for i in range(120)
+    ]
+    right_rows = [
+        (rng.randrange(6), ts(rng.randrange(120)), i, f"v{i}")
+        for i in range(150)
+    ]
+    tolerance_min = 25
+
+    def expect(k, t):
+        cands = [r for r in right_rows if r[0] == k and r[1] <= t]
+        if not cands:
+            return None
+        best = max(cands, key=lambda r: (r[1], r[2]))
+        if best[1] < t - datetime.timedelta(minutes=tolerance_min):
+            return None
+        return best[3]
+
+    left = spark.createDataFrame(left_rows, "k long, t timestamp, lid long")
+    right = spark.createDataFrame(
+        right_rows, "k long, rt timestamp, seq long, v string"
+    ).repartition(7)
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="rt",
+        right_payload=["v"], tolerance=f"{tolerance_min} minutes",
+        right_order="seq",
+    ).collect()
+    assert len(out) == len(left_rows)
+    got = {r["lid"]: r["v"] for r in out}
+    want = {lid: expect(k, t) for k, t, lid in left_rows}
+    assert got == want
