@@ -1,0 +1,70 @@
+"""CLI entry-point parity with the reference binary (reference:
+src/main.rs:1-23, src/cmd_args.rs:16-28): YAML config in, work-list
+drain to a sink, fail-fast exit codes for bad input."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_parquet_to_postgres_spark.__main__ import main
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def staged_cli(spark, tmp_path):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    keys = []
+    for i in range(2):
+        path = tmp_path / f"obj{i}.parquet"
+        orders.filter(F.col("o_orderkey") % 2 == i).coalesce(1).write.parquet(
+            str(path)
+        )
+        keys.append(str(path))
+    work = tmp_path / "work"
+    work.mkdir()
+    (work / "todo").write_text("\n".join(keys) + "\n")
+    cfg = tmp_path / "config.yml"
+    cfg.write_text(
+        f"""
+s3:
+  download_batch_size: 1
+  work_lists_dir: {work}
+parquet:
+  desired_fields: [o_orderkey, o_totalprice, o_orderstatus]
+  parquet_to_db:
+    o_orderkey: id
+    o_totalprice: price
+    o_orderstatus: null
+"""
+    )
+    return tmp_path, cfg, orders
+
+
+def test_cli_drains_to_parquet_sink(spark, staged_cli):
+    tmp_path, cfg, orders = staged_cli
+    out_dir = tmp_path / "out"
+    rc = main([str(cfg), "--sink", "parquet", "--output-dir", str(out_dir)])
+    assert rc == 0
+    got = spark.read.parquet(str(out_dir))
+    assert sorted(got.columns) == ["id", "o_orderstatus", "price"]
+    assert got.count() == orders.count()
+    completed = (tmp_path / "work" / "completed").read_text().strip()
+    assert len(completed.splitlines()) == 2
+
+
+def test_cli_bad_config_is_exit_2(tmp_path):
+    cfg = tmp_path / "bad.yml"
+    cfg.write_text("s3: {}\n")  # missing parquet section
+    assert main([str(cfg), "--sink", "parquet", "--output-dir", "x"]) == 2
+
+
+def test_cli_missing_db_section_is_exit_2(staged_cli):
+    _, cfg, _ = staged_cli
+    assert main([str(cfg), "--sink", "jdbc"]) == 2
+
+
+def test_cli_missing_output_dir_is_exit_2(staged_cli):
+    _, cfg, _ = staged_cli
+    assert main([str(cfg), "--sink", "parquet"]) == 2
