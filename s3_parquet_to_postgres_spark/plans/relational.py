@@ -424,6 +424,24 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MERGEABLE distinct-count sketches -- the 100 TB rollup pattern:
+    # per-partition (here per-nation) HLL sketches are unioned upward
+    # instead of re-scanning raw data. hll_union_agg is register-wise
+    # max, so rollup-then-estimate EQUALS estimate-over-everything
+    # (pinned by test_incremental_agg); estimates have no value-exact
+    # DuckDB oracle -> rows-only by design.
+    c = t(spark, sf_dir, "customer")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.count("*").alias("n_rows"),
+    )
+    return per_nation.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_customers"),
+        F.sum("n_rows").alias("total_rows"),
+    )
+
+
 def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pivot: one column per return-flag value. Explicit value list =>
     # single pass (no distinct-collection job), stable output schema.
@@ -1315,6 +1333,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("agg_distinct", agg_distinct, AGG_DISTINCT_SQL),
     QuerySpec("agg_approx", agg_approx, None,
               "sketch aggregates; estimates have no exact oracle"),
+    QuerySpec("agg_hll_mergeable", agg_hll_mergeable, None,
+              "mergeable HLL rollup; merged==direct pinned by test"),
     QuerySpec("agg_pivot", agg_pivot, AGG_PIVOT_SQL),
     QuerySpec("scalar_unpivot", scalar_unpivot, SCALAR_UNPIVOT_SQL),
     QuerySpec("agg_rollup", agg_rollup, AGG_ROLLUP_SQL),

@@ -6,7 +6,14 @@ re-reads everything; this maintains a running aggregate instead: each
 micro-batch's partial aggregate is merged into a persisted state
 table, so refresh cost tracks NEW data, not total data. Works for any
 algebraic aggregate (sum/count/min/max decompose into mergeable
-partials; avg = sum/count at read time).
+partials; avg = sum/count at read time) -- and for DISTINCT counts,
+which are not algebraic, via mergeable HLL sketches
+(``distinct_cols``): the state row stores the sketch binary,
+``hll_union_agg`` folds new partials in (register-wise max, so
+merge-then-estimate equals estimate-over-everything exactly), and the
+estimate is materialized at read time. Sketch state is O(groups), not
+O(distinct values) -- the only way a 100 TB running distinct stays
+cheap.
 
 State is a small parquet table rewritten per batch via temp + atomic
 swap -- at state sizes where that rewrite dominates, swap the state
@@ -32,17 +39,25 @@ def maintain_running_agg(
     group_cols: list[str],
     sum_cols: list[str],
     max_files_per_trigger: int | None = 4,
+    distinct_cols: list[str] | None = None,
 ) -> None:
     """Drain new files from ``source_dir`` and fold them into the
-    running (group_cols, count, sum(sum_cols)) aggregate at
-    ``state_path``. Call repeatedly as data lands; each call only
-    reads files not yet committed."""
-    aggs = [F.count(F.lit(1)).cast("long").alias("rows")] + [
-        F.sum(c).alias(f"sum_{c}") for c in sum_cols
-    ]
-    merge_aggs = [F.sum("rows").cast("long").alias("rows")] + [
-        F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols
-    ]
+    running (group_cols, count, sum(sum_cols), hll(distinct_cols))
+    aggregate at ``state_path``. Call repeatedly as data lands; each
+    call only reads files not yet committed. Read estimates back with
+    ``read_running_agg``."""
+    distinct_cols = distinct_cols or []
+    aggs = (
+        [F.count(F.lit(1)).cast("long").alias("rows")]
+        + [F.sum(c).alias(f"sum_{c}") for c in sum_cols]
+        + [F.hll_sketch_agg(c).alias(f"hll_{c}") for c in distinct_cols]
+    )
+    merge_aggs = (
+        [F.sum("rows").cast("long").alias("rows")]
+        + [F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols]
+        + [F.hll_union_agg(f"hll_{c}").alias(f"hll_{c}")
+           for c in distinct_cols]
+    )
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         partial = batch.groupBy(*group_cols).agg(*aggs)
@@ -77,3 +92,18 @@ def maintain_running_agg(
         .start()
     )
     query.awaitTermination()
+
+
+def read_running_agg(
+    spark: SparkSession,
+    state_path: str,
+    distinct_cols: list[str] | None = None,
+) -> DataFrame:
+    """The running aggregate with sketch columns materialized as
+    ``distinct_<c>`` estimates (sketch binaries dropped)."""
+    df = spark.read.parquet(state_path)
+    for c in distinct_cols or []:
+        df = df.withColumn(
+            f"distinct_{c}", F.hll_sketch_estimate(f"hll_{c}")
+        ).drop(f"hll_{c}")
+    return df
