@@ -68,3 +68,28 @@ def test_cli_missing_db_section_is_exit_2(staged_cli):
 def test_cli_missing_output_dir_is_exit_2(staged_cli):
     _, cfg, _ = staged_cli
     assert main([str(cfg), "--sink", "parquet"]) == 2
+
+
+def test_cli_failed_batch_is_exit_1_and_preserves_wip(spark, tmp_path):
+    work = tmp_path / "work"
+    work.mkdir()
+    (work / "todo").write_text(str(tmp_path / "missing.parquet") + "\n")
+    cfg = tmp_path / "config.yml"
+    cfg.write_text(
+        f"""
+s3:
+  download_batch_size: 1
+  work_lists_dir: {work}
+parquet:
+  desired_fields: [o_orderkey]
+"""
+    )
+    out_dir = tmp_path / "out"
+    rc = main([str(cfg), "--sink", "parquet", "--output-dir", str(out_dir)])
+    assert rc == 1
+    # Fail-fast: nothing marked completed; the failed key stays in wip
+    # so a rerun resumes it (reference: src/db.rs:202-239 semantics).
+    assert not (work / "completed").exists() or not (
+        work / "completed"
+    ).read_text().strip()
+    assert (work / "wip").read_text().strip().endswith("missing.parquet")
