@@ -40,10 +40,16 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
 
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (JVM-side:
-    split + transform + array_distinct; no UDF)."""
+    split + transform + array_distinct; no UDF).
+
+    Guarded for texts shorter than ``n`` tokens: ``sequence(1, 0)``
+    is DESCENDING in Spark ([1, 0]), so an unguarded upper bound of 0
+    would feed slice() a zero start and throw."""
     toks = ws_tokens(text)
     k = F.size(toks) - (n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
     )

@@ -62,6 +62,52 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing (MOSS) rolling-hash document fingerprints: hash every
+    token ``k``-gram, slide a window of ``w`` consecutive gram hashes,
+    keep each window's minimum, emit the distinct mins as the doc's
+    fingerprint set. Shared partial overlaps between documents surface
+    as shared fingerprints -- the standard local-similarity complement
+    to whole-document hashing (``fingerprint``) and set-similarity
+    dedup (MinHash).
+
+    All expressions are JVM higher-order functions over one row per
+    document; no explode before the final distinct set, so shuffle
+    volume is fingerprints (~n_tokens/w), not grams. Gram hashes use
+    an md5 prefix (not xxhash64) so the DuckDB oracle can reproduce
+    them bit-for-bit.
+    """
+    toks = ws_tokens(F.col(text_col))
+    n = F.size(toks)
+    n_grams = n - (k - 1)
+    gram_idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        gram_idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+    )
+    n_wins = F.size(hashes) - (w - 1)
+    win_idx = F.when(n_wins >= 1, F.sequence(F.lit(1), n_wins)).otherwise(
+        F.array().cast("array<int>")
+    )
+    fps = F.array_distinct(
+        F.transform(win_idx, lambda j: F.array_min(F.slice(hashes, j, w)))
+    )
+    return spread(df).select(
+        F.col(id_col), F.explode(fps).alias("fingerprint")
+    )
+
+
 def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length/punctuation/stopword-ratio quality features (the standard
     cheap pre-filters for web-scale corpus cleaning)."""

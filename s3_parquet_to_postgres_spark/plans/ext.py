@@ -403,6 +403,41 @@ WHERE rnk <= 3
 """
 
 
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rolling-hash winnowing fingerprints (k=3 token grams, window 4);
+    # md5-prefix hashes keep both engines bit-identical.
+    return T.winnow_fingerprints(t(spark, sf_dir, "documents"))
+
+
+TEXT_WINNOW_FINGERPRINTS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, r.i, array_to_string(tk[r.i:r.i+2], ' ') AS gram
+  FROM toks,
+       LATERAL (SELECT unnest(range(1, greatest(len(tk) - 2, 0) + 1)) AS i) r
+),
+hashes AS (
+  SELECT doc_id, i,
+         CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) AS h,
+         count(*) OVER (PARTITION BY doc_id) AS n_g
+  FROM grams
+),
+wins AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM hashes
+  QUALIFY i <= n_g - 3
+)
+SELECT DISTINCT doc_id, fp AS fingerprint FROM wins
+"""
+
+
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.pii_scrub(t(spark, sf_dir, "documents")).select(
         "doc_id", "n_emails", "n_urls", "scrubbed_sha256"
@@ -890,6 +925,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL),
     QuerySpec("text_lang_id", text_lang_id, TEXT_LANG_ID_SQL),
     QuerySpec("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_SQL),
+    QuerySpec("text_winnow_fingerprints", text_winnow_fingerprints,
+              TEXT_WINNOW_FINGERPRINTS_SQL),
     QuerySpec("text_pii_scrub", text_pii_scrub, TEXT_PII_SCRUB_SQL),
     QuerySpec("multimodal_payload", multimodal_payload, MULTIMODAL_PAYLOAD_SQL),
     QuerySpec("multimodal_features", multimodal_features, None,

@@ -116,3 +116,50 @@ def test_pandas_cosine_matches_expression(spark, emb):
     a = sorted(map(tuple, S.cosine_topk(emb, queries, k=10).collect()))
     b = sorted(map(tuple, S.cosine_topk_pandas(emb, queries, k=10).collect()))
     assert a == b
+
+
+def test_shingles_and_minhash_survive_short_texts(spark):
+    """sequence(1, 0) is descending in Spark; docs shorter than the
+    shingle width must yield empty shingle sets, not a slice() error."""
+    from s3_parquet_to_postgres_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one two"),
+         (4, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    pairs = D.minhash_lsh_pairs(docs).collect()  # must not throw
+    assert isinstance(pairs, list)
+    sizes = {r["doc_id"]: r["n"] for r in docs.select(
+        "doc_id", D.shingles("text", 3).alias("sh")
+    ).selectExpr("doc_id", "size(sh) AS n").collect()}
+    assert sizes[1] == 0 and sizes[2] == 0 and sizes[3] == 0 and sizes[4] == 4
+
+
+def test_winnow_fingerprints_detect_partial_overlap(spark):
+    """Docs sharing a long passage share fingerprints; unrelated docs
+    share none -- the winnowing guarantee (any shared run of
+    k+w-1 tokens yields at least one shared fingerprint)."""
+    from pyspark.sql import functions as F
+
+    from s3_parquet_to_postgres_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, f"intro words here {passage} closing remarks"),
+         (2, f"totally different opening {passage} other ending text"),
+         (3, "unrelated content about spark catalyst optimizer plans only")],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs)
+    shared = (
+        fp.alias("a").join(fp.alias("b"),
+                           (F.col("a.fingerprint") == F.col("b.fingerprint"))
+                           & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy("a.doc_id", "b.doc_id").count().collect()
+    )
+    pairs = {(r[0], r[1]) for r in shared}
+    assert (1, 2) in pairs, "shared passage must produce shared fingerprints"
+    assert all(p in {(1, 2)} for p in pairs), f"unexpected overlaps: {pairs}"
