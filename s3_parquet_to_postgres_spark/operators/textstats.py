@@ -108,6 +108,49 @@ def winnow_fingerprints(
     )
 
 
+def passage_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    max_fp_df: int = 100,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints
+    -- copied-passage detection, the local-overlap complement to
+    whole-set Jaccard dedup.
+
+    Candidate generation is an equi-join on the fingerprint (shuffle
+    tracks shared passages, never n^2); fingerprints appearing in more
+    than ``max_fp_df`` documents are dropped first -- boilerplate a
+    third of the corpus shares cannot pinpoint a copied passage, and
+    its join fan-out is the one quadratic risk at corpus scale. The
+    cap is part of the declared semantics so the oracle reproduces it
+    exactly.
+    """
+    fp = winnow_fingerprints(df, id_col, text_col, k, w)
+    rare = (
+        fp.groupBy("fingerprint")
+        .agg(F.count("*").alias("fp_df"))
+        .filter(F.col("fp_df") <= max_fp_df)
+        .select("fingerprint")
+    )
+    slim = fp.join(rare, "fingerprint")
+    pairs = (
+        slim.alias("a")
+        .join(slim.alias("b"), "fingerprint")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    return pairs
+
+
 def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length/punctuation/stopword-ratio quality features (the standard
     cheap pre-filters for web-scale corpus cleaning)."""

@@ -403,6 +403,51 @@ WHERE rnk <= 3
 """
 
 
+def dedup_passage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Copied-passage pairs via shared winnowing fingerprints; the
+    # hot-fingerprint cap (boilerplate guard) is declared semantics,
+    # so the oracle reproduces it exactly.
+    return T.passage_overlap_pairs(t(spark, sf_dir, "documents"))
+
+
+DEDUP_PASSAGE_PAIRS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, r.i, array_to_string(tk[r.i:r.i+2], ' ') AS gram
+  FROM toks,
+       LATERAL (SELECT unnest(range(1, greatest(len(tk) - 2, 0) + 1)) AS i) r
+),
+hashes AS (
+  SELECT doc_id, i,
+         CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) AS h,
+         count(*) OVER (PARTITION BY doc_id) AS n_g
+  FROM grams
+),
+wins AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM hashes
+  QUALIFY i <= n_g - 3
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM wins),
+rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100
+),
+slim AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       count(*) AS shared_fps
+FROM slim a JOIN slim b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Rolling-hash winnowing fingerprints (k=3 token grams, window 4);
     # md5-prefix hashes keep both engines bit-identical.
@@ -927,6 +972,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_SQL),
     QuerySpec("text_winnow_fingerprints", text_winnow_fingerprints,
               TEXT_WINNOW_FINGERPRINTS_SQL),
+    QuerySpec("dedup_passage_pairs", dedup_passage_pairs,
+              DEDUP_PASSAGE_PAIRS_SQL),
     QuerySpec("text_pii_scrub", text_pii_scrub, TEXT_PII_SCRUB_SQL),
     QuerySpec("multimodal_payload", multimodal_payload, MULTIMODAL_PAYLOAD_SQL),
     QuerySpec("multimodal_features", multimodal_features, None,
