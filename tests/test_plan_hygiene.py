@@ -104,3 +104,23 @@ def test_every_query_has_doc_or_oracle():
     # explicit doc string explaining why it is rows-only.
     for name, spec in get_registry().items():
         assert spec.oracle or spec.doc, f"{name}: rows-only without rationale"
+
+
+def test_doc_counts_match_registry():
+    # CAPABILITIES.md / README.md state catalog sizes; keep them honest.
+    import re
+
+    total = len(all_queries())
+    oracled = sum(1 for s in get_registry().values() if s.oracle)
+    cap = open("/root/repo/CAPABILITIES.md").read()
+    m = re.search(r"(\d+) declared queries in `__spark_entry__.py` "
+                  r"\((\d+) DuckDB-oracle-checked", cap)
+    assert m and (int(m.group(1)), int(m.group(2))) == (total, oracled), (
+        f"CAPABILITIES.md says {m and m.groups()}, registry has "
+        f"({total}, {oracled})"
+    )
+    readme = open("/root/repo/README.md").read()
+    m = re.search(r"`queries\(\)` \((\d+) named", readme)
+    assert m and int(m.group(1)) == total
+    m = re.search(r"All (\d+) declared capabilities", readme)
+    assert m and int(m.group(1)) == total
