@@ -1,6 +1,13 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
 Jaccard -- the standard near-dup ladder for training-corpus cleaning.
 
+Algorithms from the public literature: MinHash (Broder 1997,
+"On the resemblance and containment of documents"), banded LSH
+(Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets" ch. 3),
+SimHash (Charikar 2002; Manku et al. 2007 for the chunk-pigeonhole
+near-dup search), prefix filtering (Chaudhuri et al. 2006; PPJoin,
+Xiao et al. 2008).
+
 Scale posture: nothing here ever builds an all-pairs cross join.
 Exact dedup is a hash aggregation on the content key; MinHash/LSH and
 shingle-Jaccard generate candidate pairs by *equi-joining on bucket

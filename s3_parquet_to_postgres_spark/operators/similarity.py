@@ -6,7 +6,8 @@ Two tiers, as a 100 TB engine needs both:
   set against the corpus, JVM-side zip_with/aggregate dot products,
   per-query top-k via window rank. Linear scan; the right answer for
   correctness checks and small query batches.
-* ``lsh_topk`` -- random-hyperplane LSH: bucket the corpus by sign
+* ``lsh_topk`` -- random-hyperplane LSH (Charikar 2002 sign-random-
+  projection): bucket the corpus by sign
   signature, probe only matching buckets. Sub-linear candidate sets at
   the cost of recall; deterministic hyperplanes (seeded) so runs are
   reproducible. An IVF (k-means coarse quantizer) variant slots into
@@ -268,7 +269,9 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
 ) -> DataFrame:
-    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer
+    (the IVF-Flat scheme of Jegou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search", minus the PQ compression).
 
     Centroids are a deterministic hash-sample of the corpus itself
     (cheap stand-in for k-means; the plan shape is identical). Corpus

@@ -69,7 +69,9 @@ def winnow_fingerprints(
     k: int = 3,
     w: int = 4,
 ) -> DataFrame:
-    """Winnowing (MOSS) rolling-hash document fingerprints: hash every
+    """Winnowing (MOSS) rolling-hash document fingerprints (Schleimer,
+    Wilkerson & Aiken 2003, "Winnowing: Local Algorithms for Document
+    Fingerprinting"): hash every
     token ``k``-gram, slide a window of ``w`` consecutive gram hashes,
     keep each window's minimum, emit the distinct mins as the doc's
     fingerprint set. Shared partial overlaps between documents surface
