@@ -442,6 +442,34 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACT mergeable distinct for integer keys, the complement of
+    # agg_hll_mergeable's approximation: keys bucket into 32k-bit
+    # bitmaps (bitmap_bucket_number / bitmap_bit_position), buckets
+    # OR-merge within each group, popcounts sum to the exact distinct.
+    # State is O(buckets), mergeable across partitions/increments --
+    # how an exact running COUNT(DISTINCT intkey) stays cheap at
+    # 100 TB. The oracle is plain COUNT(DISTINCT).
+    o = t(spark, sf_dir, "orders")
+    per_bucket = o.groupBy(
+        "o_orderpriority",
+        F.expr("bitmap_bucket_number(o_custkey)").alias("b"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))")
+        .alias("bm")
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.expr("sum(bitmap_count(bm))").cast("long")
+        .alias("distinct_customers")
+    )
+
+
+AGG_BITMAP_DISTINCT_SQL = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS distinct_customers
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pivot: one column per return-flag value. Explicit value list =>
     # single pass (no distinct-collection job), stable output schema.
@@ -1335,6 +1363,8 @@ SPECS: list[QuerySpec] = [
               "sketch aggregates; estimates have no exact oracle"),
     QuerySpec("agg_hll_mergeable", agg_hll_mergeable, None,
               "mergeable HLL rollup; merged==direct pinned by test"),
+    QuerySpec("agg_bitmap_distinct", agg_bitmap_distinct,
+              AGG_BITMAP_DISTINCT_SQL),
     QuerySpec("agg_pivot", agg_pivot, AGG_PIVOT_SQL),
     QuerySpec("scalar_unpivot", scalar_unpivot, SCALAR_UNPIVOT_SQL),
     QuerySpec("agg_rollup", agg_rollup, AGG_ROLLUP_SQL),
