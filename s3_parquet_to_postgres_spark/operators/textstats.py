@@ -123,34 +123,34 @@ def passage_overlap_pairs(
     -- copied-passage detection, the local-overlap complement to
     whole-set Jaccard dedup.
 
-    Candidate generation is an equi-join on the fingerprint (shuffle
-    tracks shared passages, never n^2); fingerprints appearing in more
-    than ``max_fp_df`` documents are dropped first -- boilerplate a
-    third of the corpus shares cannot pinpoint a copied passage, and
-    its join fan-out is the one quadratic risk at corpus scale. The
-    cap is part of the declared semantics so the oracle reproduces it
-    exactly.
+    Like the MinHash/SimHash buckets, each fingerprint's documents are
+    GROUPED (collect_list) and paired in-bucket rather than
+    self-joined on the fingerprint key: Catalyst does not deduplicate
+    a self-join's common subplan, so the join formulation would run
+    the whole winnowing pipeline (the expensive corpus scan) twice.
+    Fingerprints appearing in more than ``max_fp_df`` documents are
+    dropped -- boilerplate a third of the corpus shares cannot
+    pinpoint a copied passage, and its in-bucket fan-out is the one
+    quadratic risk at corpus scale. The cap is part of the declared
+    semantics so the oracle reproduces it exactly.
     """
     fp = winnow_fingerprints(df, id_col, text_col, k, w)
-    rare = (
+    buckets = (
         fp.groupBy("fingerprint")
-        .agg(F.count("*").alias("fp_df"))
-        .filter(F.col("fp_df") <= max_fp_df)
-        .select("fingerprint")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_fp_df))
     )
-    slim = fp.join(rare, "fingerprint")
-    pairs = (
-        slim.alias("a")
-        .join(slim.alias("b"), "fingerprint")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)), y ->"
+        " named_struct('id_a', least(x, y), 'id_b', greatest(x, y)))))"
+    )
+    return (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
-    return pairs
 
 
 def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -83,7 +83,9 @@ def test_single_lineitem_scan(name, spark):
 # Sketch pipelines group band/chunk buckets instead of self-joining on
 # the bucket key precisely so the expensive signature aggregation runs
 # once; a second documents scan is that optimization regressing.
-@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_simhash"])
+@pytest.mark.parametrize(
+    "name", ["dedup_minhash_lsh", "dedup_simhash", "dedup_passage_pairs"]
+)
 def test_single_documents_scan(name, spark):
     plan = _plan_of(all_queries()[name](spark, SF))
     scans = plan.count("documents.parquet")
