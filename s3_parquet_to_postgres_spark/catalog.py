@@ -43,11 +43,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         _ensure_nanos_conf(spark)
         df = spark.read.parquet(path)
-        # int64 nanos -> TIMESTAMP_NTZ(us); `div` floors like DuckDB's
-        # ns->us cast. to_timestamp_ntz keeps it TZ-independent.
-        return df.withColumn(
-            "ts", F.expr("to_timestamp_ntz(timestamp_micros(ts div 1000))")
-        )
+        # The generator has shipped ts as TIMESTAMP(NANOS) (surfacing
+        # as bigint under nanosAsLong) and as TIMESTAMP(MICROS);
+        # normalize both to microsecond TIMESTAMP_NTZ so plans and
+        # DuckDB oracles see one type. `div` floors like DuckDB's
+        # ns->us cast.
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            return df.withColumn(
+                "ts", F.expr("to_timestamp_ntz(timestamp_micros(ts div 1000))")
+            )
+        if ts_type == "timestamp":
+            return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        return df
     return spark.read.parquet(path)
 
 

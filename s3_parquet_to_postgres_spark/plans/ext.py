@@ -538,11 +538,52 @@ FROM documents
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Arrow-batched decode plumbing with the deterministic fake codec
-    # (real codecs not installed) -- rows-only check.
+    # Arrow-batched decode plumbing (mapInPandas) with the
+    # deterministic fake codec (real codecs not installed). The
+    # feature array is flattened to scalar columns for the driver
+    # comparison -- array-typed outputs crash its canonicalizer --
+    # and the fake decoder's byte math is replayed exactly in the
+    # DuckDB oracle (hex-string byte slicing), making the whole
+    # Python-UDF round trip value-exact end to end.
     d = t(spark, sf_dir, "documents")
     payloads = M.attach_binary_payload(d, "text")
-    return M.extract_features(payloads)
+    feats = M.extract_features(payloads)
+    return feats.select(
+        "doc_id",
+        "content_sha256",
+        "n_bytes",
+        F.size("features").cast("long").alias("n_features"),
+        F.col("features")[0].alias("f_len"),
+        F.col("features")[1].alias("f_first_byte"),
+        F.col("features")[2].alias("f_last_byte"),
+        F.col("features")[3].alias("f_stride_sum"),
+    )
+
+
+MULTIMODAL_FEATURES_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         sha256(text) AS content_sha256,
+         hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+)
+SELECT doc_id, content_sha256, n_bytes,
+       CAST(4 AS BIGINT) AS n_features,
+       n_bytes::DOUBLE AS f_len,
+       CASE WHEN n_bytes = 0 THEN 0.0 ELSE
+         CAST('0x' || substring(hx, 1, 2) AS INT)::DOUBLE END AS f_first_byte,
+       CASE WHEN n_bytes = 0 THEN 0.0 ELSE
+         CAST('0x' || substring(hx, 2 * n_bytes - 1, 2) AS INT)::DOUBLE
+       END AS f_last_byte,
+       CASE WHEN n_bytes = 0 THEN 0.0 ELSE
+         (list_sum([CAST('0x' || substring(hx, 2 * i - 1, 2) AS INT)
+                    FOR i IN range(1, n_bytes + 1,
+                                   greatest(1, n_bytes // 16))])
+          % 997)::DOUBLE
+       END AS f_stride_sum
+FROM h
+"""
 
 
 # --------------------------------------------------------------------------
@@ -976,8 +1017,10 @@ SPECS: list[QuerySpec] = [
               DEDUP_PASSAGE_PAIRS_SQL),
     QuerySpec("text_pii_scrub", text_pii_scrub, TEXT_PII_SCRUB_SQL),
     QuerySpec("multimodal_payload", multimodal_payload, MULTIMODAL_PAYLOAD_SQL),
-    QuerySpec("multimodal_features", multimodal_features, None,
-              "Arrow-batched decode plumbing with stubbed codec"),
+    QuerySpec("multimodal_features", multimodal_features,
+              MULTIMODAL_FEATURES_SQL,
+              "Arrow-batched decode plumbing; fake codec replayed "
+              "byte-exactly by the oracle"),
     QuerySpec("asof_join_events", asof_join_events, ASOF_JOIN_EVENTS_SQL),
     QuerySpec("event_window_tumbling", event_window_tumbling,
               EVENT_WINDOW_TUMBLING_SQL),

@@ -414,14 +414,47 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Sketch aggregates (HLL / quantile digest): values are estimates,
-    # so no value-exact oracle exists -- declared rows-only by design.
+    # Sketch aggregates (HLL / quantile digest). Estimates have no
+    # value-exact oracle, so the driver-checked output pairs each
+    # sketch with its exact counterpart (computed in the same pass)
+    # and emits the sketch-error assertion as a boolean the oracle
+    # predicts as TRUE: approx_count_distinct (rsd=0.05) must land
+    # within 15% of the exact distinct, and the t-digest p50/p95
+    # (accuracy=10000 => rank error <= n/10000) must fall between the
+    # exact p45..p55 / p90..p99 percentiles. A sketch regression flips
+    # the boolean and the driver's value-hash catches it.
     li = t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000)
-        .alias("price_quantiles"),
+    agg = li.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey").alias("ap"),
+        F.percentile_approx("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10000).alias("pq"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.45, 0.55, 0.90, 0.99))"
+        ).alias("ep"),
     )
+    return agg.select(
+        "n_rows",
+        "exact_parts",
+        (
+            F.abs(F.col("ap") - F.col("exact_parts"))
+            <= 0.15 * F.col("exact_parts")
+        ).alias("approx_distinct_ok"),
+        F.col("pq")[0].between(F.col("ep")[0], F.col("ep")[1])
+        .alias("p50_ok"),
+        F.col("pq")[1].between(F.col("ep")[2], F.col("ep")[3])
+        .alias("p95_ok"),
+    )
+
+
+AGG_APPROX_SQL = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS approx_distinct_ok,
+       TRUE AS p50_ok,
+       TRUE AS p95_ok
+FROM lineitem
+"""
 
 
 def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,17 +462,36 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-partition (here per-nation) HLL sketches are unioned upward
     # instead of re-scanning raw data. hll_union_agg is register-wise
     # max, so rollup-then-estimate EQUALS estimate-over-everything
-    # (pinned by test_incremental_agg); estimates have no value-exact
-    # DuckDB oracle -> rows-only by design.
+    # (pinned by test_incremental_agg). The estimate itself has no
+    # exact oracle, so the driver-checked output pairs the merged
+    # estimate with the exact distinct (same pass) and asserts the
+    # sketch error bound as a boolean the oracle predicts as TRUE.
     c = t(spark, sf_dir, "customer")
     per_nation = c.groupBy("c_nationkey").agg(
         F.hll_sketch_agg("c_custkey").alias("sk"),
         F.count("*").alias("n_rows"),
     )
-    return per_nation.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_customers"),
+    merged = per_nation.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
         F.sum("n_rows").alias("total_rows"),
     )
+    exact = c.agg(F.count_distinct("c_custkey").alias("exact_customers"))
+    return merged.crossJoin(exact).select(
+        "total_rows",
+        "exact_customers",
+        (
+            F.abs(F.col("est") - F.col("exact_customers"))
+            <= 0.05 * F.col("exact_customers")
+        ).alias("merged_estimate_ok"),
+    )
+
+
+AGG_HLL_MERGEABLE_SQL = """
+SELECT count(*) AS total_rows,
+       count(DISTINCT c_custkey) AS exact_customers,
+       TRUE AS merged_estimate_ok
+FROM customer
+"""
 
 
 def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1359,10 +1411,12 @@ SPECS: list[QuerySpec] = [
               JOIN_RANGE_BUCKETED_SQL),
     QuerySpec("agg_pricing_summary", agg_pricing_summary, AGG_PRICING_SUMMARY_SQL),
     QuerySpec("agg_distinct", agg_distinct, AGG_DISTINCT_SQL),
-    QuerySpec("agg_approx", agg_approx, None,
-              "sketch aggregates; estimates have no exact oracle"),
-    QuerySpec("agg_hll_mergeable", agg_hll_mergeable, None,
-              "mergeable HLL rollup; merged==direct pinned by test"),
+    QuerySpec("agg_approx", agg_approx, AGG_APPROX_SQL,
+              "sketch aggregates paired with exact counterparts; "
+              "error bounds asserted as oracle-checkable booleans"),
+    QuerySpec("agg_hll_mergeable", agg_hll_mergeable, AGG_HLL_MERGEABLE_SQL,
+              "mergeable HLL rollup vs exact distinct; merged==direct "
+              "pinned by test_incremental_agg"),
     QuerySpec("agg_bitmap_distinct", agg_bitmap_distinct,
               AGG_BITMAP_DISTINCT_SQL),
     QuerySpec("agg_pivot", agg_pivot, AGG_PIVOT_SQL),

@@ -110,18 +110,20 @@ def test_every_query_has_doc_or_oracle():
 
 def test_doc_counts_match_registry():
     # CAPABILITIES.md / README.md state catalog sizes; keep them honest.
+    import pathlib
     import re
 
+    repo = pathlib.Path(__file__).resolve().parents[1]
     total = len(all_queries())
     oracled = sum(1 for s in get_registry().values() if s.oracle)
-    cap = open("/root/repo/CAPABILITIES.md").read()
+    cap = (repo / "CAPABILITIES.md").read_text()
     m = re.search(r"(\d+) declared queries in `__spark_entry__.py` "
                   r"\((\d+) DuckDB-oracle-checked", cap)
     assert m and (int(m.group(1)), int(m.group(2))) == (total, oracled), (
         f"CAPABILITIES.md says {m and m.groups()}, registry has "
         f"({total}, {oracled})"
     )
-    readme = open("/root/repo/README.md").read()
+    readme = (repo / "README.md").read_text()
     m = re.search(r"`queries\(\)` \((\d+) named", readme)
     assert m and int(m.group(1)) == total
     m = re.search(r"All (\d+) declared capabilities", readme)
