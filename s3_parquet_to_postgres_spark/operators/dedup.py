@@ -18,6 +18,8 @@ proportional to collisions, not n^2. All hashing is Spark-built-in
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -30,6 +32,25 @@ from .textstats import ws_tokens
 # stays in plain long arithmetic with no overflow even under ANSI mode
 # (Spark 4 default) -- no BIGDECIMAL, no wraparound, fully JVM-side.
 _P = (1 << 31) - 1
+
+
+def portable_hash60(col: Column | str) -> Column:
+    """Cross-engine deterministic 60-bit hash: the first 15 hex chars
+    of md5, parsed as an integer. Bit-identical in DuckDB as
+    ``CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)``, which is
+    what makes MinHash/SimHash catalog entries value-exact against
+    the oracle. xxhash64 stays the default for production paths
+    (one JVM hash vs md5 + hex parse)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _shingle_hash(hash_family: str) -> "Callable[[Column], Column]":
+    if hash_family == "xxhash64":
+        return lambda c: F.pmod(F.xxhash64(c), F.lit(_P))
+    if hash_family == "portable":
+        return lambda c: F.pmod(portable_hash60(c), F.lit(_P))
+    raise ValueError(f"unknown hash_family: {hash_family!r}")
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
@@ -80,6 +101,7 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 32,
     n: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: array<long>) MinHash signatures.
 
@@ -99,7 +121,7 @@ def minhash_signatures(
     sh = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, n)).alias("shingle"),
-    ).select("id", F.pmod(F.xxhash64("shingle"), F.lit(_P)).alias("h"))
+    ).select("id", _shingle_hash(hash_family)(F.col("shingle")).alias("h"))
     # SQL-text expressions, not composed Column objects: each F.pmod(
     # F.col()*F.lit()+F.lit()) chain is ~8 py4j round trips and with
     # num_hashes of them the driver spends ~1s just BUILDING the plan;
@@ -131,6 +153,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     n: int = 3,
     max_bucket_size: int = 1024,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -150,14 +173,19 @@ def minhash_lsh_pairs(
     with everything, so no discriminating near-dup signal is lost.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n,
+                             hash_family)
+    # Band bucket key: hash of the band's signature slice rendered as
+    # a comma-joined string. md5 under the portable family so the
+    # DuckDB oracle reproduces the buckets byte-for-byte.
+    band_hasher = F.xxhash64 if hash_family == "xxhash64" else F.md5
     banded = sig.select(
         "id",
         "sig",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
+                lambda b: band_hasher(
                     F.concat_ws(
                         ",", F.transform(
                             F.slice("sig", b * rows + 1, rows),
@@ -193,7 +221,7 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            bits: int = 64) -> DataFrame:
+            bits: int = 64, hash_family: str = "xxhash64") -> DataFrame:
     """64-bit SimHash over whitespace tokens: per bit, sign of the sum
     of +-1 votes from each token's xxhash64 bit. Hamming-close
     signatures => near-duplicate texts. Pure column expressions."""
@@ -204,11 +232,19 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # functions double its generated-code size -- see
     # minhash_signatures). Map-side partial sums keep the shuffle at
     # `bits` longs per doc.
-    nbits = min(bits, 63)  # 2^63 would overflow signed long
+    # 2^63 would overflow signed long; the portable hash only has 60
+    # meaningful bits (bits above are always 0 -> constant -1 votes,
+    # harmless but wasted), so portable callers pass bits <= 48.
+    nbits = min(bits, 63)
+    token_hash = (
+        F.xxhash64 if hash_family == "xxhash64" else portable_hash60
+    )
+    if hash_family not in ("xxhash64", "portable"):
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     tok = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(ws_tokens(text_col))).alias("tk"),
-    ).select("id", F.xxhash64("tk").alias("h"))
+    ).select("id", token_hash(F.col("tk")).alias("h"))
     # SQL-text expressions for the same py4j-build-cost reason as
     # minhash_signatures (nbits * 3 composed-Column chains would cost
     # ~1000 driver round trips per plan).
@@ -227,7 +263,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        max_hamming: int = 8,
-                       max_bucket_size: int = 1024) -> DataFrame:
+                       max_bucket_size: int = 1024,
+                       bits: int = 64,
+                       hash_family: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash: block on 16-bit signature chunks
     (pigeonhole: any pair within hamming distance <= 3*chunks-1 shares
     a chunk), then verify hamming distance exactly.
@@ -239,7 +277,11 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     cohorts of boilerplate docs) are dropped -- their in-bucket
     pairing is quadratic and carries no discriminating signal.
     """
-    sigs = simhash(df, id_col, text_col)
+    sigs = simhash(df, id_col, text_col, bits, hash_family)
+    # 4 pigeonhole chunks of nbits/4 bits each (16 for the default
+    # 64-bit signature, 12 for the portable 48-bit one).
+    chunk_bits = min(bits, 63) // 4
+    chunk_mask = (1 << chunk_bits) - 1
     chunks = sigs.select(
         F.col(id_col).alias("id"),
         "simhash",
@@ -247,7 +289,8 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
             F.array(*[
                 F.struct(
                     F.lit(i).alias("chunk_no"),
-                    F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright("simhash", i * chunk_bits)
+                    .bitwiseAND(F.lit(chunk_mask))
                     .alias("chunk"),
                 )
                 for i in range(4)

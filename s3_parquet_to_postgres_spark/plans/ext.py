@@ -90,11 +90,70 @@ WHERE i / (sa.n_sh + sb.n_sh - i) >= 0.1
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Banded MinHash LSH candidates; sketch internals are not
-    # SQL-expressible -> rows-only check (tests verify the estimate
-    # against exact Jaccard instead).
+    # Banded MinHash LSH candidates under the PORTABLE hash family
+    # (md5-derived shingle hashes, md5 band buckets): every stage --
+    # shingling, the 32 universal-hash permutations, banding,
+    # bucketing, the in-bucket pair expansion, the signature-overlap
+    # estimate -- is replayed bit-exactly by the DuckDB oracle, so
+    # this probabilistic operator gets a value-exact correctness row.
+    # Production corpora use the default xxhash64 family (same plan,
+    # one JVM hash instead of md5+hex-parse).
     return D.minhash_lsh_pairs(t(spark, sf_dir, "documents"),
-                               num_hashes=32, bands=8)
+                               num_hashes=32, bands=8,
+                               hash_family="portable")
+
+
+def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8,
+                        max_bucket: int = 1024) -> str:
+    rows = num_hashes // bands
+    params = D._hash_params(num_hashes)
+    a_list = ", ".join(str(a) for a, _ in params)
+    b_list = ", ".join(str(b) for _, b in params)
+    eq = ", ".join(
+        f"a.sig[{j + 1}] = b.sig[{j + 1}]" for j in range(num_hashes)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           [array_to_string(l[i:i+2], ' ') FOR i IN range(1, len(l) - 1)]
+         )) AS shingle
+  FROM toks
+), h AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT)
+           % 2147483647 AS h
+  FROM sh
+), hi AS (
+  SELECT doc_id, r.i AS i,
+         min((h * ([{a_list}])[r.i + 1] + ([{b_list}])[r.i + 1])
+             % 2147483647) AS m
+  FROM h CROSS JOIN range({num_hashes}) r(i)
+  GROUP BY doc_id, r.i
+), sig AS (
+  SELECT doc_id, list(m ORDER BY i) AS sig FROM hi GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, sig, rb.b AS band,
+         md5(array_to_string(sig[rb.b*{rows}+1 : rb.b*{rows}+{rows}], ','))
+           AS band_hash
+  FROM sig CROSS JOIN range({bands}) rb(b)
+), bsz AS (
+  SELECT band, band_hash, count(*) AS c
+  FROM banded GROUP BY band, band_hash
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_filter([{eq}], x -> x)) / {num_hashes} AS jaccard_est
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+JOIN bsz ON bsz.band = a.band AND bsz.band_hash = a.band_hash
+WHERE bsz.c <= {max_bucket}
+"""
+
+
+DEDUP_MINHASH_LSH_SQL = _minhash_oracle_sql()
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,9 +161,50 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bag-of-distinct-words SimHash signatures cluster tightly (at
     # hamming<=16 ~11% of ALL pairs match -- measured at sf0.1). The
     # tight radius keeps candidate volume proportional to true
-    # near-dups, which is what survives at 100 TB.
+    # near-dups, which is what survives at 100 TB. Portable hash
+    # family + 48-bit signatures (4 pigeonhole chunks of 12 bits):
+    # the whole pipeline is replayed bit-exactly by the oracle.
     return D.simhash_near_pairs(t(spark, sf_dir, "documents"),
-                                max_hamming=4)
+                                max_hamming=4, bits=48,
+                                hash_family="portable")
+
+
+DEDUP_SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(trim(text), '\\s+')) AS tks
+  FROM documents
+), tok AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(t.tk), 1, 15) AS BIGINT) AS h
+  FROM toks, unnest(tks) AS t(tk)
+), votes AS (
+  SELECT doc_id, r.i AS i,
+         sum(CASE WHEN (h >> r.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM tok CROSS JOIN range(48) r(i)
+  GROUP BY doc_id, r.i
+), sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i)
+                  ELSE CAST(0 AS BIGINT) END) AS simhash
+  FROM votes GROUP BY doc_id
+), chunks AS (
+  SELECT doc_id, simhash, rc.cn AS chunk_no,
+         (simhash >> (rc.cn * 12)) & 4095 AS chunk
+  FROM sig CROSS JOIN range(4) rc(cn)
+), bsz AS (
+  SELECT chunk_no, chunk, count(*) AS c
+  FROM chunks GROUP BY chunk_no, chunk
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM chunks a
+JOIN chunks b ON a.chunk_no = b.chunk_no AND a.chunk = b.chunk
+             AND a.doc_id < b.doc_id
+JOIN bsz ON bsz.chunk_no = a.chunk_no AND bsz.chunk = a.chunk
+WHERE bsz.c <= 1024
+  AND bit_count(xor(a.simhash, b.simhash)) <= 4
+"""
 
 
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,24 +326,89 @@ WHERE rnk <= 10
 """
 
 
-def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Approximate variant (random-hyperplane LSH, multi-table probe):
-    # rows-only; tests measure recall against cosine_topk.
+def _ann_verified(
+    spark: SparkSession, sf_dir: str, approx: DataFrame, k: int,
+    min_recall: float,
+) -> DataFrame:
+    """Driver-checkable ANN harness: pair the approximate result with
+    the exact brute force (computed in the same Spark job) and emit,
+    per query, the exact top-1 neighbor (value-exact in the oracle)
+    plus the recall assertion as a boolean the oracle predicts TRUE.
+    The LSH/IVF internals stay seeded-deterministic, so a recall
+    regression deterministically flips the boolean and fails the
+    driver's value-hash. The production operator is the ANN itself;
+    this entry is its verification harness (the exact pass doubles
+    the scan, which is the price of checking an approximation)."""
     e = t(spark, sf_dir, "embeddings")
-    return S.lsh_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+    q = e.filter(F.col("vec_id") < 5)
+    exact = S.cosine_topk(e, q, k=k)
+    hits = (
+        approx.join(exact.select("query_id", "neighbor_id"),
+                    ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    top1 = exact.filter(F.col("rank") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("exact_top1_id"),
+        F.col("cosine_sim").alias("exact_top1_sim"),
+    )
+    need = int(min_recall * k)
+    return (
+        top1.join(hits, "query_id", "left")
+        .select(
+            "query_id", "exact_top1_id", "exact_top1_sim",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= need)
+            .alias("recall_ok"),
+        )
+    )
+
+
+ANN_VERIFIED_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+sims AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(qv, e.v) AS sim
+  FROM q JOIN e ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id AS exact_top1_id,
+       {sql_dround('sim', 4)} AS exact_top1_sim,
+       TRUE AS recall_ok
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+      FROM sims)
+WHERE rnk = 1
+"""
+
+
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Random-hyperplane LSH, multi-table probe. 4 planes = 16 buckets
+    # per table fits this corpus (bucket width must track corpus size;
+    # measured per-query recall@10 >= 0.4 at sf0.001/0.01/0.1, bound
+    # declared at 0.3 for margin).
+    e = t(spark, sf_dir, "embeddings")
+    approx = S.lsh_topk(e, e.filter(F.col("vec_id") < 5), k=10,
+                        n_planes=4, n_tables=8)
+    return _ann_verified(spark, sf_dir, approx, k=10, min_recall=0.3)
 
 
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # IVF coarse-quantizer variant (tests measure recall vs exact).
+    # IVF coarse quantizer, 16 lists / probe 8 (measured per-query
+    # recall@10 >= 0.4 across SFs; bound 0.3).
     e = t(spark, sf_dir, "embeddings")
-    return S.ivf_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+    approx = S.ivf_topk(e, e.filter(F.col("vec_id") < 5), k=10, n_probe=8)
+    return _ann_verified(spark, sf_dir, approx, k=10, min_recall=0.3)
 
 
 def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Iterative ML over the embedding column (MLlib KMeans, fixed seed;
-    # Lloyd's algorithm is not SQL-expressible -> rows-only; cluster
-    # quality asserted in tests/test_kmeans.py). Output: one row per
-    # cluster with its population and label purity signal.
+    # Iterative ML over the embedding column (MLlib KMeans, fixed
+    # seed). Lloyd's algorithm is not SQL-expressible, so the
+    # driver-checked output is the verification summary: exact corpus
+    # count, the declared k, the (deterministic, seeded) number of
+    # non-empty clusters, and the clustering-beats-one-cluster SSE
+    # assertion as an oracle-predicted boolean. Per-cluster detail
+    # stays in tests/test_kmeans.py.
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -252,14 +417,42 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         array_to_vector(F.transform("embedding", lambda x: x.cast("double"))),
     )
     model = KMeans(k=10, seed=42, maxIter=20).fit(e)
-    pred = model.transform(e)
-    return (
-        pred.groupBy(F.col("prediction").cast("long").alias("cluster"))
-        .agg(
-            F.count("*").alias("n_vectors"),
-            F.countDistinct("label").cast("long").alias("distinct_labels"),
-        )
+    sse_k = model.summary.trainingCost
+    # Single-cluster SSE baseline (MLlib requires k >= 2): sum of
+    # squared distances to the global mean, E[|x|^2] - |E[x]|^2 per
+    # dimension. Two tiny aggregates; the 64 per-dim moments are the
+    # only values collected.
+    dim_stats = (
+        e.select(F.posexplode(S.as_double("embedding")).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.sum(F.col("x") * F.col("x")).alias("sx2"),
+             F.avg("x").alias("mx"),
+             F.count("*").alias("n"))
     )
+    sse_1 = sum(
+        r["sx2"] - r["n"] * r["mx"] * r["mx"] for r in dim_stats.collect()
+    )
+    pred = model.transform(e)
+    return pred.agg(
+        F.count("*").alias("n_vectors"),
+        F.lit(10).cast("long").alias("k"),
+        F.countDistinct("prediction").cast("long")
+        .alias("clusters_nonempty"),
+        # Near-random unit vectors leave k-means little to compress
+        # (measured ratio 0.91-0.95 across SFs); the invariant worth
+        # pinning is "clustering strictly beats the single-centroid
+        # baseline", which any broken/degenerate fit violates.
+        F.lit(bool(sse_k < sse_1)).alias("sse_improved_ok"),
+    )
+
+
+ML_KMEANS_SQL = """
+SELECT count(*) AS n_vectors,
+       CAST(10 AS BIGINT) AS k,
+       CAST(10 AS BIGINT) AS clusters_nonempty,
+       TRUE AS sse_improved_ok
+FROM embeddings
+"""
 
 
 # --------------------------------------------------------------------------
@@ -988,10 +1181,13 @@ SPECS: list[QuerySpec] = [
               DEDUP_KEEP_FIRST_SQL),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard,
               DEDUP_NGRAM_JACCARD_SQL),
-    QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, None,
-              "LSH sketch; verified against exact Jaccard in tests"),
-    QuerySpec("dedup_simhash", dedup_simhash, None,
-              "SimHash hamming pairs; hash internals not SQL-expressible"),
+    QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh,
+              DEDUP_MINHASH_LSH_SQL,
+              "banded MinHash LSH, portable hash family, bit-exact "
+              "oracle; estimate quality vs exact Jaccard in tests"),
+    QuerySpec("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL,
+              "SimHash hamming pairs, portable hash family, bit-exact "
+              "oracle"),
     QuerySpec("dedup_components", dedup_components, DEDUP_COMPONENTS_SQL),
     QuerySpec("dedup_corpus_pipeline", dedup_corpus_pipeline,
               DEDUP_CORPUS_PIPELINE_SQL),
@@ -999,12 +1195,15 @@ SPECS: list[QuerySpec] = [
               DEDUP_EMBEDDING_COSINE_SQL),
     QuerySpec("similarity_topk_cosine", similarity_topk_cosine,
               SIMILARITY_TOPK_SQL),
-    QuerySpec("similarity_ann_lsh", similarity_ann_lsh, None,
-              "approximate ANN; recall measured against exact top-k in tests"),
-    QuerySpec("similarity_ann_ivf", similarity_ann_ivf, None,
-              "IVF coarse-quantizer ANN; recall measured in tests"),
-    QuerySpec("ml_kmeans_embeddings", ml_kmeans_embeddings, None,
-              "iterative Lloyd's clustering (MLlib); quality in tests"),
+    QuerySpec("similarity_ann_lsh", similarity_ann_lsh, ANN_VERIFIED_SQL,
+              "LSH ANN vs exact top-k: exact top-1 oracled, recall "
+              "bound asserted as an oracle-checkable boolean"),
+    QuerySpec("similarity_ann_ivf", similarity_ann_ivf, ANN_VERIFIED_SQL,
+              "IVF ANN vs exact top-k: exact top-1 oracled, recall "
+              "bound asserted as an oracle-checkable boolean"),
+    QuerySpec("ml_kmeans_embeddings", ml_kmeans_embeddings, ML_KMEANS_SQL,
+              "MLlib KMeans summary: exact counts oracled, SSE "
+              "improvement asserted as an oracle-checkable boolean"),
     QuerySpec("sample_split", sample_split, SAMPLE_SPLIT_SQL),
     QuerySpec("text_tfidf", text_tfidf, TEXT_TFIDF_SQL),
     QuerySpec("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL),
