@@ -328,8 +328,19 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.1,
     strategy: str | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs at or above ``threshold``.
+
+    ``max_shingle_df`` (declared semantics when set): shingles whose
+    global document frequency exceeds the cap are dropped from every
+    document's set BEFORE sizes and intersections -- Jaccard over
+    non-boilerplate shingles. This bounds the inverted index's
+    worst-case fan-out (a shingle shared by k documents produces k^2
+    candidate rows; boilerplate headers/footers at corpus scale make
+    k unbounded) at the cost of ignoring exactly the shingles that
+    carry no discriminating signal. Applied identically in both
+    strategies, so they remain result-identical.
 
     Two exact strategies, chosen by threshold (both return identical
     results -- pinned by tests):
@@ -350,7 +361,8 @@ def ngram_jaccard_pairs(
     if strategy is None:
         strategy = "prefix" if threshold >= 0.3 else "inverted"
     if strategy == "inverted":
-        return _jaccard_inverted(df, id_col, text_col, n, threshold)
+        return _jaccard_inverted(df, id_col, text_col, n, threshold,
+                                 max_shingle_df)
     if strategy != "prefix":
         raise ValueError(f"unknown strategy: {strategy!r}")
     sh = spread(df).select(
@@ -358,6 +370,8 @@ def ngram_jaccard_pairs(
         F.explode(shingles(text_col, n)).alias("shingle"),
     )
     freq = sh.groupBy("shingle").agg(F.count("*").alias("gdf"))
+    if max_shingle_df is not None:
+        freq = freq.filter(F.col("gdf") <= max_shingle_df)
     # Canonical order: rarest first (ties broken by shingle text) --
     # shared rare shingles surface in the first prefix positions.
     ordered = (
@@ -419,13 +433,29 @@ def ngram_jaccard_pairs(
 
 
 def _jaccard_inverted(
-    df: DataFrame, id_col: str, text_col: str, n: int, threshold: float
+    df: DataFrame, id_col: str, text_col: str, n: int, threshold: float,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Inverted-index exact Jaccard: count shared shingles per pair."""
+    """Inverted-index exact Jaccard: count shared shingles per pair.
+
+    With ``max_shingle_df`` set, hot shingles are dropped before
+    sizes/intersections (one cheap map-side-combined df aggregation +
+    semi-join), bounding the self-join fan-out: post-filter, a
+    shingle contributes at most cap^2 candidate rows regardless of
+    corpus size. Without it this path is only safe on corpora known
+    to lack boilerplate."""
     sh = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, n)).alias("shingle"),
     )
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("gdf"))
+            .filter(F.col("gdf") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     pair_inter = (
         sh.alias("a")

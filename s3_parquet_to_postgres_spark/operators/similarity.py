@@ -344,17 +344,31 @@ def cosine_near_pairs_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.3,
+    max_block_size: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within metadata blocks.
 
     Blocking on a key (here ``label``) is the classic way to keep
     near-dup detection out of n^2 territory when a cheap partitioner
     exists; within a block the join is an equi-join on the block key.
-    """
+
+    ``max_block_size`` is declared semantics, same as the LSH/SimHash
+    bucket caps: a block's in-block pairing is quadratic in its size,
+    so one hot label (the degenerate "unlabeled" bucket at corpus
+    scale) would melt an executor. Oversize blocks are dropped -- a
+    block that big carries no discriminating signal; sub-bucket it
+    with an LSH signature (``lsh_topk``'s plane hashing) if its pairs
+    are genuinely needed."""
+    sizes_ok = (
+        df.groupBy(F.col(block_col).alias("block"))
+        .agg(F.count("*").alias("__bn"))
+        .filter(F.col("__bn") <= max_block_size)
+        .select("block")
+    )
     a = df.select(
         F.col(block_col).alias("block"), F.col(id_col).alias("id_a"),
         as_double(vec_col).alias("v_a"),
-    )
+    ).join(F.broadcast(sizes_ok), "block", "left_semi")
     b = df.select(
         F.col(block_col).alias("block"), F.col(id_col).alias("id_b"),
         as_double(vec_col).alias("v_b"),

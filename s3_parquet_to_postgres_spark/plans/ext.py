@@ -59,20 +59,28 @@ QUALIFY row_number() OVER (PARTITION BY content_key ORDER BY doc_id ASC) = 1
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_shingle_df=100 is declared semantics (mirrored by the
+    # oracle): Jaccard over non-boilerplate shingles, which bounds
+    # the inverted index's per-shingle fan-out at any corpus size.
     return D.ngram_jaccard_pairs(
-        t(spark, sf_dir, "documents"), n=3, threshold=0.1
+        t(spark, sf_dir, "documents"), n=3, threshold=0.1,
+        max_shingle_df=100,
     )
 
 
 DEDUP_NGRAM_JACCARD_SQL = """
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
-), sh AS (
+), sh0 AS (
   SELECT doc_id,
          unnest(list_distinct(
            [array_to_string(l[i:i+2], ' ') FOR i IN range(1, len(l) - 1)]
          )) AS shingle
   FROM toks
+), sh AS (
+  SELECT doc_id, shingle FROM sh0
+  WHERE shingle IN (SELECT shingle FROM sh0
+                    GROUP BY shingle HAVING count(*) <= 100)
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
 ), inter AS (
@@ -214,7 +222,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import dedup_groups
 
     pairs = D.ngram_jaccard_pairs(
-        t(spark, sf_dir, "documents"), n=3, threshold=0.1
+        t(spark, sf_dir, "documents"), n=3, threshold=0.1,
+        max_shingle_df=100,
     ).select("id_a", "id_b")
     return dedup_groups(pairs)
 
@@ -250,7 +259,8 @@ def dedup_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
     docs = t(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.1).select(
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.1,
+                                  max_shingle_df=100).select(
         "id_a", "id_b"
     )
     comps = connected_components(pairs)
@@ -297,6 +307,8 @@ SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
        {sql_dround('list_cosine_similarity(a.v, b.v)', 4)} AS cosine_sim
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+  AND a.label IN (SELECT label FROM embeddings
+                  GROUP BY label HAVING count(*) <= 1024)
 """
 
 

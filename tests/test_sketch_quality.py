@@ -163,3 +163,51 @@ def test_winnow_fingerprints_detect_partial_overlap(spark):
     pairs = {(r[0], r[1]) for r in shared}
     assert (1, 2) in pairs, "shared passage must produce shared fingerprints"
     assert all(p in {(1, 2)} for p in pairs), f"unexpected overlaps: {pairs}"
+
+
+def test_jaccard_shingle_df_cap_bounds_fanout(spark):
+    """max_shingle_df is declared semantics in both strategies: a
+    boilerplate shingle shared by every doc is excluded from sizes and
+    intersections, so pairs related ONLY through boilerplate vanish
+    and the inverted join's per-shingle fan-out is bounded."""
+    boiler = "copyright footer text"
+    docs = spark.createDataFrame(
+        [(i, f"unique words {i} alpha{i} beta{i} gamma{i} {boiler}")
+         for i in range(1, 9)]
+        + [(100, f"shared rare passage one two three {boiler}"),
+           (101, f"shared rare passage one two three {boiler}")],
+        "doc_id long, text string",
+    )
+    kw = dict(n=3, threshold=0.1, max_shingle_df=3)
+    inv = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in D.ngram_jaccard_pairs(docs, strategy="inverted", **kw)
+        .collect()
+    }
+    pre = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in D.ngram_jaccard_pairs(docs, strategy="prefix", **kw)
+        .collect()
+    }
+    assert inv == pre, "strategies must stay result-identical with cap"
+    assert (100, 101) in inv, "genuinely similar pair must survive"
+    assert all(p == (100, 101) for p in inv), (
+        f"boilerplate-only pairs must be pruned: {sorted(inv)}"
+    )
+
+
+def test_cosine_blocked_drops_oversize_blocks(spark):
+    """max_block_size caps the in-block quadratic pairing: a hot block
+    produces no pairs (same declared semantics as the LSH bucket cap),
+    small blocks are unaffected."""
+    rows = [(i, 0, [1.0, 0.0]) for i in range(10)]  # hot block: 10 > cap 4
+    rows += [(100 + i, 1, [0.0, 1.0]) for i in range(3)]  # small block
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = S.cosine_near_pairs_blocked(
+        emb, threshold=0.0, max_block_size=4
+    ).collect()
+    blocks = {r["block"] for r in out}
+    assert blocks == {1}, f"hot block must be dropped: {sorted(blocks)}"
+    assert len(out) == 3  # C(3,2) = 3 pairs in the small block
