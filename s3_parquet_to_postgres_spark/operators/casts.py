@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     BooleanType,
     ByteType,
     DataType,
@@ -31,6 +32,7 @@ from pyspark.sql.types import (
     LongType,
     ShortType,
     StringType,
+    StructType,
     TimestampType,
 )
 
@@ -69,6 +71,11 @@ _PG_TO_SPARK: dict[str, DataType] = {
     "cidr": StringType(),
     "json": StringType(),
     "jsonb": StringType(),
+    # bytea: the reference stubs raw BYTE_ARRAY with todo!()
+    # (reference: src/converters.rs:92-99); completed here the same way
+    # the timestamp/decimal stubs were -- BinaryType is also this
+    # engine's multimodal payload type (operators/multimodal.py).
+    "bytea": BinaryType(),
 }
 
 # Which source-type families may cast to which targets. Mirrors the
@@ -120,11 +127,23 @@ def cast_expr(name: str, src_type: DataType, pg_type: str) -> Column:
     # String passthrough into any string-accepting PG type, including
     # PG-side-parsed DATE/TIMESTAMP/INET/CIDR (reference:
     # src/converters.rs:119-148). Date/timestamp parse happens here in
-    # Spark instead of inside PG.
+    # Spark instead of inside PG; string -> bytea decodes hex (with or
+    # without a leading \x, matching PG's bytea input syntax).
     if isinstance(src_type, StringType):
         if isinstance(target, (StringType, DateType, TimestampType)):
             return col.cast(target)
+        if isinstance(target, BinaryType):
+            return F.unhex(F.regexp_replace(col, r"^\\x", ""))
         raise CastPlanError(f"{name}: STRING -> {pg_type} not supported")
+
+    # BINARY source: bytea passthrough, or hex text (the same \x-prefixed
+    # form the COPY TEXT encoder emits, sinks/copy.py).
+    if isinstance(src_type, BinaryType):
+        if isinstance(target, BinaryType):
+            return col
+        if isinstance(target, StringType):
+            return F.concat(F.lit("\\x"), F.lower(F.hex(col)))
+        raise CastPlanError(f"{name}: BINARY -> {pg_type} not supported")
 
     if isinstance(src_type, BooleanType) and isinstance(target, BooleanType):
         return col
@@ -132,6 +151,28 @@ def cast_expr(name: str, src_type: DataType, pg_type: str) -> Column:
     raise CastPlanError(
         f"{name}: no conversion {src_type.simpleString()} -> {pg_type!r}"
     )
+
+
+def require_flat(df: DataFrame, context: str = "cast plan") -> DataFrame:
+    """Fail fast (with the offending columns NAMED) on nested source
+    schemas. The reference *silently skips* GroupType fields
+    (reference: src/parquet_ops.rs:75), which turns a schema mistake
+    into missing data downstream; here a nested column in a
+    PG-bound projection is a typed plan-time error instead. Returns
+    df unchanged so it can sit inline in a pipeline."""
+    nested = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, StructType)
+        or type(f.dataType).__name__ in ("ArrayType", "MapType")
+    ]
+    if nested:
+        raise CastPlanError(
+            f"{context}: nested (non-flat) columns cannot map to a flat "
+            f"destination table: {nested}; project scalar leaves or "
+            f"serialize (to_json) first"
+        )
+    return df
 
 
 def build_cast_plan(df: DataFrame, column_targets: dict[str, str]) -> DataFrame:

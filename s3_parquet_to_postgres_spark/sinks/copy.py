@@ -5,24 +5,36 @@ BINARY`` (reference: src/db.rs:161-240, COPY SQL at :167-171) -- PG's
 fastest ingest path, well ahead of JDBC INSERT batches. Spark has no
 built-in COPY writer, so this is the one custom *physical* sink this
 engine needs (SURVEY.md §4.2): each partition opens its own
-connection and pipes a CSV-encoded stream through ``copy_expert``.
+connection and pipes the encoded stream through ``copy_expert``.
+
+Both COPY wire formats are implemented: TEXT (tab-separated, ``\\N``
+nulls) and the reference's BINARY (PGCOPY header, int16 field count,
+int32 length-prefixed big-endian fields, int16 -1 trailer -- the
+format documented in the PostgreSQL manual, "Binary Format"). BINARY
+skips PG's per-field text parse on ingest, which is the reference's
+one stated performance feature; it needs the column types up front,
+so ``CopySink(format="binary")`` takes the Spark schema and compiles
+one encoder per column at plan time (fail-fast on unsupported types,
+like the cast planner).
 
 psycopg2 is not installed in this container; the import is gated and
-the partition-level encoder is pure-Python and unit-tested on its own.
-Error semantics match the reference's fail-fast model: the first bad
-row or constraint violation raises inside the partition, failing the
-task and (with retries exhausted) the job (reference: src/db.rs:202-239).
-Idempotence at scale: point ``table`` at a staging table and swap
-atomically after the job, since a retried task replays its whole
-partition.
+the partition-level encoders are pure-Python and unit-tested on their
+own. Error semantics match the reference's fail-fast model: the first
+bad row or constraint violation raises inside the partition, failing
+the task and (with retries exhausted) the job (reference:
+src/db.rs:202-239). Idempotence at scale: point ``table`` at a
+staging table and swap atomically after the job, since a retried task
+replays its whole partition.
 """
 
 from __future__ import annotations
 
 import io
+import struct
 from dataclasses import dataclass
-from datetime import date, datetime
-from typing import Any, Iterable, Iterator
+from datetime import date, datetime, timezone
+from decimal import Decimal
+from typing import Any, Callable, Iterable, Iterator
 
 
 def _encode_value(v: Any) -> str:
@@ -53,32 +65,174 @@ def encode_rows(rows: Iterable[tuple]) -> Iterator[str]:
         yield "\t".join(_encode_value(v) for v in row) + "\n"
 
 
+# ---------------------------------------------------------------------------
+# BINARY format (reference: src/db.rs:167-177 -- COPY ... FROM STDIN BINARY)
+# ---------------------------------------------------------------------------
+
+BINARY_HEADER = b"PGCOPY\n\xff\r\n\x00" + struct.pack(">ii", 0, 0)
+BINARY_TRAILER = struct.pack(">h", -1)
+
+_PG_EPOCH_DATE = date(2000, 1, 1)
+_PG_EPOCH_TS = datetime(2000, 1, 1)
+_NUMERIC_NEG = 0x4000
+_NUMERIC_NAN = 0xC000
+
+
+def _bin_bool(v: Any) -> bytes:
+    return b"\x01" if v else b"\x00"
+
+
+def _bin_bytes(v: Any) -> bytes:
+    return bytes(v)
+
+
+def _bin_text(v: Any) -> bytes:
+    return str(v).encode("utf-8")
+
+
+def _bin_date(v: Any) -> bytes:
+    # int32 days since 2000-01-01 (PG epoch)
+    return struct.pack(">i", (v - _PG_EPOCH_DATE).days)
+
+
+def _bin_timestamp(v: Any) -> bytes:
+    # int64 microseconds since 2000-01-01 00:00:00; tz-aware inputs are
+    # normalized to UTC first (PG stores timestamptz as UTC micros too).
+    if v.tzinfo is not None:
+        v = v.astimezone(timezone.utc).replace(tzinfo=None)
+    delta = v - _PG_EPOCH_TS
+    micros = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+    return struct.pack(">q", micros)
+
+
+def encode_numeric(v: Decimal) -> bytes:
+    """Decimal -> PG NUMERIC binary: int16 ndigits, weight, sign,
+    dscale, then ndigits base-10000 digits (PG manual, numeric.c's
+    NumericVar layout). Weight = base-10000 exponent of the first
+    digit; groups are aligned so the decimal point falls on a group
+    boundary."""
+    if v.is_nan():
+        return struct.pack(">hhHh", 0, 0, _NUMERIC_NAN, 0)
+    if not v.is_finite():
+        raise ValueError("PG NUMERIC has no +/-Infinity binary form pre-PG14")
+    sign = _NUMERIC_NEG if v < 0 else 0x0000
+    t = abs(v).as_tuple()
+    digits, exp = list(t.digits), t.exponent
+    if exp > 0:  # e.g. 1E+3 -> shift into integer digits
+        digits += [0] * exp
+        exp = 0
+    dscale = -exp
+    int_len = len(digits) + exp  # decimal digits left of the point (may be <=0)
+    pad_left = (-int_len) % 4
+    digits = [0] * pad_left + digits
+    digits += [0] * ((-len(digits)) % 4)
+    groups = [
+        digits[i] * 1000 + digits[i + 1] * 100 + digits[i + 2] * 10 + digits[i + 3]
+        for i in range(0, len(digits), 4)
+    ]
+    weight = (int_len + pad_left) // 4 - 1
+    while groups and groups[0] == 0:
+        groups.pop(0)
+        weight -= 1
+    while groups and groups[-1] == 0:
+        groups.pop()
+    if not groups:  # zero: canonical ndigits=0, weight=0, positive
+        return struct.pack(">hhHh", 0, 0, 0x0000, dscale)
+    return struct.pack(">hhHh", len(groups), weight, sign, dscale) + struct.pack(
+        f">{len(groups)}h", *groups
+    )
+
+
+# Spark simpleString (sans decimal precision) -> field encoder.
+_BINARY_ENCODERS: dict[str, Callable[[Any], bytes]] = {
+    "boolean": _bin_bool,
+    "tinyint": lambda v: struct.pack(">h", v),  # PG has no int1; widen to int2
+    "smallint": lambda v: struct.pack(">h", v),
+    "int": lambda v: struct.pack(">i", v),
+    "bigint": lambda v: struct.pack(">q", v),
+    "float": lambda v: struct.pack(">f", v),
+    "double": lambda v: struct.pack(">d", v),
+    "string": _bin_text,
+    "binary": _bin_bytes,
+    "date": _bin_date,
+    "timestamp": _bin_timestamp,
+    "timestamp_ntz": _bin_timestamp,
+    "decimal": lambda v: encode_numeric(v if isinstance(v, Decimal) else Decimal(str(v))),
+}
+
+
+def binary_encoders(schema) -> list[Callable[[Any], bytes]]:
+    """Compile one encoder per column from a Spark StructType; raises
+    at plan time on unsupported types (fail-fast, like the cast
+    planner). Complex types (array/map/struct) have no COPY BINARY
+    form -- flatten or serialize them first."""
+    encs = []
+    for f in schema.fields:
+        key = f.dataType.simpleString().split("(")[0]
+        enc = _BINARY_ENCODERS.get(key)
+        if enc is None:
+            raise TypeError(
+                f"COPY BINARY: unsupported column type {f.dataType.simpleString()!r}"
+                f" for column {f.name!r}"
+            )
+        encs.append(enc)
+    return encs
+
+
+def encode_rows_binary(
+    rows: Iterable[tuple], encoders: list[Callable[[Any], bytes]]
+) -> Iterator[bytes]:
+    """Rows -> PGCOPY binary tuples (no header/trailer -- the caller
+    frames the stream, since one COPY statement may span several
+    buffer flushes on one connection)."""
+    nfields = struct.pack(">h", len(encoders))
+    null = struct.pack(">i", -1)
+    for row in rows:
+        parts = [nfields]
+        for enc, v in zip(encoders, row):
+            if v is None:
+                parts.append(null)
+            else:
+                data = enc(v)
+                parts.append(struct.pack(">i", len(data)))
+                parts.append(data)
+        yield b"".join(parts)
+
+
 @dataclass
 class CopySink:
-    """foreachPartition writer using COPY ... FROM STDIN."""
+    """foreachPartition writer using COPY ... FROM STDIN [BINARY].
+
+    ``format="text"`` needs no type information; ``format="binary"``
+    (the reference's fast path, src/db.rs:167-171) compiles per-column
+    encoders from the DataFrame schema at plan time in ``write``.
+    """
 
     conn_string: str
     table: str
     columns: tuple[str, ...]
+    format: str = "text"  # "text" | "binary"
+
+    def __post_init__(self) -> None:
+        if self.format not in ("text", "binary"):
+            raise ValueError(f"CopySink format must be text|binary, got {self.format!r}")
 
     def copy_sql(self) -> str:
         cols = ", ".join(f'"{c}"' for c in self.columns)
-        return f'COPY "{self.table}" ({cols}) FROM STDIN'
+        suffix = " BINARY" if self.format == "binary" else ""
+        return f'COPY "{self.table}" ({cols}) FROM STDIN{suffix}'
 
     def write(self, df) -> None:
         sink = self  # capture a picklable copy for executors
+        projected = df.select(*self.columns)
+        # Plan-time fail-fast: unsupported binary column types raise
+        # here on the driver, before any task launches.
+        encoders = binary_encoders(projected.schema) if self.format == "binary" else None
 
-        def write_partition(rows: Iterator) -> None:
-            try:
-                import psycopg2  # gated: not bundled in this container
-            except ImportError as exc:  # pragma: no cover
-                raise RuntimeError(
-                    "CopySink requires psycopg2 on executors; "
-                    "use JdbcSink where it is unavailable"
-                ) from exc
+        def write_text_partition(rows: Iterator) -> None:
+            conn, psycopg2 = _connect(sink.conn_string)
             buf = io.StringIO()
             n = 0
-            conn = psycopg2.connect(sink.conn_string)
             try:
                 with conn.cursor() as cur:
                     for line in encode_rows(tuple(r) for r in rows):
@@ -98,4 +252,46 @@ class CopySink:
             finally:
                 conn.close()
 
-        df.select(*self.columns).foreachPartition(write_partition)
+        def write_binary_partition(rows: Iterator) -> None:
+            conn, psycopg2 = _connect(sink.conn_string)
+            buf = io.BytesIO()
+            buf.write(BINARY_HEADER)
+            n = 0
+            try:
+                with conn.cursor() as cur:
+                    for tup in encode_rows_binary((tuple(r) for r in rows), encoders):
+                        buf.write(tup)
+                        n += 1
+                        if buf.tell() > 8 << 20:
+                            # Each copy_expert call is one complete
+                            # PGCOPY stream: header + tuples + trailer.
+                            buf.write(BINARY_TRAILER)
+                            buf.seek(0)
+                            cur.copy_expert(sink.copy_sql(), buf)
+                            buf = io.BytesIO()
+                            buf.write(BINARY_HEADER)
+                    if n and buf.tell() > len(BINARY_HEADER):
+                        buf.write(BINARY_TRAILER)
+                        buf.seek(0)
+                        cur.copy_expert(sink.copy_sql(), buf)
+                conn.commit()
+            except Exception:
+                conn.rollback()
+                raise
+            finally:
+                conn.close()
+
+        fn = write_binary_partition if self.format == "binary" else write_text_partition
+        projected.foreachPartition(fn)
+
+
+def _connect(conn_string: str):
+    """Executor-side gated psycopg2 connect."""
+    try:
+        import psycopg2  # gated: not bundled in this container
+    except ImportError as exc:  # pragma: no cover
+        raise RuntimeError(
+            "CopySink requires psycopg2 on executors; "
+            "use JdbcSink where it is unavailable"
+        ) from exc
+    return psycopg2.connect(conn_string), psycopg2

@@ -94,3 +94,53 @@ def test_incompatible_pair_fails_at_plan_time(spark, typed_df):
 def test_unknown_target_column_fails(spark, typed_df):
     with pytest.raises(CastPlanError, match="unknown columns"):
         build_cast_plan(typed_df, {"nope": "int4"})
+
+
+# -- bytea (closes the reference's raw BYTE_ARRAY todo!(),
+#    src/converters.rs:92-99, like the timestamp/decimal stubs) --------------
+
+@pytest.fixture(scope="module")
+def binary_df(spark):
+    return spark.createDataFrame(
+        [(b"\x01\xab", "01ab", "\\x01ab")], "raw binary, hexs string, pgs string"
+    )
+
+
+def test_binary_passthrough_to_bytea(spark, binary_df):
+    out = build_cast_plan(binary_df, {"raw": "bytea"})
+    assert dict(out.dtypes)["raw"] == "binary"
+    assert bytes(out.first()["raw"]) == b"\x01\xab"
+
+
+def test_string_hex_to_bytea_both_syntaxes(spark, binary_df):
+    out = build_cast_plan(binary_df, {"hexs": "bytea", "pgs": "bytea"})
+    row = out.first()
+    assert bytes(row["hexs"]) == b"\x01\xab"
+    assert bytes(row["pgs"]) == b"\x01\xab"  # PG's \x-prefixed form
+
+
+def test_binary_to_text_is_pg_hex_form(spark, binary_df):
+    out = build_cast_plan(binary_df, {"raw": "text"})
+    assert out.first()["raw"] == "\\x01ab"
+
+
+def test_binary_to_numeric_fails_at_plan_time(spark, binary_df):
+    with pytest.raises(CastPlanError, match="BINARY -> "):
+        build_cast_plan(binary_df, {"raw": "int4"})
+
+
+# -- nested-source rejection (reference silently skips GroupType,
+#    src/parquet_ops.rs:75; we fail fast naming the column) ------------------
+
+def test_require_flat_names_the_nested_columns(spark):
+    from s3_parquet_to_postgres_spark.operators.casts import require_flat
+
+    df = spark.createDataFrame(
+        [(1, {"a": 1}, [1, 2])], "i int, s map<string,int>, a array<int>"
+    )
+    with pytest.raises(CastPlanError, match=r"s: map<string,int>") as ei:
+        require_flat(df)
+    assert "a: array<int>" in str(ei.value)
+    # flat frames pass through unchanged
+    flat = spark.createDataFrame([(1,)], "i int")
+    assert require_flat(flat) is flat

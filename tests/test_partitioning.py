@@ -25,6 +25,7 @@ from s3_parquet_to_postgres_spark.sources.parquet import (
     write_partitioned,
 )
 from pyspark.sql.types import (
+    BinaryType,
     DateType,
     DoubleType,
     IntegerType,
@@ -106,11 +107,12 @@ def test_copy_encoding_roundtrip(rows):
 
 _SRC_TYPES = [
     IntegerType(), LongType(), DoubleType(), StringType(),
-    DateType(), TimestampType(),
+    DateType(), TimestampType(), BinaryType(),
 ]
 _PG_TYPES = [
     "bool", "int2", "int4", "int8", "float4", "float8", "numeric",
     "date", "timestamp", "varchar", "text", "inet", "blob", "uuid",
+    "bytea",
 ]
 
 
