@@ -27,22 +27,40 @@ from .pipeline import run
 from .session import build_session
 
 
-def _make_sink_fn(args, spec: JobSpec, spark):
+def _validate_sink_args(args, spec: JobSpec) -> None:
+    """Structural sink-arg checks that need no SparkSession -- run
+    BEFORE build_session so a bad invocation exits 2 without paying
+    JVM startup (fail-fast, reference: src/main.rs:9-14)."""
     if args.sink == "parquet":
         if not args.output_dir:
             raise ConfigError("--sink parquet requires --output-dir")
-
-        def parquet_sink(df):
-            n = df.count()
-            df.write.mode("append").parquet(args.output_dir)
-            return n
-
-        return parquet_sink
-
-    if not (spec.sink.conn_string and spec.sink.table):
+    elif not (spec.sink.conn_string and spec.sink.table):
         raise ConfigError(
             "db.conn_string and db.table are required for a Postgres sink"
         )
+
+
+def _observed(df):
+    """Attach a row-count observation to df's write job: the count
+    comes from the SAME job as the write (Spark Observation API), not
+    a second full scan of the batch."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    return df.observe(obs, F.count(F.lit(1)).alias("n")), obs
+
+
+def _make_sink_fn(args, spec: JobSpec, spark):
+    if args.sink == "parquet":
+
+        def parquet_sink(df):
+            df, obs = _observed(df)
+            df.write.mode("append").parquet(args.output_dir)
+            return obs.get["n"]
+
+        return parquet_sink
+
     out_cols = tuple(
         spec.projection.output_name(c) for c in spec.projection.desired_fields
     )
@@ -50,6 +68,10 @@ def _make_sink_fn(args, spec: JobSpec, spark):
         from .sinks.copy import CopySink
 
         sink = CopySink(spec.sink.conn_string, spec.sink.table, out_cols)
+        # CopySink counts rows via an accumulator inside its own
+        # foreachPartition job (Observation does not resolve for
+        # RDD-backed actions) -- one job, no extra scan.
+        return lambda df: sink.write(df)
     else:
         from .sinks.jdbc import JdbcSink, validate_target_schema
 
@@ -61,9 +83,9 @@ def _make_sink_fn(args, spec: JobSpec, spark):
         sink = JdbcSink(spec.sink.conn_string, spec.sink.table, spec.sink.mode)
 
     def db_sink(df):
-        n = df.count()
+        df, obs = _observed(df)
         sink.write(df)
-        return n
+        return obs.get["n"]
 
     return db_sink
 
@@ -84,6 +106,7 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         spec = JobSpec.from_yaml_file(args.config)
+        _validate_sink_args(args, spec)
     except (ConfigError, OSError) as e:
         print(f"config error: {e}", file=sys.stderr)
         return 2
@@ -93,6 +116,7 @@ def main(argv: list[str] | None = None) -> int:
         sink_fn = _make_sink_fn(args, spec, spark)
     except ConfigError as e:
         print(f"config error: {e}", file=sys.stderr)
+        spark.stop()
         return 2
 
     try:

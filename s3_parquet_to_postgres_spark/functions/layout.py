@@ -18,9 +18,24 @@ from pyspark.sql import DataFrame
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition df up to ``min_partitions`` (default: the session's
-    defaultParallelism) iff it currently has fewer partitions."""
+    defaultParallelism) iff the input is narrow.
+
+    Narrowness is judged from the scan's file list (``inputFiles``, a
+    pure file-index lookup) rather than ``df.rdd.getNumPartitions()``,
+    which would force a full RDD conversion of the plan at build time.
+    Fewer files than target cores -> repartition (a single file may
+    still split by maxPartitionBytes, in which case this repartition
+    is a cheap over-caution on a small input); at 100 TB the file
+    count dwarfs the core count and this is a provable no-op with no
+    plan materialization. Non-file plans (in-memory test frames)
+    report no input files and are repartitioned -- they are tiny by
+    construction."""
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < target:
         return df.repartition(target)
     return df

@@ -15,7 +15,18 @@ right rows sort before left rows at equal timestamps. Among right rows
 sharing (key, time), pass ``right_order`` to make the winner
 deterministic (the greatest order value); without it the winner is
 partition-order-dependent, which an order-insensitive oracle can't see
-but a re-run at different parallelism can.
+but a re-run at different parallelism can. ``right_order`` must be
+non-NULL to give that guarantee: NULL order values sort before every
+real value (and before the untagged left rows' NULL), so rows carrying
+them stay mutually nondeterministic -- coalesce to a sentinel first if
+the column can be NULL.
+
+The whole matched right row is carried as ONE struct with a single
+``last(ignorenulls=True)``: a struct is non-NULL whenever its source
+row exists, so a matching right row whose *payload value* is NULL
+correctly yields NULL (an earlier per-column carry would have
+substituted a stale older value -- the per-row as-of definition
+forbids that).
 """
 
 from __future__ import annotations
@@ -73,24 +84,31 @@ def asof_join(
     )
     carried = r.unionByName(l)
     out_cols = list(left_cols)
-    for c in right_payload:
-        carried = carried.withColumn(
-            f"__c_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w)
-        )
-    carried = carried.withColumn(
-        "__match_t",
-        F.last(F.when(F.col("__is_left") == 0, F.col("__t")), ignorenulls=True)
-        .over(w),
-    )
-    out = carried.filter(F.col("__is_left") == 1)
+    # ONE struct-valued carry: non-NULL iff a right row exists at or
+    # before this position, so NULL payload fields inside the matched
+    # row survive as NULL instead of falling back to older rows.
+    match = F.last(
+        F.when(
+            F.col("__is_left") == 0,
+            F.struct(
+                F.col("__t").alias("__mt"),
+                *[F.col(f"__r_{c}").alias(c) for c in right_payload],
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    out = carried.withColumn("__match", match).filter(F.col("__is_left") == 1)
+    match_t = F.col("__match").getField("__mt")
     stale = (
-        F.col("__match_t").isNull()
-        | (F.col("__match_t") < F.col("__t") - F.expr(f"INTERVAL {tolerance}"))
+        F.col("__match").isNull()
+        | (match_t < F.col("__t") - F.expr(f"INTERVAL {tolerance}"))
         if tolerance
-        else F.col("__match_t").isNull()
+        else F.col("__match").isNull()
     )
-    for c in right_payload:
-        out = out.withColumn(
-            c, F.when(stale, F.lit(None)).otherwise(F.col(f"__c_{c}"))
-        )
-    return out.select(*out_cols, *right_payload)
+    payload = [
+        F.when(stale, F.lit(None).cast(right.schema[c].dataType))
+        .otherwise(F.col("__match").getField(c))
+        .alias(c)
+        for c in right_payload
+    ]
+    return out.select(*out_cols, *payload)

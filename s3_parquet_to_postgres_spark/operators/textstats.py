@@ -34,8 +34,11 @@ WORD_REGEX = "[A-Za-z0-9]+"
 # space-prefixed letter runs, digit runs, symbol runs) restricted to
 # the regex subset Java regex (Spark) and RE2 (DuckDB) interpret
 # identically -- no lookahead, so the original's \s+(?!\S) tail rule
-# is approximated by folding whitespace into the following token.
-BPE_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+# is approximated by folding whitespace into the following token. The
+# final ` ?'+` alternative keeps standalone/leading apostrophes
+# ('tis, trailing quotes) as tokens; without it they vanish, a small
+# systematic undercount vs the GPT-2 pre-tokenizer.
+BPE_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+| ?'+"
 
 
 def ws_tokens(text: Column | str) -> Column:
@@ -231,12 +234,15 @@ def tfidf_top_terms(
         ).alias("term"),
     )
     tf = terms.groupBy("doc", "term").agg(F.count("*").alias("tf"))
-    n_docs = df.count()  # driver-side scalar; one job, fine at any scale
+    # N as a broadcast single-row agg, not a separate df.count() job:
+    # the whole query stays ONE job; the count subplan is a
+    # metadata-only parquet row-count scan.
+    n_docs = df.agg(F.count("*").cast("double").alias("__n_docs"))
     scored = tf.withColumn(
         "df", F.count("*").over(Window.partitionBy("term"))
-    ).select(
+    ).crossJoin(F.broadcast(n_docs)).select(
         "doc", "term", "tf", "df",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("score"),
+        (F.col("tf") * F.log(F.col("__n_docs") / F.col("df"))).alias("score"),
     )
     w = Window.partitionBy("doc").orderBy(
         F.col("score").desc(), F.col("term").asc()

@@ -222,9 +222,15 @@ class CopySink:
         suffix = " BINARY" if self.format == "binary" else ""
         return f'COPY "{self.table}" ({cols}) FROM STDIN{suffix}'
 
-    def write(self, df) -> None:
+    def write(self, df) -> int:
+        """Write df and return rows written. The count rides a Spark
+        accumulator filled by the same foreachPartition job as the
+        COPY itself -- no second scan (the Observation API does not
+        resolve for RDD-backed actions, so an accumulator is the
+        single-job mechanism here)."""
         sink = self  # capture a picklable copy for executors
         projected = df.select(*self.columns)
+        rows_acc = df.sparkSession.sparkContext.accumulator(0)
         # Plan-time fail-fast: unsupported binary column types raise
         # here on the driver, before any task launches.
         encoders = binary_encoders(projected.schema) if self.format == "binary" else None
@@ -246,6 +252,7 @@ class CopySink:
                         buf.seek(0)
                         cur.copy_expert(sink.copy_sql(), buf)
                 conn.commit()  # all-or-nothing per partition
+                rows_acc.add(n)
             except Exception:
                 conn.rollback()
                 raise  # fail the task -> fail-fast like the reference
@@ -275,6 +282,7 @@ class CopySink:
                         buf.seek(0)
                         cur.copy_expert(sink.copy_sql(), buf)
                 conn.commit()
+                rows_acc.add(n)
             except Exception:
                 conn.rollback()
                 raise
@@ -283,6 +291,7 @@ class CopySink:
 
         fn = write_binary_partition if self.format == "binary" else write_text_partition
         projected.foreachPartition(fn)
+        return rows_acc.value
 
 
 def _connect(conn_string: str):

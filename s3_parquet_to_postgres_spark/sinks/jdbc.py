@@ -26,6 +26,28 @@ class SchemaValidationError(RuntimeError):
     """Destination table/columns missing or of incompatible type."""
 
 
+def check_destination_columns(
+    table: str,
+    dest_cols: list[str] | set[str] | tuple[str, ...],
+    expected_columns: list[str] | tuple[str, ...],
+) -> None:
+    """The pure half of destination validation: every expected column
+    must exist in the destination column set, else abort naming the
+    gap (reference: src/db.rs:134-145 -- "Column '{}' not found").
+    Matching is case-sensitive like the reference's HashMap lookup;
+    PG folds unquoted identifiers to lowercase, so configs should use
+    the exact stored spelling. Kept separate from the JDBC read so the
+    fail-fast matrix is contract-testable with recorded schemas, no
+    live PG (reference e2e: src/runner.rs:163-374)."""
+    dest = set(dest_cols)
+    missing = [c for c in expected_columns if c not in dest]
+    if missing:
+        raise SchemaValidationError(
+            f"destination table {table!r} lacks column(s) {missing}; "
+            f"has {sorted(dest)}"
+        )
+
+
 def validate_target_schema(
     spark: SparkSession,
     jdbc_url: str,
@@ -46,13 +68,8 @@ def validate_target_schema(
         raise SchemaValidationError(
             f"cannot introspect destination table {table!r}: {exc}"
         ) from exc
-    dest_cols = {f.name for f in dest_schema.fields}
-    missing = [c for c in expected_columns if c not in dest_cols]
-    if missing:
-        raise SchemaValidationError(
-            f"destination table {table!r} lacks column(s) {missing}; "
-            f"has {sorted(dest_cols)}"
-        )
+    check_destination_columns(table, {f.name for f in dest_schema.fields},
+                              expected_columns)
 
 
 @dataclass
@@ -79,8 +96,11 @@ class JdbcSink:
         validate_target_schema(spark, self.url, self.table, columns, self.properties)
 
     def write(self, df: DataFrame) -> None:
+        # coalesce (not repartition): bounds concurrent PG connections
+        # at num_writers with no shuffle and no .rdd plan
+        # materialization; a narrower upstream just uses fewer writers.
         writer = (
-            df.repartition(min(self.num_writers, max(df.rdd.getNumPartitions(), 1)))
+            df.coalesce(self.num_writers)
             .write.format("jdbc")
             .option("url", self.url)
             .option("dbtable", self.table)

@@ -81,8 +81,12 @@ def test_asof_matches_brute_force_on_random_data(spark):
     left_rows = [
         (rng.randrange(6), ts(rng.randrange(120)), i) for i in range(120)
     ]
+    # ~1/4 NULL payloads: a matching right row with a NULL value must
+    # yield NULL, never an older row's value (per-row definition; a
+    # per-column last(ignorenulls) carry gets this wrong).
     right_rows = [
-        (rng.randrange(6), ts(rng.randrange(120)), i, f"v{i}")
+        (rng.randrange(6), ts(rng.randrange(120)), i,
+         None if rng.random() < 0.25 else f"v{i}")
         for i in range(150)
     ]
     tolerance_min = 25
