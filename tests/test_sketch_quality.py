@@ -211,3 +211,68 @@ def test_cosine_blocked_drops_oversize_blocks(spark):
     blocks = {r["block"] for r in out}
     assert blocks == {1}, f"hot block must be dropped: {sorted(blocks)}"
     assert len(out) == 3  # C(3,2) = 3 pairs in the small block
+
+
+def test_kmeans_refine_is_deterministic_and_tightens(spark, emb):
+    # Lloyd refinement must (a) be partition-order independent,
+    # (b) not lose IVF recall vs the raw hash-sample seeds, and
+    # (c) strictly change the seeds (it actually iterates).
+    from s3_parquet_to_postgres_spark.operators.similarity import (
+        as_double,
+        kmeans_refine_centroids,
+    )
+
+    seeds = (
+        emb.select(
+            F.col("vec_id").alias("centroid_id"),
+            as_double("embedding").alias("cent_vec"),
+        )
+        .withColumn("__h", F.xxhash64(F.col("centroid_id").cast("string")))
+        .orderBy("__h")
+        .limit(8)
+        .drop("__h")
+    )
+    r1 = kmeans_refine_centroids(emb, seeds, iters=2).collect()
+    r2 = kmeans_refine_centroids(emb.repartition(7), seeds, iters=2).collect()
+    to_map = lambda rows: {
+        r["centroid_id"]: [round(x, 9) for x in r["cent_vec"]] for r in rows
+    }
+    assert to_map(r1) == to_map(r2)  # deterministic
+    assert len(r1) == 8
+    seeds_map = to_map(seeds.collect())
+    assert to_map(r1) != seeds_map  # moved off the raw samples
+
+
+def test_ivf_refined_recall_not_worse(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = _topk_sets(S.cosine_topk(emb, queries, k=10))
+    raw = _recall(_topk_sets(S.ivf_topk(emb, queries, k=10)), exact)
+    ref = _recall(
+        _topk_sets(S.ivf_topk(emb, queries, k=10, refine_iters=2)), exact
+    )
+    # k-means-tightened cells should not hurt recall at equal n_probe.
+    assert ref >= raw - 0.1, (ref, raw)
+
+
+def test_kmeans_refine_empty_cluster_keeps_seed(spark):
+    # Two far clusters + one seed placed so no vector picks it: the
+    # orphan centroid must survive unchanged (Lloyd fallback).
+    from s3_parquet_to_postgres_spark.operators.similarity import (
+        kmeans_refine_centroids,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [10.0, 0.0]) for i in range(5)]
+        + [(i + 5, [0.0, 10.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-5.0, -5.0])],
+        "centroid_id long, cent_vec array<double>",
+    )
+    out = {
+        r["centroid_id"]: r["cent_vec"]
+        for r in kmeans_refine_centroids(corpus, seeds, iters=1).collect()
+    }
+    assert out[2] == [-5.0, -5.0]  # empty cluster kept its seed
+    assert out[0] == [10.0, 0.0] and out[1] == [0.0, 10.0]
