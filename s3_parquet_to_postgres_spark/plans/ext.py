@@ -576,6 +576,113 @@ FROM documents GROUP BY 1
 """
 
 
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pre-training curation funnel, fused into ONE narrow
+    pass plus two small shuffles: every per-doc signal (token count,
+    marker-language id, PII-scrubbed content hash) comes out of a
+    single Project over a single corpus scan -- deliberately NOT a
+    chain of the individual operators, each of which would re-spread
+    and re-tokenize; quality and language gates filter inline; exact
+    dedup keeps the smallest doc_id per scrubbed content hash (the
+    one corpus-sized shuffle, carrying a 64-char hash + id + two
+    small columns per doc); the content-stable md5 split assigns
+    train/validation/test; the final accounting aggregates per
+    (split, predicted lang). At 100 TB the narrow stage scales
+    linearly and everything after the dedup shuffle is tiny."""
+    d = t(spark, sf_dir, "documents")
+    toks = T.ws_tokens(F.lower(F.col("text")))
+
+    def in_markers(arr):
+        return lambda x: F.array_contains(arr, x)
+
+    scores: dict[str, object] = {}
+    for lang, markers in sorted(T.LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(toks, in_markers(arr)))
+    best = F.greatest(*scores.values())
+    pred = F.lit(None).cast("string")
+    for lang in sorted(scores, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), T.EMAIL_REGEX, "<EMAIL>"),
+        T.URL_REGEX, "<URL>",
+    )
+    sig = (
+        d.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            pred.alias("lang_pred"),
+            best.cast("long").alias("lang_score"),
+            F.sha2(scrubbed, 256).alias("content_key"),
+        )
+        # Quality gate (length) and language-confidence gate.
+        .filter((F.col("n_tokens") >= 20) & (F.col("lang_score") >= 1))
+    )
+    w = Window.partitionBy("content_key").orderBy(F.col("doc_id").asc())
+    kept = (
+        sig.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < F.lit("1a"), "test")
+        .when(bucket < F.lit("33"), "validation")
+        .otherwise("train")
+    )
+    return (
+        kept.withColumn("split", split)
+        .groupBy("split", "lang_pred")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+CORPUS_CURATION_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks,
+         regexp_replace(
+           regexp_replace(text, '{T.EMAIL_REGEX}', '<EMAIL>', 'g'),
+           '{T.URL_REGEX}', '<URL>', 'g') AS scrubbed
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         {_lang_score_sql(T.LANG_MARKERS['de'])} AS s_de,
+         {_lang_score_sql(T.LANG_MARKERS['en'])} AS s_en,
+         {_lang_score_sql(T.LANG_MARKERS['es'])} AS s_es,
+         {_lang_score_sql(T.LANG_MARKERS['fr'])} AS s_fr,
+         {_lang_score_sql(T.LANG_MARKERS['zh'])} AS s_zh,
+         sha256(scrubbed) AS content_key
+  FROM base
+), gated AS (
+  SELECT doc_id, n_tokens, content_key,
+         CASE WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+              WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
+              ELSE 'zh' END AS lang_pred
+  FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best
+        FROM scored)
+  WHERE n_tokens >= 20 AND best >= 1
+), deduped AS (
+  SELECT * FROM gated
+  QUALIFY row_number() OVER (PARTITION BY content_key
+                             ORDER BY doc_id) = 1
+)
+SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+            THEN 'test'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '33'
+            THEN 'validation'
+            ELSE 'train' END AS split,
+       lang_pred,
+       count(*) AS docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM deduped GROUP BY 1, 2
+"""
+
+
+
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.tfidf_top_terms(t(spark, sf_dir, "documents"), top_n=3)
 
@@ -1203,6 +1310,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("dedup_components", dedup_components, DEDUP_COMPONENTS_SQL),
     QuerySpec("dedup_corpus_pipeline", dedup_corpus_pipeline,
               DEDUP_CORPUS_PIPELINE_SQL),
+    QuerySpec("corpus_curation_pipeline", corpus_curation_pipeline,
+              CORPUS_CURATION_SQL),
     QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine,
               DEDUP_EMBEDDING_COSINE_SQL),
     QuerySpec("similarity_topk_cosine", similarity_topk_cosine,
