@@ -45,6 +45,7 @@ HEADLINE = [
     "text_tfidf",
     "asof_join_events",
     "event_sessionize",
+    "corpus_curation_pipeline",
 ]
 
 

@@ -36,6 +36,12 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
-    if n_files < target:
-        return df.repartition(target)
-    return df
+    if n_files >= target:
+        return df
+    # Composed operators each call spread; only the first may add a
+    # repartition. A logical-plan string check (cheap, no physical
+    # planning) keeps chains like quality_scores(language_id(df))
+    # from shuffling the corpus once per stage.
+    if "Repartition" in df._jdf.queryExecution().logical().toString():
+        return df
+    return df.repartition(target)

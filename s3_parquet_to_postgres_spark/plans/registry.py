@@ -75,7 +75,10 @@ FLAGSHIP: list[str] = [
     "asof_join_events",
     "event_sessionize",
     "multimodal_payload",
-    "sample_split",
+    # The fused curation funnel subsumes sample_split's md5 split plus
+    # the quality/lang/PII/dedup gates -- the strongest single E5 row
+    # the driver's 50-entry window can carry.
+    "corpus_curation_pipeline",
 ]
 
 

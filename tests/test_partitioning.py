@@ -127,3 +127,29 @@ def test_cast_plan_total(src, pg):
     except CastPlanError:
         return
     assert expr is not None
+
+
+def test_spread_is_idempotent_across_composed_operators(spark):
+    # Each text operator calls spread(); composing two must add ONE
+    # repartition, not one per stage.
+    from s3_parquet_to_postgres_spark.operators import textstats as T
+
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox und der hund") for i in range(10)],
+        "doc_id long, text string",
+    )
+    composed = T.quality_scores(T.language_id(df))
+    plan = composed._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Repartition") == 1, plan
+
+
+def test_spread_skips_wide_file_inputs(spark, tmp_path):
+    # An input already split into >= target files must NOT be
+    # reshuffled -- at 100 TB spread is a provable no-op.
+    from s3_parquet_to_postgres_spark.functions.layout import spread
+
+    p = str(tmp_path / "many")
+    spark.range(1000).repartition(12).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = spread(df, min_partitions=4)
+    assert out is df
