@@ -1,0 +1,116 @@
+"""Staging-table + atomic-swap: the idempotence half of the PG sinks.
+
+Spark tasks retry; a retried COPY/JDBC partition replays its whole
+partition, so writing straight into the live table is at-least-once.
+The exactly-once pattern at any scale is: write the job's output into
+a staging table, then swap it into place in ONE transaction -- readers
+see the old table or the new one, never a partial load. (The reference
+has no answer here at all: its serial loop simply aborts mid-table on
+failure, reference: src/db.rs:202-239 -- this module is the Spark-era
+completion of that gap, documented in SURVEY.md §7.3.)
+
+All SQL generation is pure and unit-tested without a database; the
+execution half goes through the same gated psycopg2 import as
+CopySink. Both swap styles are provided:
+
+* ``swap_by_rename`` -- ALTER TABLE RENAME shuffle inside a
+  transaction. Fully atomic in Postgres (DDL is transactional), takes
+  an ACCESS EXCLUSIVE lock for the instant of the swap.
+* ``clone_then_swap_ddl`` -- CREATE TABLE staging (LIKE live INCLUDING
+  ALL), for bootstrapping the staging table with identical schema,
+  defaults, and indexes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+def _q(ident: str) -> str:
+    """Quote a PG identifier (embedded quotes doubled)."""
+    return '"' + ident.replace('"', '""') + '"'
+
+
+def clone_then_swap_ddl(table: str, staging: str | None = None) -> str:
+    """DDL that (re)creates an empty staging clone of the live table."""
+    stg = staging or f"{table}__staging"
+    return (
+        f"DROP TABLE IF EXISTS {_q(stg)};\n"
+        f"CREATE TABLE {_q(stg)} (LIKE {_q(table)} INCLUDING ALL);"
+    )
+
+
+def swap_by_rename(table: str, staging: str | None = None,
+                   keep_old: bool = False) -> str:
+    """One transaction that promotes the staging table to live.
+
+    The old live table moves to ``<table>__old`` (dropped unless
+    ``keep_old``), the staging table takes the live name. Readers
+    block for the duration of the two renames (microseconds), then
+    see the complete new data -- never a partial load.
+    """
+    stg = staging or f"{table}__staging"
+    old = f"{table}__old"
+    stmts = [
+        "BEGIN;",
+        f"DROP TABLE IF EXISTS {_q(old)};",
+        f"ALTER TABLE {_q(table)} RENAME TO {_q(old)};",
+        f"ALTER TABLE {_q(stg)} RENAME TO {_q(table)};",
+    ]
+    if not keep_old:
+        stmts.append(f"DROP TABLE {_q(old)};")
+    stmts.append("COMMIT;")
+    return "\n".join(stmts)
+
+
+@dataclass
+class StagedLoad:
+    """Orchestrates sink -> staging table -> atomic swap.
+
+    Usage::
+
+        staged = StagedLoad(conn_string, table="events")
+        sink = CopySink(conn_string, staged.staging_table, cols,
+                        format="binary")
+        staged.prepare()          # clone schema into staging
+        rows = sink.write(df)     # parallel COPY into staging
+        staged.swap()             # one-transaction promote
+
+    A failed job leaves the live table untouched; rerunning starts by
+    re-cloning staging, so partial staged data never leaks.
+    """
+
+    conn_string: str
+    table: str
+    staging: str | None = None
+    keep_old: bool = False
+
+    @property
+    def staging_table(self) -> str:
+        return self.staging or f"{self.table}__staging"
+
+    def prepare(self) -> None:
+        self._execute(clone_then_swap_ddl(self.table, self.staging_table))
+
+    def swap(self) -> None:
+        self._execute(
+            swap_by_rename(self.table, self.staging_table, self.keep_old)
+        )
+
+    def _execute(self, script: str) -> None:
+        try:
+            import psycopg2  # gated: not bundled in this container
+        except ImportError as exc:  # pragma: no cover
+            raise RuntimeError(
+                "StagedLoad requires psycopg2 on the driver"
+            ) from exc
+        conn = psycopg2.connect(self.conn_string)
+        try:
+            with conn.cursor() as cur:
+                cur.execute(script)
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()

@@ -64,3 +64,50 @@ def test_jdbc_sink_validate_delegates(spark):
     sink = JdbcSink(url="jdbc:postgresql://localhost:1/void", table="t")
     with pytest.raises(SchemaValidationError):
         sink.validate(spark, ["id"])
+
+
+# -- staging swap (the exactly-once promote; SQL pure, no PG needed) --------
+
+def test_clone_ddl_quotes_and_targets_staging():
+    from s3_parquet_to_postgres_spark.sinks.staging import clone_then_swap_ddl
+
+    ddl = clone_then_swap_ddl("events")
+    assert 'DROP TABLE IF EXISTS "events__staging";' in ddl
+    assert 'CREATE TABLE "events__staging" (LIKE "events" INCLUDING ALL);' in ddl
+
+
+def test_swap_is_one_transaction_ordered():
+    from s3_parquet_to_postgres_spark.sinks.staging import swap_by_rename
+
+    sql = swap_by_rename("events")
+    lines = sql.splitlines()
+    assert lines[0] == "BEGIN;" and lines[-1] == "COMMIT;"
+    # old dropped first, live -> old, staging -> live, old dropped
+    assert lines[1] == 'DROP TABLE IF EXISTS "events__old";'
+    assert lines[2] == 'ALTER TABLE "events" RENAME TO "events__old";'
+    assert lines[3] == 'ALTER TABLE "events__staging" RENAME TO "events";'
+    assert lines[4] == 'DROP TABLE "events__old";'
+
+
+def test_swap_keep_old_retains_backup():
+    from s3_parquet_to_postgres_spark.sinks.staging import swap_by_rename
+
+    sql = swap_by_rename("t", keep_old=True)
+    assert 'DROP TABLE "t__old";' not in sql
+    assert sql.count("DROP TABLE IF EXISTS") == 1
+
+
+def test_identifier_quoting_doubles_embedded_quotes():
+    from s3_parquet_to_postgres_spark.sinks.staging import swap_by_rename
+
+    sql = swap_by_rename('we"ird')
+    assert '"we""ird"' in sql
+
+
+def test_staged_load_fails_cleanly_without_psycopg2():
+    from s3_parquet_to_postgres_spark.sinks.staging import StagedLoad
+
+    staged = StagedLoad("postgresql://nope", table="t")
+    assert staged.staging_table == "t__staging"
+    with pytest.raises(Exception, match="psycopg2|StagedLoad"):
+        staged.prepare()
