@@ -191,18 +191,28 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     def in_markers(arr: Column):
         return lambda x: F.array_contains(arr, x)
 
+    # Materialize the per-language scores as REAL columns before the
+    # argmax: greatest() + the when-chain reference every score ~6
+    # times, and inlined scores would re-tokenize the text per
+    # reference (~30 split+filter evaluations per row). As separate
+    # attributes, CollapseProject keeps the non-cheap expressions in
+    # their own Project and each evaluates once.
     scores: dict[str, Column] = {}
     for lang, markers in sorted(LANG_MARKERS.items()):
         arr = F.array(*[F.lit(m) for m in markers])
         scores[lang] = F.size(F.filter(toks, in_markers(arr)))
-    best = F.greatest(*scores.values())
+    scored = df.withColumns(
+        {f"__s_{lang}": c for lang, c in scores.items()}
+    )
+    cols = {lang: F.col(f"__s_{lang}") for lang in scores}
+    best = F.greatest(*cols.values())
     # argmax with alphabetical tiebreak: first lang reaching the max.
     pred = F.lit(None).cast("string")
-    for lang in sorted(scores, reverse=True):
-        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
-    return df.withColumns(
+    for lang in sorted(cols, reverse=True):
+        pred = F.when(cols[lang] == best, F.lit(lang)).otherwise(pred)
+    return scored.withColumns(
         {"lang_pred": pred, "lang_score": best.cast("long")}
-    )
+    ).drop(*[f"__s_{lang}" for lang in scores])
 
 
 def tfidf_top_terms(

@@ -592,28 +592,47 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     toks = T.ws_tokens(F.lower(F.col("text")))
 
-    def in_markers(arr):
-        return lambda x: F.array_contains(arr, x)
+    # All 5 language scores in ONE traversal of the token array (a
+    # struct-of-counters fold): separate F.filter expressions would
+    # each embed their own copy of the tokenization, and Catalyst's
+    # filter pushdown then duplicates every copy again below the
+    # projection -- measured 14 split() evaluations per row vs ~4
+    # here (1.5s -> 0.9s for the whole query at sf0.1).
+    arrs = {
+        k: F.array(*[F.lit(m) for m in ms])
+        for k, ms in sorted(T.LANG_MARKERS.items())
+    }
+    zero = F.struct(*[F.lit(0).alias(f"s_{k}") for k in arrs])
 
-    scores: dict[str, object] = {}
-    for lang, markers in sorted(T.LANG_MARKERS.items()):
-        arr = F.array(*[F.lit(m) for m in markers])
-        scores[lang] = F.size(F.filter(toks, in_markers(arr)))
-    best = F.greatest(*scores.values())
-    pred = F.lit(None).cast("string")
-    for lang in sorted(scores, reverse=True):
-        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    def step(acc, x):
+        return F.struct(*[
+            (acc.getField(f"s_{k}")
+             + F.array_contains(arrs[k], x).cast("int")).alias(f"s_{k}")
+            for k in arrs
+        ])
+
     scrubbed = F.regexp_replace(
         F.regexp_replace(F.col("text"), T.EMAIL_REGEX, "<EMAIL>"),
         T.URL_REGEX, "<URL>",
     )
+    scored = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(toks, zero, step).alias("__sc"),
+        F.sha2(scrubbed, 256).alias("content_key"),
+    )
+    cols = {k: F.col("__sc").getField(f"s_{k}") for k in arrs}
+    best = F.greatest(*cols.values())
+    pred = F.lit(None).cast("string")
+    for lang in sorted(cols, reverse=True):
+        pred = F.when(cols[lang] == best, F.lit(lang)).otherwise(pred)
     sig = (
-        d.select(
+        scored.select(
             "doc_id",
-            F.size(toks).cast("long").alias("n_tokens"),
+            "n_tokens",
             pred.alias("lang_pred"),
             best.cast("long").alias("lang_score"),
-            F.sha2(scrubbed, 256).alias("content_key"),
+            "content_key",
         )
         # Quality gate (length) and language-confidence gate.
         .filter((F.col("n_tokens") >= 20) & (F.col("lang_score") >= 1))
