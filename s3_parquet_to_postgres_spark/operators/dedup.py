@@ -66,14 +66,16 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
     )
 
 
-def shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (JVM-side:
-    split + transform + array_distinct; no UDF).
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-TOKENIZED array
+    column (JVM-side: transform + array_distinct; no UDF). Take a
+    materialized attribute, not the tokenize expression itself: this
+    references ``toks`` three times, and an inline split() would be
+    re-evaluated per reference (and again by filter pushdown).
 
     Guarded for texts shorter than ``n`` tokens: ``sequence(1, 0)``
     is DESCENDING in Spark ([1, 0]), so an unguarded upper bound of 0
     would feed slice() a zero start and throw."""
-    toks = ws_tokens(text)
     k = F.size(toks) - (n - 1)
     idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
         F.array().cast("array<int>")
@@ -82,6 +84,13 @@ def shingles(text: Column | str, n: int = 3) -> Column:
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
     )
     return F.array_distinct(grams)
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a raw text column. Prefer
+    ``shingles_of`` over a materialized token column in plans -- this
+    convenience form embeds the tokenization 3x."""
+    return shingles_of(ws_tokens(text), n)
 
 
 def _hash_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
@@ -118,9 +127,9 @@ def minhash_signatures(
     Partial (map-side) min aggregation means shuffle volume is
     num_hashes longs per doc, independent of document length.
     """
-    sh = spread(df).select(
+    sh = spread(df).withColumn("__toks", ws_tokens(text_col)).select(
         F.col(id_col).alias("id"),
-        F.explode(shingles(text_col, n)).alias("shingle"),
+        F.explode(shingles_of(F.col("__toks"), n)).alias("shingle"),
     ).select("id", _shingle_hash(hash_family)(F.col("shingle")).alias("h"))
     # SQL-text expressions, not composed Column objects: each F.pmod(
     # F.col()*F.lit()+F.lit()) chain is ~8 py4j round trips and with
@@ -365,9 +374,9 @@ def ngram_jaccard_pairs(
                                  max_shingle_df)
     if strategy != "prefix":
         raise ValueError(f"unknown strategy: {strategy!r}")
-    sh = spread(df).select(
+    sh = spread(df).withColumn("__toks", ws_tokens(text_col)).select(
         F.col(id_col).alias("id"),
-        F.explode(shingles(text_col, n)).alias("shingle"),
+        F.explode(shingles_of(F.col("__toks"), n)).alias("shingle"),
     )
     freq = sh.groupBy("shingle").agg(F.count("*").alias("gdf"))
     if max_shingle_df is not None:
@@ -438,30 +447,42 @@ def _jaccard_inverted(
 ) -> DataFrame:
     """Inverted-index exact Jaccard: count shared shingles per pair.
 
-    With ``max_shingle_df`` set, hot shingles are dropped before
-    sizes/intersections (one cheap map-side-combined df aggregation +
-    semi-join), bounding the self-join fan-out: post-filter, a
-    shingle contributes at most cap^2 candidate rows regardless of
-    corpus size. Without it this path is only safe on corpora known
-    to lack boilerplate."""
-    sh = spread(df).select(
+    ONE corpus scan: shingles group into per-shingle posting lists
+    (collect_list), and everything else -- document sizes, pair
+    intersections -- derives from that bucket table. The earlier
+    formulation joined the exploded shingle table against itself and
+    against two size aggregations, which materialized the shingle
+    pipeline (the expensive corpus explode) four times in the plan;
+    Catalyst does not deduplicate a self-join's common subplan.
+
+    With ``max_shingle_df`` set, hot posting lists are dropped before
+    pairing, bounding the in-bucket fan-out: a shingle contributes at
+    most cap^2 candidate rows regardless of corpus size (declared
+    semantics, reproduced by the oracle). Without it this path is
+    only safe on corpora known to lack boilerplate."""
+    sh = spread(df).withColumn("__toks", ws_tokens(text_col)).select(
         F.col(id_col).alias("id"),
-        F.explode(shingles(text_col, n)).alias("shingle"),
+        F.explode(shingles_of(F.col("__toks"), n)).alias("shingle"),
     )
+    buckets = sh.groupBy("shingle").agg(F.collect_list("id").alias("ids"))
     if max_shingle_df is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("gdf"))
-            .filter(F.col("gdf") <= max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(keep, "shingle", "left_semi")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+        buckets = buckets.filter(F.size("ids") <= max_shingle_df)
+    # Doc sizes from the (capped) posting lists -- no corpus rescan.
+    sizes = (
+        buckets.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_sh"))
+    )
+    # In-bucket ordered pairs; count of shared shingles per pair.
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)), y ->"
+        " named_struct('id_a', least(x, y), 'id_b', greatest(x, y)))))"
+    )
     pair_inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))

@@ -88,19 +88,27 @@ def winnow_fingerprints(
     an md5 prefix (not xxhash64) so the DuckDB oracle can reproduce
     them bit-for-bit.
     """
-    toks = ws_tokens(F.col(text_col))
-    n = F.size(toks)
-    n_grams = n - (k - 1)
+    # Tokenize and hash into MATERIALIZED columns: the gram-hash chain
+    # is referenced twice (window count + the min-slices) and the token
+    # array three times; inlined, each reference re-evaluates the whole
+    # upstream chain (split + per-gram md5).
+    base = spread(df).withColumn("__toks", ws_tokens(F.col(text_col)))
+    toks = F.col("__toks")
+    n_grams = F.size(toks) - (k - 1)
     gram_idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
         F.array().cast("array<int>")
     )
     grams = F.transform(
         gram_idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
     )
-    hashes = F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+    hashed = base.withColumn(
+        "__gram_hashes",
+        F.transform(
+            grams,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+        ),
     )
+    hashes = F.col("__gram_hashes")
     n_wins = F.size(hashes) - (w - 1)
     win_idx = F.when(n_wins >= 1, F.sequence(F.lit(1), n_wins)).otherwise(
         F.array().cast("array<int>")
@@ -108,7 +116,7 @@ def winnow_fingerprints(
     fps = F.array_distinct(
         F.transform(win_idx, lambda j: F.array_min(F.slice(hashes, j, w)))
     )
-    return spread(df).select(
+    return hashed.select(
         F.col(id_col), F.explode(fps).alias("fingerprint")
     )
 
@@ -160,12 +168,17 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length/punctuation/stopword-ratio quality features (the standard
     cheap pre-filters for web-scale corpus cleaning)."""
     df = spread(df)
-    toks = ws_tokens(text_col)
+    # Tokenize ONCE into a real column: n_tokens is referenced by
+    # three ratios, and inlining would re-split the text per
+    # reference (CollapseProject keeps multi-referenced non-cheap
+    # expressions in their own Project, so these evaluate once).
+    tokenized = df.withColumn("__toks", ws_tokens(text_col))
+    toks = F.col("__toks")
     n_toks = F.size(toks)
     stop_lit = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_lit, F.lower(x))))
     punct = F.length(F.regexp_replace(F.col(text_col), "[^.,;:!?]", ""))
-    return df.withColumns(
+    return tokenized.withColumns(
         {
             "n_tokens": n_toks.cast("long"),
             "mean_token_len": (
@@ -175,7 +188,7 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
             "punct_ratio": punct / F.greatest(F.length(text_col), F.lit(1)),
             "stopword_ratio": n_stop / F.greatest(n_toks, F.lit(1)),
         }
-    )
+    ).drop("__toks")
 
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
