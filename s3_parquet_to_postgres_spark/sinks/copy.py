@@ -212,6 +212,12 @@ class CopySink:
     table: str
     columns: tuple[str, ...]
     format: str = "text"  # "text" | "binary"
+    # Injectable for tests / alternative drivers: a picklable callable
+    # (conn_string) -> DB-API connection. None -> psycopg2.connect on
+    # the executor. Lets the full foreachPartition path (framing,
+    # flush boundaries, commit/rollback, accumulator counts) run
+    # end-to-end without a live Postgres.
+    connection_factory: Callable[[str], Any] | None = None
 
     def __post_init__(self) -> None:
         if self.format not in ("text", "binary"):
@@ -236,7 +242,7 @@ class CopySink:
         encoders = binary_encoders(projected.schema) if self.format == "binary" else None
 
         def write_text_partition(rows: Iterator) -> None:
-            conn, psycopg2 = _connect(sink.conn_string)
+            conn = _connect(sink.conn_string, sink.connection_factory)
             buf = io.StringIO()
             n = 0
             try:
@@ -260,7 +266,7 @@ class CopySink:
                 conn.close()
 
         def write_binary_partition(rows: Iterator) -> None:
-            conn, psycopg2 = _connect(sink.conn_string)
+            conn = _connect(sink.conn_string, sink.connection_factory)
             buf = io.BytesIO()
             buf.write(BINARY_HEADER)
             n = 0
@@ -294,8 +300,10 @@ class CopySink:
         return rows_acc.value
 
 
-def _connect(conn_string: str):
-    """Executor-side gated psycopg2 connect."""
+def _connect(conn_string: str, factory: "Callable[[str], Any] | None" = None):
+    """Executor-side connect: injected factory, or gated psycopg2."""
+    if factory is not None:
+        return factory(conn_string)
     try:
         import psycopg2  # gated: not bundled in this container
     except ImportError as exc:  # pragma: no cover
@@ -303,4 +311,4 @@ def _connect(conn_string: str):
             "CopySink requires psycopg2 on executors; "
             "use JdbcSink where it is unavailable"
         ) from exc
-    return psycopg2.connect(conn_string), psycopg2
+    return psycopg2.connect(conn_string)
