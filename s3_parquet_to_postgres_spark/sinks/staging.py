@@ -24,6 +24,7 @@ CopySink. Both swap styles are provided:
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Any, Callable
 
 
 def _q(ident: str) -> str:
@@ -84,6 +85,9 @@ class StagedLoad:
     table: str
     staging: str | None = None
     keep_old: bool = False
+    # Injectable for tests / alternative drivers (same contract as
+    # CopySink.connection_factory); None -> psycopg2.connect.
+    connection_factory: Callable[[str], Any] | None = None
 
     @property
     def staging_table(self) -> str:
@@ -98,13 +102,16 @@ class StagedLoad:
         )
 
     def _execute(self, script: str) -> None:
-        try:
-            import psycopg2  # gated: not bundled in this container
-        except ImportError as exc:  # pragma: no cover
-            raise RuntimeError(
-                "StagedLoad requires psycopg2 on the driver"
-            ) from exc
-        conn = psycopg2.connect(self.conn_string)
+        if self.connection_factory is not None:
+            conn = self.connection_factory(self.conn_string)
+        else:
+            try:
+                import psycopg2  # gated: not bundled in this container
+            except ImportError as exc:  # pragma: no cover
+                raise RuntimeError(
+                    "StagedLoad requires psycopg2 on the driver"
+                ) from exc
+            conn = psycopg2.connect(self.conn_string)
         try:
             with conn.cursor() as cur:
                 cur.execute(script)

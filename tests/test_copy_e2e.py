@@ -130,3 +130,35 @@ def test_failure_rolls_back_and_fails_job(spark, tmp_path):
         sink.write(df)
     assert glob.glob(os.path.join(out, "*.rollback"))
     assert not glob.glob(os.path.join(out, "*.commit"))
+
+
+def test_staged_load_executes_prepare_then_swap(tmp_path):
+    # Full staged-load orchestration against the fake connection:
+    # prepare clones the staging table, swap promotes in one script.
+    from s3_parquet_to_postgres_spark.sinks.staging import StagedLoad
+
+    out = str(tmp_path)
+    executed = []
+
+    class _RecConn(_FakeConn):
+        def cursor(self):
+            outer = self
+
+            class _C(_FakeCursor):
+                def __init__(self):
+                    super().__init__(outer.outdir, "w")
+
+                def execute(self, sql):
+                    executed.append(sql)
+
+            return _C()
+
+    staged = StagedLoad("postgresql://fake", table="events",
+                        connection_factory=lambda cs: _RecConn(out, False))
+    staged.prepare()
+    staged.swap()
+    assert 'CREATE TABLE "events__staging" (LIKE "events" INCLUDING ALL);' in executed[0]
+    assert executed[1].startswith("BEGIN;")
+    assert 'ALTER TABLE "events__staging" RENAME TO "events";' in executed[1]
+    # two scripts, each followed by a commit
+    assert len(glob.glob(os.path.join(out, "*.commit"))) == 2
