@@ -576,20 +576,14 @@ FROM documents GROUP BY 1
 """
 
 
-def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full pre-training curation funnel, fused into ONE narrow
-    pass plus two small shuffles: every per-doc signal (token count,
-    marker-language id, PII-scrubbed content hash) comes out of a
-    single Project over a single corpus scan -- deliberately NOT a
-    chain of the individual operators, each of which would re-spread
-    and re-tokenize; quality and language gates filter inline; exact
-    dedup keeps the smallest doc_id per scrubbed content hash (the
-    one corpus-sized shuffle, carrying a 64-char hash + id + two
-    small columns per doc); the content-stable md5 split assigns
-    train/validation/test; the final accounting aggregates per
-    (split, predicted lang). At 100 TB the narrow stage scales
-    linearly and everything after the dedup shuffle is tiny."""
-    d = t(spark, sf_dir, "documents")
+def curation_signals(d: DataFrame) -> DataFrame:
+    """The NARROW per-doc stage of the curation funnel: one Project
+    computing every signal (token count, the five marker-language
+    scores as a single struct-fold, the PII-scrubbed sha256 content
+    key), with the quality and language gates filtering inline. No
+    shuffle, no state -- which means it runs unchanged on a STREAMING
+    DataFrame (see test_streaming_curation.py: incremental file
+    ingest of the same signals, batch-parity checked)."""
     toks = T.ws_tokens(F.lower(F.col("text")))
 
     # All 5 language scores in ONE traversal of the token array (a
@@ -620,13 +614,13 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("n_tokens"),
         F.aggregate(toks, zero, step).alias("__sc"),
         F.sha2(scrubbed, 256).alias("content_key"),
-    )
+    )  # noqa: E501 -- d is the raw documents frame (batch or streaming)
     cols = {k: F.col("__sc").getField(f"s_{k}") for k in arrs}
     best = F.greatest(*cols.values())
     pred = F.lit(None).cast("string")
     for lang in sorted(cols, reverse=True):
         pred = F.when(cols[lang] == best, F.lit(lang)).otherwise(pred)
-    sig = (
+    return (
         scored.select(
             "doc_id",
             "n_tokens",
@@ -637,6 +631,18 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Quality gate (length) and language-confidence gate.
         .filter((F.col("n_tokens") >= 20) & (F.col("lang_score") >= 1))
     )
+
+
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pre-training curation funnel: the narrow signal stage
+    (``curation_signals``, one corpus scan), then exact dedup keeping
+    the smallest doc_id per scrubbed content hash (the one
+    corpus-sized shuffle, carrying a 64-char hash + id + two small
+    columns per doc), the content-stable md5 split, and the final
+    per-(split, predicted-lang) accounting. At 100 TB the narrow
+    stage scales linearly and everything after the dedup shuffle is
+    tiny."""
+    sig = curation_signals(t(spark, sf_dir, "documents"))
     w = Window.partitionBy("content_key").orderBy(F.col("doc_id").asc())
     kept = (
         sig.withColumn("__rn", F.row_number().over(w))
