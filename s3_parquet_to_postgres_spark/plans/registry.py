@@ -41,7 +41,6 @@ FLAGSHIP: list[str] = [
     "agg_hll_mergeable",
     "agg_grouping_sets",
     "window_topk_per_group",
-    "window_frames",
     "scalar_json",
     "subquery_correlated",
     # TPC-H, complete (§2.5)
@@ -63,6 +62,7 @@ FLAGSHIP: list[str] = [
     "tpch_q17_small_qty_revenue",
     "tpch_q18_large_volume",
     "tpch_q19_discounted_revenue",
+    "tpch_q20_excess_share",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_customers",
     # LLM-pipeline headliners (§2.6)

@@ -851,6 +851,69 @@ LIMIT 25
 """
 
 
+def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (no partsupp table): suppliers who shipped an
+    EXCESS SHARE of some widget part's 1996 volume -- the original's
+    "availqty > half of shipped quantity" test re-expressed on the
+    shipment log itself. A sum-over-window on the (supp, part)
+    aggregate replaces the correlated subquery (one scan, no
+    re-aggregation join); part is broadcast into the fact scan;
+    supplier/nation broadcast onto the tiny excess-supplier set.
+    reference: none (reference has no TPC-H surface); query text
+    adapted from the public TPC-H spec."""
+    y0 = F.lit("1996-01-01").cast("timestamp_ntz")
+    y1 = F.lit("1997-01-01").cast("timestamp_ntz")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= y0) & (F.col("l_shipdate") < y1)
+    )
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .withColumn(
+            "part_qty", F.sum("qty").over(Window.partitionBy("l_partkey"))
+        )
+    )
+    excess = (
+        shipped.filter(F.col("qty") > 0.5 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    return (
+        excess.join(F.broadcast(s), excess.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS BIGINT)) AS qty,
+         sum(sum(CAST(l_quantity AS BIGINT)))
+           OVER (PARTITION BY l_partkey) AS part_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%widget%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+), excess AS (
+  SELECT DISTINCT l_suppkey AS suppkey FROM shipped
+  WHERE qty > 0.5 * part_qty
+)
+SELECT s_name, s_acctbal FROM excess
+JOIN supplier ON suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_3', 'NATION_7')
+ORDER BY s_name
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("tpch_q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),
     QuerySpec("tpch_q4_order_priority", q4_order_priority, Q4_SQL),
@@ -874,5 +937,6 @@ SPECS: list[QuerySpec] = [
               Q17_SQL),
     QuerySpec("tpch_q18_large_volume", q18_large_volume_customer, Q18_SQL),
     QuerySpec("tpch_q19_discounted_revenue", q19_discounted_revenue, Q19_SQL),
+    QuerySpec("tpch_q20_excess_share", q20_excess_share_suppliers, Q20_SQL),
     QuerySpec("tpch_q22_dormant_customers", q22_dormant_customers, Q22_SQL),
 ]
