@@ -167,3 +167,78 @@ def df_lit_one():
     from pyspark.sql import functions as F
 
     return F.lit(1)
+
+
+# -- full-row hypothesis round trip (all supported types) -------------------
+
+def parse_tuples(blob: bytes, nfields: int):
+    """Parse PGCOPY tuple stream (no header/trailer) back to rows of
+    raw field bytes (None for NULL)."""
+    rows, pos = [], 0
+    while pos < len(blob):
+        (nf,) = struct.unpack_from(">h", blob, pos)
+        assert nf == nfields
+        pos += 2
+        row = []
+        for _ in range(nf):
+            (ln,) = struct.unpack_from(">i", blob, pos)
+            pos += 4
+            if ln < 0:
+                row.append(None)
+            else:
+                row.append(blob[pos:pos + ln])
+                pos += ln
+        rows.append(row)
+    return rows
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.booleans()),
+            st.one_of(st.none(), st.integers(-2**31, 2**31 - 1)),
+            st.one_of(st.none(), st.integers(-2**63, 2**63 - 1)),
+            st.one_of(st.none(), st.floats(allow_nan=False, width=64)),
+            st.one_of(st.none(), st.text(max_size=30)),
+            st.one_of(st.none(), st.binary(max_size=20)),
+            st.one_of(
+                st.none(),
+                st.dates(date(1900, 1, 1), date(2200, 1, 1)),
+            ),
+        ),
+        max_size=10,
+    )
+)
+def test_binary_rows_round_trip(rows):
+    encs = [
+        lambda v: b"\x01" if v else b"\x00",       # boolean
+        lambda v: struct.pack(">i", v),            # int
+        lambda v: struct.pack(">q", v),            # bigint
+        lambda v: struct.pack(">d", v),            # double
+        lambda v: str(v).encode("utf-8"),          # string
+        bytes,                                     # binary
+        lambda v: struct.pack(">i", (v - date(2000, 1, 1)).days),  # date
+    ]
+    blob = b"".join(encode_rows_binary(rows, encs))
+    parsed = parse_tuples(blob, 7)
+    assert len(parsed) == len(rows)
+    for orig, got in zip(rows, parsed):
+        b, i, l, d, s, by, dt = orig
+        assert (got[0] is None) == (b is None)
+        if b is not None:
+            assert got[0] == (b"\x01" if b else b"\x00")
+        if i is not None:
+            assert struct.unpack(">i", got[1])[0] == i
+        if l is not None:
+            assert struct.unpack(">q", got[2])[0] == l
+        if d is not None:
+            assert struct.unpack(">d", got[3])[0] == d
+        if s is not None:
+            assert got[4].decode("utf-8") == s
+        if by is not None:
+            assert got[5] == by
+        if dt is not None:
+            assert date(2000, 1, 1) + __import__("datetime").timedelta(
+                days=struct.unpack(">i", got[6])[0]
+            ) == dt
