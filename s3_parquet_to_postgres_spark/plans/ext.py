@@ -576,14 +576,22 @@ FROM documents GROUP BY 1
 """
 
 
-def curation_signals(d: DataFrame) -> DataFrame:
+def curation_signals(d: DataFrame, gated: bool = True) -> DataFrame:
     """The NARROW per-doc stage of the curation funnel: one Project
     computing every signal (token count, the five marker-language
     scores as a single struct-fold, the PII-scrubbed sha256 content
     key), with the quality and language gates filtering inline. No
     shuffle, no state -- which means it runs unchanged on a STREAMING
     DataFrame (see test_streaming_curation.py: incremental file
-    ingest of the same signals, batch-parity checked)."""
+    ingest of the same signals, batch-parity checked).
+
+    ``gated=False`` returns the ungated signals: the batch pipeline
+    gates AFTER its dedup window instead, because a filter this early
+    gets predicate-pushed below the Project, duplicating every
+    non-cheap signal expression into the scan (measured 14 split()
+    evaluations per row vs 2). Streaming consumers keep the default:
+    they gate early (no dedup state) and the scan-level filter is the
+    point."""
     toks = T.ws_tokens(F.lower(F.col("text")))
 
     # All 5 language scores in ONE traversal of the token array (a
@@ -620,33 +628,41 @@ def curation_signals(d: DataFrame) -> DataFrame:
     pred = F.lit(None).cast("string")
     for lang in sorted(cols, reverse=True):
         pred = F.when(cols[lang] == best, F.lit(lang)).otherwise(pred)
-    return (
-        scored.select(
-            "doc_id",
-            "n_tokens",
-            pred.alias("lang_pred"),
-            best.cast("long").alias("lang_score"),
-            "content_key",
-        )
-        # Quality gate (length) and language-confidence gate.
-        .filter((F.col("n_tokens") >= 20) & (F.col("lang_score") >= 1))
+    sig = scored.select(
+        "doc_id",
+        "n_tokens",
+        pred.alias("lang_pred"),
+        best.cast("long").alias("lang_score"),
+        "content_key",
     )
+    if gated:
+        # Quality gate (length) and language-confidence gate.
+        sig = sig.filter((F.col("n_tokens") >= 20) & (F.col("lang_score") >= 1))
+    return sig
 
 
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full pre-training curation funnel: the narrow signal stage
-    (``curation_signals``, one corpus scan), then exact dedup keeping
-    the smallest doc_id per scrubbed content hash (the one
-    corpus-sized shuffle, carrying a 64-char hash + id + two small
-    columns per doc), the content-stable md5 split, and the final
-    per-(split, predicted-lang) accounting. At 100 TB the narrow
-    stage scales linearly and everything after the dedup shuffle is
-    tiny."""
-    sig = curation_signals(t(spark, sf_dir, "documents"))
+    (``curation_signals``, one corpus scan), exact dedup keeping the
+    smallest doc_id per scrubbed content hash (the one corpus-sized
+    shuffle, carrying a 64-char hash + id + two small columns per
+    doc), THEN the gates, the content-stable md5 split, and the final
+    per-(split, predicted-lang) accounting.
+
+    Gating after the window is value-identical (every gate input is a
+    pure function of the text, and equal content_key implies equal
+    scrubbed text, token count, and language scores) but keeps the
+    gate predicates off the scan: filtered early they predicate-push
+    below the signal Project and re-evaluate every signal expression
+    per row (14 split() evaluations vs 2; ~2x the whole query). At
+    100 TB the narrow stage scales linearly and everything after the
+    dedup shuffle is tiny."""
+    sig = curation_signals(t(spark, sf_dir, "documents"), gated=False)
     w = Window.partitionBy("content_key").orderBy(F.col("doc_id").asc())
     kept = (
         sig.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
+        .filter((F.col("n_tokens") >= 20) & (F.col("lang_score") >= 1))
     )
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     split = (
@@ -682,16 +698,18 @@ WITH base AS (
          {_lang_score_sql(T.LANG_MARKERS['zh'])} AS s_zh,
          sha256(scrubbed) AS content_key
   FROM base
-), gated AS (
-  SELECT doc_id, n_tokens, content_key,
+), labeled AS (
+  SELECT doc_id, n_tokens, content_key, best,
          CASE WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
               WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
               ELSE 'zh' END AS lang_pred
   FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best
         FROM scored)
-  WHERE n_tokens >= 20 AND best >= 1
 ), deduped AS (
-  SELECT * FROM gated
+  -- dedup BEFORE the gates (value-identical: gate inputs are pure
+  -- functions of the text, and equal content_key => equal text
+  -- signals), mirroring the Spark plan's pushdown-free ordering.
+  SELECT * FROM labeled
   QUALIFY row_number() OVER (PARTITION BY content_key
                              ORDER BY doc_id) = 1
 )
@@ -703,7 +721,9 @@ SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
        lang_pred,
        count(*) AS docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-FROM deduped GROUP BY 1, 2
+FROM deduped
+WHERE n_tokens >= 20 AND best >= 1
+GROUP BY 1, 2
 """
 
 
