@@ -37,11 +37,27 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     except Exception:
         n_files = 0
     if n_files >= target:
+        # Many files -> already wide; decided from the file index
+        # alone, with no plan materialization. The 100 TB no-op path.
         return df
     # Composed operators each call spread; only the first may add a
-    # repartition. A logical-plan string check (cheap, no physical
-    # planning) keeps chains like quality_scores(language_id(df))
-    # from shuffling the corpus once per stage.
-    if "Repartition" in df._jdf.queryExecution().logical().toString():
+    # repartition. A logical-plan check (cheap, no physical planning)
+    # keeps chains like quality_scores(language_id(df)) from shuffling
+    # the corpus once per stage. Only SHUFFLE repartitions at/above
+    # target count as "already spread" -- "Repartition n, false" is a
+    # coalesce (may be narrowING), and a small explicit repartition(2)
+    # is not width either.
+    import re
+
+    plan_str = df._jdf.queryExecution().logical().toString()
+    widths = [int(n) for n in re.findall(r"Repartition (\d+), true", plan_str)]
+    if any(n >= target for n in widths) or "RepartitionByExpression" in plan_str:
+        return df
+    # Few files is NOT proof of narrowness: one 8 GB file splits into
+    # ~64 maxPartitionBytes scan partitions, and repartitioning that
+    # would shuffle the lot (possibly REDUCING parallelism). Only here
+    # -- few-file or in-memory inputs, whose plans are small -- pay
+    # the accurate df.rdd partition count.
+    if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

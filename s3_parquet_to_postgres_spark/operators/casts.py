@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     BooleanType,
     ByteType,
@@ -30,6 +31,7 @@ from pyspark.sql.types import (
     FloatType,
     IntegerType,
     LongType,
+    MapType,
     ShortType,
     StringType,
     StructType,
@@ -163,8 +165,7 @@ def require_flat(df: DataFrame, context: str = "cast plan") -> DataFrame:
     nested = [
         f"{f.name}: {f.dataType.simpleString()}"
         for f in df.schema.fields
-        if isinstance(f.dataType, StructType)
-        or type(f.dataType).__name__ in ("ArrayType", "MapType")
+        if isinstance(f.dataType, (StructType, ArrayType, MapType))
     ]
     if nested:
         raise CastPlanError(

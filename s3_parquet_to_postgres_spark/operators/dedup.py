@@ -287,9 +287,13 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     pairing is quadratic and carries no discriminating signal.
     """
     sigs = simhash(df, id_col, text_col, bits, hash_family)
-    # 4 pigeonhole chunks of nbits/4 bits each (16 for the default
-    # 64-bit signature, 12 for the portable 48-bit one).
-    chunk_bits = min(bits, 63) // 4
+    # 4 pigeonhole chunks covering the full signature width:
+    # ceil(nbits/4) bits each -- 16 for the default 64(63)-bit
+    # signature, 12 for the portable 48-bit one. Floor division would
+    # shrink the chunk key space (15-bit chunks for bits=64): merged,
+    # bigger buckets that cross max_bucket_size get dropped wholesale,
+    # and the top signature bits would never participate in blocking.
+    chunk_bits = (min(bits, 63) + 3) // 4
     chunk_mask = (1 << chunk_bits) - 1
     chunks = sigs.select(
         F.col(id_col).alias("id"),

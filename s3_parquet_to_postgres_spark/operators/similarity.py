@@ -278,7 +278,10 @@ def kmeans_refine_centroids(
     Shuffle volume per round is n_centroids * dim partial sums per
     partition, independent of corpus size. Ties go to the smallest
     centroid_id and empty clusters keep their previous centroid, so
-    the result is deterministic given a deterministic ``init``.
+    the result is deterministic given a deterministic ``init`` up to
+    floating-point aggregation order (avg over doubles is
+    partition-order dependent at the ulp level; an assignment can
+    flip only when two centroids tie within that epsilon).
     Returns the same (centroid_id, cent_vec) shape, so it slots
     between seeding and ``ivf_topk``'s assignment stage.
     """
@@ -453,11 +456,17 @@ def cosine_near_pairs_blocked(
         .filter(F.col("__bn") <= max_block_size)
         .select("block")
     )
-    a = df.select(
+    # Prune ONCE before deriving both join sides, so oversize blocks'
+    # rows never reach either projection or the join.
+    kept = df.join(
+        F.broadcast(sizes_ok),
+        df[block_col] == sizes_ok.block, "left_semi",
+    )
+    a = kept.select(
         F.col(block_col).alias("block"), F.col(id_col).alias("id_a"),
         as_double(vec_col).alias("v_a"),
-    ).join(F.broadcast(sizes_ok), "block", "left_semi")
-    b = df.select(
+    )
+    b = kept.select(
         F.col(block_col).alias("block"), F.col(id_col).alias("id_b"),
         as_double(vec_col).alias("v_b"),
     )

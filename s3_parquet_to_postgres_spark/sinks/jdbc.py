@@ -96,11 +96,14 @@ class JdbcSink:
         validate_target_schema(spark, self.url, self.table, columns, self.properties)
 
     def write(self, df: DataFrame) -> None:
-        # coalesce (not repartition): bounds concurrent PG connections
-        # at num_writers with no shuffle and no .rdd plan
-        # materialization; a narrower upstream just uses fewer writers.
+        # repartition, NOT coalesce: coalesce(n) propagates the reduced
+        # parallelism through the whole narrow upstream (the scan and
+        # casts would run in num_writers tasks -- a ~100x slowdown on a
+        # wide cluster); repartition pays one shuffle of the final rows
+        # and leaves the scan at full width while bounding concurrent
+        # PG connections at num_writers.
         writer = (
-            df.coalesce(self.num_writers)
+            df.repartition(self.num_writers)
             .write.format("jdbc")
             .option("url", self.url)
             .option("dbtable", self.table)

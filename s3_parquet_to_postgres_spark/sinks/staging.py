@@ -102,16 +102,9 @@ class StagedLoad:
         )
 
     def _execute(self, script: str) -> None:
-        if self.connection_factory is not None:
-            conn = self.connection_factory(self.conn_string)
-        else:
-            try:
-                import psycopg2  # gated: not bundled in this container
-            except ImportError as exc:  # pragma: no cover
-                raise RuntimeError(
-                    "StagedLoad requires psycopg2 on the driver"
-                ) from exc
-            conn = psycopg2.connect(self.conn_string)
+        from .copy import _connect
+
+        conn = _connect(self.conn_string, self.connection_factory)
         try:
             with conn.cursor() as cur:
                 cur.execute(script)

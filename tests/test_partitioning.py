@@ -137,10 +137,23 @@ def test_spread_is_idempotent_across_composed_operators(spark):
     df = spark.createDataFrame(
         [(i, "the quick brown fox und der hund") for i in range(10)],
         "doc_id long, text string",
-    )
+    ).coalesce(1)  # force a genuinely narrow input
+    import re
+
     composed = T.quality_scores(T.language_id(df))
-    plan = composed._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("Repartition") == 1, plan
+    plan = composed._jdf.queryExecution().logical().toString()
+    # ONE spread shuffle-repartition for the whole chain, not one per
+    # stage (the coalesce(1) prints as "Repartition 1, false").
+    assert len(re.findall(r"Repartition \d+, true", plan)) == 1, plan
+    # An input already shuffle-repartitioned wide gains none at all.
+    wide = spark.createDataFrame(
+        [(i, "der hund") for i in range(10)], "doc_id long, text string"
+    ).repartition(8)
+    plan_wide = (
+        T.quality_scores(T.language_id(wide))
+        ._jdf.queryExecution().logical().toString()
+    )
+    assert len(re.findall(r"Repartition \d+, true", plan_wide)) == 1
 
 
 def test_spread_skips_wide_file_inputs(spark, tmp_path):
@@ -153,3 +166,24 @@ def test_spread_skips_wide_file_inputs(spark, tmp_path):
     df = spark.read.parquet(p)
     out = spread(df, min_partitions=4)
     assert out is df
+
+
+def test_spread_no_shuffle_for_single_large_multisplit_file(spark, tmp_path):
+    # A single file that Spark already splits into >= target scan
+    # partitions must NOT be repartitioned (the few-files heuristic
+    # alone would wrongly shuffle it).
+    from s3_parquet_to_postgres_spark.functions.layout import spread
+
+    p = str(tmp_path / "one-big")
+    spark.range(200_000).selectExpr("id", "repeat('x', 64) AS pad") \
+        .coalesce(1).write.parquet(p)
+    tiny = {"spark.sql.files.maxPartitionBytes": "131072"}  # 128 KiB
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", tiny["spark.sql.files.maxPartitionBytes"])
+        df = spark.read.parquet(p)
+        assert df.rdd.getNumPartitions() >= 4
+        out = spread(df, min_partitions=4)
+        assert out is df  # accurate partition count kicked in
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
