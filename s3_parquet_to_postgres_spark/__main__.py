@@ -23,8 +23,10 @@ import argparse
 import sys
 
 from .config import ConfigError, JobSpec
+from .operators.casts import require_flat
 from .pipeline import run
 from .session import build_session
+from .sinks.jdbc import SchemaValidationError
 
 
 def _validate_sink_args(args, spec: JobSpec) -> None:
@@ -70,8 +72,10 @@ def _make_sink_fn(args, spec: JobSpec, spark):
         sink = CopySink(spec.sink.conn_string, spec.sink.table, out_cols)
         # CopySink counts rows via an accumulator inside its own
         # foreachPartition job (Observation does not resolve for
-        # RDD-backed actions) -- one job, no extra scan.
-        return lambda df: sink.write(df)
+        # RDD-backed actions) -- one job, no extra scan. Flat-schema
+        # gate: PG tables are flat; nested projection columns fail at
+        # plan time with the columns named (parquet sink allows them).
+        return lambda df: sink.write(require_flat(df, "copy sink"))
     else:
         from .sinks.jdbc import JdbcSink, validate_target_schema
 
@@ -83,7 +87,7 @@ def _make_sink_fn(args, spec: JobSpec, spark):
         sink = JdbcSink(spec.sink.conn_string, spec.sink.table, spec.sink.mode)
 
     def db_sink(df):
-        df, obs = _observed(df)
+        df, obs = _observed(require_flat(df, "jdbc sink"))
         sink.write(df)
         return obs.get["n"]
 
@@ -114,7 +118,10 @@ def main(argv: list[str] | None = None) -> int:
     spark = build_session("s3-parquet-to-postgres-spark", master=args.master)
     try:
         sink_fn = _make_sink_fn(args, spec, spark)
-    except ConfigError as e:
+    except (ConfigError, SchemaValidationError) as e:
+        # Destination validation failures are config-class errors:
+        # fail fast BEFORE any data moves, exit 2 (not the mid-run
+        # exit 1), session stopped.
         print(f"config error: {e}", file=sys.stderr)
         spark.stop()
         return 2

@@ -36,9 +36,13 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
-    if n_files >= target:
+    if n_files >= 4 * target:
         # Many files -> already wide; decided from the file index
         # alone, with no plan materialization. The 100 TB no-op path.
+        # The 4x margin covers Spark's small-file packing: the scan
+        # bin-packs tiny files (maxSplitBytes), so file count is an
+        # upper bound on partitions, not a floor -- marginal counts
+        # fall through to the accurate check below.
         return df
     # Composed operators each call spread; only the first may add a
     # repartition. A logical-plan check (cheap, no physical planning)

@@ -275,9 +275,16 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                        max_bucket_size: int = 1024,
                        bits: int = 64,
                        hash_family: str = "xxhash64") -> DataFrame:
-    """Near-dup pairs by SimHash: block on 16-bit signature chunks
-    (pigeonhole: any pair within hamming distance <= 3*chunks-1 shares
-    a chunk), then verify hamming distance exactly.
+    """Near-dup pairs by SimHash: block on signature chunks, then
+    verify hamming distance exactly.
+
+    Pigeonhole completeness: with 4 chunks, a pair differing in at
+    most 3 bits MUST share an identical chunk, so blocking is
+    lossless for ``max_hamming <= 3``. Beyond that it is recall-based
+    (a hamming-4 pair can place one differing bit in every chunk and
+    never collide); callers wanting a lossless larger radius should
+    raise the chunk count to ``max_hamming + 1`` (Manku et al. 2007's
+    construction), trading bucket-key width for bucket size.
 
     Like ``minhash_lsh_pairs``, buckets are grouped (collect_list)
     rather than self-joined on the chunk key: the signature
@@ -451,26 +458,39 @@ def _jaccard_inverted(
 ) -> DataFrame:
     """Inverted-index exact Jaccard: count shared shingles per pair.
 
-    ONE corpus scan: shingles group into per-shingle posting lists
-    (collect_list), and everything else -- document sizes, pair
-    intersections -- derives from that bucket table. The earlier
-    formulation joined the exploded shingle table against itself and
-    against two size aggregations, which materialized the shingle
-    pipeline (the expensive corpus explode) four times in the plan;
-    Catalyst does not deduplicate a self-join's common subplan.
+    Shingles group into per-shingle posting lists (collect_list), and
+    everything else -- document sizes, pair intersections -- derives
+    from that bucket table. The earlier formulation joined the
+    exploded shingle table against itself and against two size
+    aggregations, materializing the shingle pipeline (the expensive
+    corpus explode) FOUR times in the plan; Catalyst does not
+    deduplicate a self-join's common subplan.
 
-    With ``max_shingle_df`` set, hot posting lists are dropped before
-    pairing, bounding the in-bucket fan-out: a shingle contributes at
-    most cap^2 candidate rows regardless of corpus size (declared
-    semantics, reproduced by the oracle). Without it this path is
-    only safe on corpora known to lack boilerplate."""
+    With ``max_shingle_df`` set, hot shingles are pruned with a
+    COUNT aggregation (fixed-size state) + broadcast-able semi-join
+    BEFORE any posting list is collected: a boilerplate shingle
+    shared by millions of docs never concentrates its ids in one
+    aggregation buffer, and a surviving list holds at most cap ids.
+    That prune re-derives the exploded shingle table (two corpus
+    explodes total -- still half the old plan's four, and the explode
+    is cheap next to an unbounded collect_list buffer). The cap also
+    bounds pair fan-out at cap^2 per shingle (declared semantics,
+    reproduced by the oracle). Without a cap the single-scan
+    formulation is kept, but it is only safe on corpora known to
+    lack boilerplate."""
     sh = spread(df).withColumn("__toks", ws_tokens(text_col)).select(
         F.col(id_col).alias("id"),
         F.explode(shingles_of(F.col("__toks"), n)).alias("shingle"),
     )
-    buckets = sh.groupBy("shingle").agg(F.collect_list("id").alias("ids"))
     if max_shingle_df is not None:
-        buckets = buckets.filter(F.size("ids") <= max_shingle_df)
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("gdf"))
+            .filter(F.col("gdf") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
+    buckets = sh.groupBy("shingle").agg(F.collect_list("id").alias("ids"))
     # Doc sizes from the (capped) posting lists -- no corpus rescan.
     sizes = (
         buckets.select(F.explode("ids").alias("id"))

@@ -22,7 +22,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .config import JobSpec
-from .operators.casts import build_cast_plan, require_flat
+from .operators.casts import build_cast_plan
 from .operators.project import project_rename
 from .sources.parquet import scan_parquet
 from .sources.work_list import WorkList
@@ -41,10 +41,10 @@ def transform(
 ) -> DataFrame:
     """The reference's per-file "query": project -> rename -> cast
     (reference: src/runner.rs:17-45). One narrow, shuffle-free plan.
-    Nested columns in the projection are a typed plan-time error
-    (reference silently skips GroupType, src/parquet_ops.rs:75)."""
+    Nested-column rejection (require_flat) is NOT applied here: it
+    belongs to the flat-destination (Postgres) sinks -- a parquet
+    sink writes nested types natively. __main__ gates the PG paths."""
     out = project_rename(df, spec.projection.desired_fields, spec.projection.renames)
-    out = require_flat(out, context="pipeline projection")
     if column_targets:
         out = build_cast_plan(out, column_targets)
     return out

@@ -165,7 +165,8 @@ DEDUP_MINHASH_LSH_SQL = _minhash_oracle_sql()
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # max_hamming=4: the synthetic corpus is template-generated, so
+    # max_hamming=3: the pigeonhole bound 4 chunks make LOSSLESS
+    # (chunks - 1); the synthetic corpus is template-generated, so
     # bag-of-distinct-words SimHash signatures cluster tightly (at
     # hamming<=16 ~11% of ALL pairs match -- measured at sf0.1). The
     # tight radius keeps candidate volume proportional to true
@@ -173,7 +174,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # family + 48-bit signatures (4 pigeonhole chunks of 12 bits):
     # the whole pipeline is replayed bit-exactly by the oracle.
     return D.simhash_near_pairs(t(spark, sf_dir, "documents"),
-                                max_hamming=4, bits=48,
+                                max_hamming=3, bits=48,
                                 hash_family="portable")
 
 
@@ -211,7 +212,7 @@ JOIN chunks b ON a.chunk_no = b.chunk_no AND a.chunk = b.chunk
              AND a.doc_id < b.doc_id
 JOIN bsz ON bsz.chunk_no = a.chunk_no AND bsz.chunk = a.chunk
 WHERE bsz.c <= 1024
-  AND bit_count(xor(a.simhash, b.simhash)) <= 4
+  AND bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 

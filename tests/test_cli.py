@@ -93,3 +93,35 @@ parquet:
         work / "completed"
     ).read_text().strip()
     assert (work / "wip").read_text().strip().endswith("missing.parquet")
+
+
+def test_cli_parquet_sink_accepts_nested_columns(spark, tmp_path):
+    # Nested projection columns are fine for --sink parquet (parquet
+    # is a nested format); the flat-schema gate belongs to PG sinks
+    # only (require_flat in __main__._make_sink_fn).
+    src = tmp_path / "nested.parquet"
+    spark.createDataFrame(
+        [(1, {"a": 1}), (2, {"a": 2})], "id long, props map<string,int>"
+    ).coalesce(1).write.parquet(str(src))
+    work = tmp_path / "work"
+    work.mkdir()
+    (work / "todo").write_text(f"{src}\n")
+    cfg = tmp_path / "config.yml"
+    cfg.write_text(
+        f"""
+s3:
+  download_batch_size: 1
+  work_lists_dir: {work}
+parquet:
+  desired_fields: [id, props]
+  parquet_to_db:
+    id: null
+    props: null
+"""
+    )
+    out_dir = tmp_path / "out"
+    rc = main([str(cfg), "--sink", "parquet", "--output-dir", str(out_dir)])
+    assert rc == 0
+    got = spark.read.parquet(str(out_dir))
+    assert dict(got.dtypes)["props"] == "map<string,int>"
+    assert got.count() == 2
