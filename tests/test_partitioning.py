@@ -156,16 +156,23 @@ def test_spread_is_idempotent_across_composed_operators(spark):
     assert len(re.findall(r"Repartition \d+, true", plan_wide)) == 1
 
 
-def test_spread_skips_wide_file_inputs(spark, tmp_path):
-    # An input already split into >= target files must NOT be
-    # reshuffled -- at 100 TB spread is a provable no-op.
+def test_spread_estimates_width_from_bytes_not_file_count(spark, tmp_path):
+    # Spark bin-packs tiny files, so MANY tiny files are still a
+    # narrow scan: spread must widen them. The same files read with a
+    # tiny maxPartitionBytes imply a wide scan: spread must no-op.
     from s3_parquet_to_postgres_spark.functions.layout import spread
 
-    p = str(tmp_path / "many")
+    p = str(tmp_path / "many-tiny")
     spark.range(1000).repartition(12).write.parquet(p)
     df = spark.read.parquet(p)
-    out = spread(df, min_partitions=4)
-    assert out is df
+    assert spread(df, min_partitions=4) is not df  # tiny bytes -> widen
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        df2 = spark.read.parquet(p)
+        assert spread(df2, min_partitions=4) is df2  # bytes imply wide
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
 
 
 def test_spread_no_shuffle_for_single_large_multisplit_file(spark, tmp_path):
