@@ -62,18 +62,15 @@ def main() -> None:
     # Warm-up: JVM JIT + codegen + parquet footer caches.
     _force(queries["ref_count"](spark, SF_DIR))
 
-    # Best-of-2 per query, plus a tie-breaking third run when the two
-    # disagree by >1.5x: one JSON line is recorded per round, and a
-    # transient host hiccup (observed: a 15x outlier on an otherwise
-    # 1s query) must not pollute the round's record.
+    # Best-of-3 per query: one JSON line is recorded per round, and
+    # both transient host hiccups (observed: a 15x outlier on an
+    # otherwise 1s query) and sustained noisy-neighbor inflation
+    # (observed: ~1.3-1.7x uniform, invisible in the process table)
+    # must pollute the record as little as possible.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         runs = []
-        for _ in range(2):
-            start = time.perf_counter()
-            _force(queries[name](spark, SF_DIR))
-            runs.append(time.perf_counter() - start)
-        if max(runs) > 1.5 * min(runs):
+        for _ in range(3):
             start = time.perf_counter()
             _force(queries[name](spark, SF_DIR))
             runs.append(time.perf_counter() - start)

