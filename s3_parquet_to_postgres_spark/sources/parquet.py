@@ -22,16 +22,64 @@ class FieldResolutionError(ValueError):
     """A desired field does not exist in the source schema."""
 
 
-def scan_parquet(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+def scan_parquet(
+    spark: SparkSession,
+    paths: str | list[str],
+    merge_schema: bool = False,
+    on_corrupt: str = "fail",
+) -> DataFrame:
     """Open one or many parquet files/dirs as a DataFrame.
 
-    Corrupt / non-parquet input surfaces as a Spark read error at
-    action time, matching the reference's footer-parse failure
-    (reference: src/parquet_ops.rs:25-29).
+    ``merge_schema=True`` reconciles schema DRIFT across files (a
+    landing zone where newer files carry added columns): the scan
+    unions all footer schemas and older files read the missing
+    columns as NULL. Off by default -- the reference resolves fields
+    per file and a silent schema union can mask a config mistake;
+    turning it on is an explicit operational choice.
+
+    ``on_corrupt`` is the corrupt-input policy: ``"fail"`` (default)
+    surfaces a Spark read error at action time, matching the
+    reference's footer-parse abort (reference:
+    src/parquet_ops.rs:25-29); ``"skip"`` sets ignoreCorruptFiles for
+    this scan only, dropping unreadable files and keeping the batch
+    alive -- the triage mode for a landing zone with a known-bad
+    object, logged by Spark per skipped file.
     """
+    if on_corrupt not in ("fail", "skip"):
+        raise ValueError(f"on_corrupt must be fail|skip, got {on_corrupt!r}")
     if isinstance(paths, str):
         paths = [paths]
-    return spark.read.parquet(*paths)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    if on_corrupt == "skip":
+        # ignoreCorruptFiles drops unreadable files at SCAN time, but
+        # schema INFERENCE can still abort if the file it samples is
+        # the corrupt one (observed: UNABLE_TO_INFER_SCHEMA). Infer
+        # defensively from the readable paths and pass the schema
+        # explicitly; with merge_schema, union the readable paths'
+        # fields by name (first occurrence wins the type).
+        reader = reader.option("ignoreCorruptFiles", "true")
+        schemas = []
+        for p in paths:
+            try:
+                schemas.append(spark.read.parquet(p).schema)
+                if not merge_schema:
+                    break
+            except Exception:
+                continue  # fully-corrupt path: contributes no schema
+        if not schemas:
+            raise FieldResolutionError(
+                f"no readable parquet among {len(paths)} path(s)"
+            )
+        from pyspark.sql.types import StructType
+
+        fields: dict[str, object] = {}
+        for sch in schemas:
+            for f in sch.fields:
+                fields.setdefault(f.name, f)
+        reader = reader.schema(StructType(list(fields.values())))
+    return reader.parquet(*paths)
 
 
 def write_partitioned(

@@ -50,3 +50,52 @@ def test_multi_path_scan_unions_files(spark, tmp_path):
     r.write.parquet(str(tmp_path / "b"))
     both = scan_parquet(spark, [str(tmp_path / "a"), str(tmp_path / "b")])
     assert both.count() == 2 * r.count()
+
+
+def test_scan_merge_schema_reconciles_drift(spark, tmp_path):
+    # Newer files add a column; mergeSchema unions the footers and
+    # reads old files' missing column as NULL. Off by default.
+    import pytest as _pytest
+
+    from s3_parquet_to_postgres_spark.sources.parquet import scan_parquet
+
+    old = str(tmp_path / "old.parquet")
+    new = str(tmp_path / "new.parquet")
+    spark.createDataFrame([(1,)], "id long").coalesce(1).write.parquet(old)
+    spark.createDataFrame([(2, "x")], "id long, extra string") \
+        .coalesce(1).write.parquet(new)
+    merged = scan_parquet(spark, [old, new], merge_schema=True)
+    assert sorted(merged.columns) == ["extra", "id"]
+    rows = {r["id"]: r["extra"] for r in merged.collect()}
+    assert rows == {1: None, 2: "x"}
+    # default: no silent union -- the drifted column is absent (scan
+    # schema comes from one footer), so a projection of it fails fast
+    # in resolve_fields.
+    plain = scan_parquet(spark, [old, new])
+    from s3_parquet_to_postgres_spark.sources.parquet import (
+        FieldResolutionError,
+        resolve_fields,
+    )
+    if "extra" not in plain.columns:
+        with _pytest.raises(FieldResolutionError):
+            resolve_fields(plain, ["extra"])
+
+
+def test_scan_corrupt_policy(spark, tmp_path):
+    import pytest as _pytest
+
+    from s3_parquet_to_postgres_spark.sources.parquet import scan_parquet
+
+    good = str(tmp_path / "good.parquet")
+    spark.createDataFrame([(1,), (2,)], "id long").coalesce(1).write.parquet(good)
+    bad_dir = tmp_path / "bad.parquet"
+    bad_dir.mkdir()
+    (bad_dir / "part-00000.parquet").write_bytes(b"PAR1 this is not parquet")
+    # fail (default): abort like the reference's footer-parse error
+    with _pytest.raises(Exception):
+        scan_parquet(spark, [good, str(bad_dir)]).count()
+    # skip: batch survives, corrupt file dropped
+    assert scan_parquet(spark, [good, str(bad_dir)],
+                        on_corrupt="skip").count() == 2
+    with _pytest.raises(ValueError):
+        scan_parquet(spark, good, on_corrupt="maybe")
