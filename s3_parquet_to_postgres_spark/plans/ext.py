@@ -1253,6 +1253,147 @@ FROM events GROUP BY 1
 """
 
 
+def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assemble documents into fixed-token-budget
+    training sequences (the concat-and-chunk packing every
+    pretraining pipeline runs before tokenizer sharding).
+
+    Deterministic greedy fill in doc_id order WITHIN each source
+    shard: a running token cumsum assigns each doc to sequence
+    floor((cumsum - n_tokens) / budget) -- pure window arithmetic,
+    bit-reproducible and SQL-replayable. Packing is per-shard
+    (partitioned window) by design: a GLOBAL greedy pack would be a
+    single-partition sort at 100 TB, while per-shard packing scales
+    with shard count and matches how packed shards are written out.
+    Output: per (source, seq_id) doc count, token total, and budget
+    utilization -- the packing-efficiency numbers a data team
+    actually monitors."""
+    budget = 512
+    d = t(spark, sf_dir, "documents")
+    toks = F.size(T.ws_tokens(F.col("text"))).cast("long")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    sized = d.select("doc_id", "source", toks.alias("n_tokens"))
+    packed = sized.withColumn(
+        "seq_id",
+        F.floor(
+            (F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ) - F.col("n_tokens")) / budget
+        ).cast("long"),
+    )
+    return (
+        packed.groupBy("source", "seq_id")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            dround(F.sum("n_tokens") / F.lit(float(budget)), 4)
+            .alias("fill_ratio"),
+        )
+    )
+
+
+SAMPLE_PACK_SEQUENCES_SQL = """
+WITH sized AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT source, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY source
+                                         ORDER BY doc_id) - n_tokens)
+                    / 512) AS BIGINT) AS seq_id
+  FROM sized
+)
+SELECT source, seq_id,
+       count(*) AS docs,
+       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+       round(sum(n_tokens) / 512.0, 4) AS fill_ratio
+FROM packed GROUP BY source, seq_id
+"""
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    copied passages with the held-out (test) split -- the n-gram
+    overlap check every serious pretraining corpus runs against its
+    eval sets.
+
+    The holdout is the content-stable md5 test split (sample_split's
+    buckets, so membership never changes as the corpus grows).
+    Winnowing fingerprints (operators/textstats.py) are computed in
+    ONE corpus pass; the train x test collision comes from grouping
+    each fingerprint's (train-list, test-list) -- never an all-pairs
+    join -- and a train doc is contaminated if any of its
+    fingerprints also appears in any test doc. Hot fingerprints
+    (df > 100) are boilerplate, not contamination evidence, and are
+    dropped as declared semantics like passage_overlap_pairs.
+    Output: contaminated train docs with the matching test-doc count
+    and shared-fingerprint count, worst first."""
+    d = t(spark, sf_dir, "documents")
+    fp = T.winnow_fingerprints(d, "doc_id", "text", k=3, w=4)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    tagged = fp.withColumn("is_test", (bucket < F.lit("1a")).cast("int"))
+    groups = (
+        tagged.groupBy("fingerprint")
+        .agg(
+            F.sum("is_test").alias("n_test"),
+            F.count("*").alias("gdf"),
+            F.collect_list(
+                F.when(F.col("is_test") == 0, F.col("doc_id"))
+            ).alias("train_ids"),
+        )
+        .filter((F.col("n_test") >= 1) & (F.col("gdf") <= 100))
+    )
+    return (
+        groups.select(
+            F.explode("train_ids").alias("doc_id"),
+            F.col("n_test"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("shared_fps"),
+            F.sum("n_test").cast("long").alias("test_matches"),
+        )
+    )
+
+
+TEXT_DECONTAMINATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+), grams AS (
+  SELECT doc_id,
+         [CAST('0x' || substring(
+            md5(array_to_string(l[i:i+2], ' ')), 1, 8) AS BIGINT)
+          FOR i IN range(1, len(l) - 1)] AS hs
+  FROM toks
+), fps AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           [list_min(hs[j:j+3]) FOR j IN range(1, len(hs) - 2)]
+         )) AS fingerprint
+  FROM grams WHERE len(hs) >= 1
+), tagged AS (
+  SELECT doc_id, fingerprint,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+              THEN 1 ELSE 0 END AS is_test
+  FROM fps
+), groups AS (
+  SELECT fingerprint, sum(is_test) AS n_test, count(*) AS gdf,
+         list(CASE WHEN is_test = 0 THEN doc_id END) AS train_ids
+  FROM tagged GROUP BY fingerprint
+  HAVING sum(is_test) >= 1 AND count(*) <= 100
+)
+SELECT doc_id,
+       count(*) AS shared_fps,
+       CAST(sum(n_test) AS BIGINT) AS test_matches
+FROM (SELECT unnest(train_ids) AS doc_id, n_test FROM groups)
+WHERE doc_id IS NOT NULL
+GROUP BY doc_id
+"""
+
+
+
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-stratum deterministic downsampling: dominant language kept
     # at ~10%, the rest at ~50%, decided by the same content-stable
@@ -1340,6 +1481,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("event_transitions", event_transitions, EVENT_TRANSITIONS_SQL),
     QuerySpec("value_histogram", value_histogram, VALUE_HISTOGRAM_SQL),
     QuerySpec("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_SQL),
+    QuerySpec("sample_pack_sequences", sample_pack_sequences,
+              SAMPLE_PACK_SEQUENCES_SQL),
+    QuerySpec("text_decontaminate", text_decontaminate,
+              TEXT_DECONTAMINATE_SQL),
     QuerySpec("text_top_bigrams", text_top_bigrams, TEXT_TOP_BIGRAMS_SQL),
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL),
     QuerySpec("dedup_keep_first_by_key", dedup_keep_first_by_key,
