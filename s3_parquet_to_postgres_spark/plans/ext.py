@@ -1334,23 +1334,22 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = T.winnow_fingerprints(d, "doc_id", "text", k=3, w=4)
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     tagged = fp.withColumn("is_test", (bucket < F.lit("1a")).cast("int"))
-    groups = (
+    # Count-prune BEFORE any list is collected (same memory rule as
+    # the Jaccard posting lists): a boilerplate fingerprint shared by
+    # millions of docs is counted with fixed-size aggregation state
+    # and dropped by the semi-join; only surviving fingerprints
+    # (df <= 100, >= 1 test member) ever build a train-id list. Costs
+    # a second pass over the fingerprint table; never an unbounded
+    # collect buffer.
+    keep = (
         tagged.groupBy("fingerprint")
-        .agg(
-            F.sum("is_test").alias("n_test"),
-            F.count("*").alias("gdf"),
-            F.collect_list(
-                F.when(F.col("is_test") == 0, F.col("doc_id"))
-            ).alias("train_ids"),
-        )
+        .agg(F.sum("is_test").alias("n_test"), F.count("*").alias("gdf"))
         .filter((F.col("n_test") >= 1) & (F.col("gdf") <= 100))
+        .select("fingerprint", "n_test")
     )
+    hits = tagged.filter(F.col("is_test") == 0).join(keep, "fingerprint")
     return (
-        groups.select(
-            F.explode("train_ids").alias("doc_id"),
-            F.col("n_test"),
-        )
-        .groupBy("doc_id")
+        hits.groupBy("doc_id")
         .agg(
             F.count("*").alias("shared_fps"),
             F.sum("n_test").cast("long").alias("test_matches"),
