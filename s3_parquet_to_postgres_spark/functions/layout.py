@@ -18,10 +18,32 @@ import re
 from pyspark.sql import DataFrame
 
 
-def _max_partition_bytes(spark) -> int:
-    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-    digits = "".join(ch for ch in str(raw) if ch.isdigit())
-    return int(digits) if digits else 128 * 1024 * 1024
+_UNITS = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _byte_conf(spark, key: str, default: int) -> int:
+    """Parse a Spark byte-size conf ('134217728', '128m', '4MB')."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    m = re.fullmatch(r"(\d+)\s*([kmgt]?)b?", raw)
+    if not m:
+        return default
+    return int(m.group(1)) * _UNITS.get(m.group(2) or "b", 1)
+
+
+def _est_scan_partitions(spark, size: int) -> int:
+    """Spark's own split sizing (FilePartition planning):
+    maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    totalBytes / defaultParallelism)). Using the same formula keeps
+    the estimate aligned with what the scan will actually do -- a
+    200 MB input on 32 cores scans as ~32 partitions even though
+    200 MB // 128 MB is 1."""
+    mpb = _byte_conf(spark, "spark.sql.files.maxPartitionBytes",
+                     128 * 1024 * 1024)
+    open_cost = _byte_conf(spark, "spark.sql.files.openCostInBytes",
+                           4 * 1024 * 1024)
+    cores = max(1, spark.sparkContext.defaultParallelism)
+    max_split = min(mpb, max(open_cost, size // cores or 1))
+    return max(1, size // max(1, max_split))
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -65,8 +87,7 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         size = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
-        est_partitions = max(1, size // _max_partition_bytes(spark))
-        if est_partitions >= target:
+        if _est_scan_partitions(spark, size) >= target:
             return df
         return df.repartition(target)
 

@@ -1354,6 +1354,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("shared_fps"),
             F.sum("n_test").cast("long").alias("test_matches"),
         )
+        .orderBy(F.col("shared_fps").desc(), F.col("doc_id").asc())
     )
 
 

@@ -57,19 +57,20 @@ def scan_parquet(
         # schema INFERENCE can still abort if the file it samples is
         # the corrupt one (observed: UNABLE_TO_INFER_SCHEMA). Infer
         # defensively from the readable paths and pass the schema
-        # explicitly; with merge_schema, union the readable paths'
-        # fields by name (first occurrence wins the type).
+        # explicitly. DANGER handled here: with a forced schema,
+        # ignoreCorruptFiles also swallows schema-CONVERSION failures,
+        # silently dropping HEALTHY files whose types drifted (e.g.
+        # int -> long). So conflicting field types across readable
+        # paths are a loud error, never a silent loss.
         reader = reader.option("ignoreCorruptFiles", "true")
         schemas = []
         for p in paths:
             try:
                 schemas.append(spark.read.parquet(p).schema)
-                if not merge_schema:
-                    break
             except Exception:
                 continue  # fully-corrupt path: contributes no schema
         if not schemas:
-            raise FieldResolutionError(
+            raise IOError(
                 f"no readable parquet among {len(paths)} path(s)"
             )
         from pyspark.sql.types import StructType
@@ -77,6 +78,18 @@ def scan_parquet(
         fields: dict[str, object] = {}
         for sch in schemas:
             for f in sch.fields:
+                prev = fields.get(f.name)
+                if prev is not None and prev.dataType != f.dataType:
+                    raise ValueError(
+                        f"type drift on column {f.name!r} across paths "
+                        f"({prev.dataType.simpleString()} vs "
+                        f"{f.dataType.simpleString()}): with "
+                        "on_corrupt='skip' a forced schema would make "
+                        "Spark silently drop the mismatched (healthy) "
+                        "files as corrupt. Read the drifted paths "
+                        "separately and cast, or use merge_schema with "
+                        "on_corrupt='fail'."
+                    )
                 fields.setdefault(f.name, f)
         reader = reader.schema(StructType(list(fields.values())))
     return reader.parquet(*paths)

@@ -18,14 +18,14 @@ import pytest
 REPO = pathlib.Path(__file__).resolve().parents[1]
 HISTORY = REPO / "BENCH_HISTORY.jsonl"
 
-# Budget: >2.5x the per-query historical best is a regression. The
-# absolute floor keeps sub-second queries from flapping: this host
-# shows up to ~1.7x uniform inflation from invisible noisy neighbors
-# (load ~1.6 with an empty process table), so thresholds must sit
-# above environment noise while still catching real 3x+ code
-# regressions.
+# Budget: a query regresses when it exceeds best * FACTOR + SLACK.
+# The multiplicative factor absorbs this host's noisy-neighbor
+# inflation (observed up to ~1.7x uniform with an empty process
+# table); the small absolute slack absorbs scheduler jitter on
+# sub-300ms queries WITHOUT exempting them the way a 1s floor would
+# (a 0.18s query regressing to 0.99s must still trip).
 FACTOR = 2.5
-FLOOR_SEC = 1.0
+SLACK_SEC = 0.3
 
 
 def _records():
@@ -54,7 +54,7 @@ def test_latest_bench_not_regressed_vs_history_best():
                 best[name] = sec
     regressions = []
     for name, sec in latest["queries"].items():
-        if name in best and sec > max(best[name] * FACTOR, FLOOR_SEC):
+        if name in best and sec > best[name] * FACTOR + SLACK_SEC:
             regressions.append(
                 f"{name}: {sec:.3f}s vs historical best {best[name]:.3f}s"
             )

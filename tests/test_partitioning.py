@@ -194,3 +194,34 @@ def test_spread_no_shuffle_for_single_large_multisplit_file(spark, tmp_path):
         assert out is df  # accurate partition count kicked in
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_byte_conf_parses_unit_suffixes(spark):
+    from s3_parquet_to_postgres_spark.functions.layout import _byte_conf
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    key = "spark.sql.files.maxPartitionBytes"
+    try:
+        for raw, expect in [("134217728", 134217728), ("128m", 128 << 20),
+                            ("128MB", 128 << 20), ("1g", 1 << 30),
+                            ("4096k", 4096 << 10)]:
+            spark.conf.set(key, raw)
+            assert _byte_conf(spark, key, 1) == expect, raw
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_est_scan_partitions_uses_spark_split_formula(spark):
+    # 200 MB on N cores: Spark packs by bytes-per-core (min with
+    # maxPartitionBytes, floor at openCost), NOT by 128 MB alone.
+    from s3_parquet_to_postgres_spark.functions.layout import (
+        _est_scan_partitions,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    est = _est_scan_partitions(spark, 200 << 20)
+    # bytes_per_core = 200MB/cores; if that's below openCost (4MB),
+    # split = 4MB -> 50 partitions; either way >= min(cores, 50).
+    assert est >= min(cores, 50)
+    # a tiny input is one partition, not zero
+    assert _est_scan_partitions(spark, 10) == 1

@@ -68,17 +68,13 @@ def test_scan_merge_schema_reconciles_drift(spark, tmp_path):
     assert sorted(merged.columns) == ["extra", "id"]
     rows = {r["id"]: r["extra"] for r in merged.collect()}
     assert rows == {1: None, 2: "x"}
-    # default: no silent union -- the drifted column is absent (scan
-    # schema comes from one footer), so a projection of it fails fast
-    # in resolve_fields.
+    # default: no silent union -- the scan schema is exactly ONE
+    # footer's schema (whichever file Spark samples), never a merge.
     plain = scan_parquet(spark, [old, new])
-    from s3_parquet_to_postgres_spark.sources.parquet import (
-        FieldResolutionError,
-        resolve_fields,
-    )
-    if "extra" not in plain.columns:
-        with _pytest.raises(FieldResolutionError):
-            resolve_fields(plain, ["extra"])
+    assert sorted(plain.columns) in (["id"], ["extra", "id"])
+    assert set(plain.columns) != {"id", "extra"} or sorted(
+        plain.columns
+    ) == ["extra", "id"]  # either footer verbatim, no invented mix
 
 
 def test_scan_corrupt_policy(spark, tmp_path):
@@ -99,3 +95,31 @@ def test_scan_corrupt_policy(spark, tmp_path):
                         on_corrupt="skip").count() == 2
     with _pytest.raises(ValueError):
         scan_parquet(spark, good, on_corrupt="maybe")
+
+
+def test_scan_skip_refuses_silent_type_drift(spark, tmp_path):
+    # With a forced schema + ignoreCorruptFiles, Spark would silently
+    # drop HEALTHY files whose types drifted; scan_parquet must
+    # detect the conflict and fail loudly instead.
+    import pytest as _pytest
+
+    from s3_parquet_to_postgres_spark.sources.parquet import scan_parquet
+
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    spark.createDataFrame([(1,)], "id int").coalesce(1).write.parquet(a)
+    spark.createDataFrame([(2**40,)], "id long").coalesce(1).write.parquet(b)
+    with _pytest.raises(ValueError, match="type drift on column 'id'"):
+        scan_parquet(spark, [a, b], on_corrupt="skip")
+
+
+def test_scan_skip_all_corrupt_is_io_error(spark, tmp_path):
+    import pytest as _pytest
+
+    from s3_parquet_to_postgres_spark.sources.parquet import scan_parquet
+
+    bad = tmp_path / "bad.parquet"
+    bad.mkdir()
+    (bad / "part-0.parquet").write_bytes(b"junk")
+    with _pytest.raises(IOError):
+        scan_parquet(spark, [str(bad)], on_corrupt="skip")
