@@ -1265,6 +1265,11 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partitioned window) by design: a GLOBAL greedy pack would be a
     single-partition sort at 100 TB, while per-shard packing scales
     with shard count and matches how packed shards are written out.
+    The shard key must carry enough cardinality to spread the window
+    -- the synthetic corpus's 5-value ``source`` column stands in
+    here; a production pack shards on something like
+    (source, date_bucket) or a hash-bucketed doc range so the
+    per-shard sort stays executor-sized.
     Output: per (source, seq_id) doc count, token total, and budget
     utilization -- the packing-efficiency numbers a data team
     actually monitors."""
