@@ -164,6 +164,110 @@ def passage_overlap_pairs(
     )
 
 
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (2, 3, 5),
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021, "Scaling Language Models: ... Gopher", appendix A1.1): for
+    each word-n-gram size ``n``,
+
+    * ``top{n}_count``     -- occurrences of the document's most
+      frequent n-gram (count-desc, gram-desc tiebreak, deterministic);
+    * ``top{n}_char_frac`` -- characters covered by that n-gram
+      (count x gram length / doc chars; overlapping occurrences mean
+      the ratio can exceed 1, as in the paper's definition);
+    * ``dup{n}_frac``      -- fraction of the document's n-grams that
+      are repeats of an earlier one (1 - distinct/total).
+
+    The paper's line-based signals (duplicate line fraction) are
+    meaningless on single-line documents, so the word-n-gram family
+    carries the whole repetition axis here.
+
+    Scale shape: ONE explode emits every (n, gram) pair for all
+    ``ns`` together -- the corpus is scanned and tokenized once, not
+    once per n. Three successively smaller hash shuffles follow:
+    (doc, n, gram) counts, per-(doc, n) top-1 + totals, per-doc
+    pivot. No self-joins, no UDFs; a document with fewer than
+    ``min(ns)`` tokens has no n-grams and drops out (the oracle
+    replays the same rule).
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions import dround
+
+    base = spread(df).select(
+        F.col(id_col),
+        F.greatest(F.length(text_col), F.lit(1)).cast("double").alias("__chars"),
+        ws_tokens(F.col(text_col)).alias("__toks"),
+    )
+    toks = F.col("__toks")
+
+    def gram_struct(n: int):
+        # Factory capture (see language_id): a default arg would be
+        # introspected by PySpark as a second lambda variable.
+        return lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.concat_ws(" ", F.slice(toks, i, n)).alias("gram"),
+        )
+
+    parts = []
+    for n in ns:
+        n_g = F.size(toks) - (n - 1)
+        idx = F.when(n_g >= 1, F.sequence(F.lit(1), n_g)).otherwise(
+            F.array().cast("array<int>")
+        )
+        parts.append(F.transform(idx, gram_struct(n)))
+    exploded = base.select(
+        id_col, "__chars", F.explode(F.concat(*parts)).alias("g")
+    )
+    counted = exploded.groupBy(
+        F.col(id_col),
+        F.col("g.n").alias("n"),
+        F.col("g.gram").alias("gram"),
+    ).agg(F.count("*").alias("cnt"), F.max("__chars").alias("chars"))
+    w = Window.partitionBy(id_col, "n").orderBy(
+        F.col("cnt").desc(), F.col("gram").desc()
+    )
+    per_n = (
+        counted.withColumn("__rn", F.row_number().over(w))
+        .groupBy(id_col, "n")
+        .agg(
+            F.max("chars").alias("chars"),
+            F.sum("cnt").alias("total"),
+            F.count("*").alias("nd"),
+            F.max(F.when(F.col("__rn") == 1, F.struct("cnt", "gram"))).alias(
+                "top"
+            ),
+        )
+    )
+
+    def pick(n: int, c: Column) -> Column:
+        return F.max(F.when(F.col("n") == n, c))
+
+    aggs = [F.max("chars").alias("__chars")]
+    for n in ns:
+        aggs.append(pick(n, F.col("top.cnt")).alias(f"__cnt{n}"))
+        aggs.append(pick(n, F.length(F.col("top.gram"))).alias(f"__len{n}"))
+        aggs.append(pick(n, F.col("total")).alias(f"__tot{n}"))
+        aggs.append(pick(n, F.col("nd")).alias(f"__nd{n}"))
+    pivoted = per_n.groupBy(id_col).agg(*aggs)
+    out_cols: dict[str, Column] = {}
+    for n in ns:
+        cnt, ln = F.col(f"__cnt{n}"), F.col(f"__len{n}")
+        tot, nd = F.col(f"__tot{n}"), F.col(f"__nd{n}")
+        out_cols[f"top{n}_count"] = F.coalesce(cnt, F.lit(0)).cast("long")
+        out_cols[f"top{n}_char_frac"] = F.coalesce(
+            dround(cnt.cast("double") * ln / F.col("__chars"), 6), F.lit(0.0)
+        )
+        out_cols[f"dup{n}_frac"] = F.coalesce(
+            dround((tot - nd).cast("double") / tot, 6), F.lit(0.0)
+        )
+    return pivoted.select(F.col(id_col), *[c.alias(a) for a, c in out_cols.items()])
+
+
 def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length/punctuation/stopword-ratio quality features (the standard
     cheap pre-filters for web-scale corpus cleaning)."""
@@ -281,6 +385,138 @@ def tfidf_top_terms(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+def unigram_lm_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-unigram language-model score per document -- the
+    CCNet-style (Wenzek et al. 2020) perplexity-proxy quality filter,
+    with the corpus itself as the LM: documents made of corpus-rare
+    tokens score low ``avg_logprob`` / high ``ppl`` and are the usual
+    head-cut candidates.
+
+    Plan shape mirrors ``tfidf_top_terms``: one explode to (doc, term)
+    counts, corpus term frequency as ``sum(tf) over (partition by
+    term)`` on that SAME tf table (no second corpus explode, no
+    vocabulary join), total token count as a one-row broadcast agg
+    over a text-pruned second scan. Per-term log-probabilities are
+    quantized to 1e-6 scaled BIGINTs before the per-doc sum, so the
+    sum is order-independent (exact integer addition) and the DuckDB
+    oracle reproduces it bit-for-bit regardless of partial-aggregation
+    order -- the same scaled-integer trick as the money sums.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions import dround
+
+    clean = lambda c: F.filter(ws_tokens(F.lower(c)), lambda x: x != "")  # noqa: E731
+    terms = spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(clean(F.col(text_col))).alias("term"),
+    )
+    tf = terms.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    total = spread(df).agg(
+        F.sum(F.size(clean(F.col(text_col)))).cast("double").alias("__total")
+    )
+    scored = tf.withColumn(
+        "ctf", F.sum("tf").over(Window.partitionBy("term"))
+    ).crossJoin(F.broadcast(total))
+    lpq = F.floor(
+        F.col("tf")
+        * F.log(F.col("ctf").cast("double") / F.col("__total"))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    per_doc = scored.groupBy("doc").agg(
+        F.sum("tf").alias("n_tokens"), F.sum(lpq).alias("lp_sum")
+    )
+    avg = F.col("lp_sum") / F.lit(1000000.0) / F.col("n_tokens")
+    return per_doc.select(
+        F.col("doc").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        dround(avg, 6).alias("avg_logprob"),
+        dround(F.exp(-avg), 4).alias("ppl"),
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 25,
+) -> DataFrame:
+    """Top-n corpus collocations by pointwise mutual information
+    (Church & Hanks 1990): pmi(x, y) = ln( p(x,y) / (p(x) p(y)) )
+    over word bigrams, with a ``min_count`` support floor (PMI's
+    classic low-frequency pathology).
+
+    Scale shape: two corpus explodes (unigram counts, bigram counts)
+    plus one text-pruned totals scan -- a single tagged explode would
+    read nicer but both count tables join back together and Catalyst
+    does not deduplicate the shared subplan, so the fused form would
+    re-explode the corpus per join input. The unigram table is
+    vocabulary-sized; the joins are plain equi-joins on the term key
+    so AQE picks broadcast when the vocabulary fits and falls back to
+    a shuffle join when (at web scale) it does not -- deliberately NOT
+    a forced broadcast. Final top-n is sort+limit (TakeOrdered), not a
+    global window; ``rnk`` is attached after the limit on top_n rows.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions import dround
+
+    toks = spread(df).select(
+        F.filter(ws_tokens(F.lower(F.col(text_col))), lambda x: x != "").alias("w")
+    )
+    uni = (
+        toks.select(F.explode("w").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c1"))
+    )
+    bi = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> named_struct('w1', w[i - 1], 'w2', w[i]))"
+                )
+            ).alias("s")
+        )
+        .groupBy(F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
+        .agg(F.count("*").alias("cb"))
+        .filter(F.col("cb") >= min_count)
+    )
+    totals = toks.agg(
+        F.sum(F.size("w")).cast("double").alias("__nu"),
+        F.sum(F.greatest(F.size("w") - 1, F.lit(0))).cast("double").alias("__nb"),
+    )
+    lc = uni.select(F.col("term").alias("w1"), F.col("c1").alias("left_count"))
+    rc = uni.select(F.col("term").alias("w2"), F.col("c1").alias("right_count"))
+    pmi = F.log(
+        F.col("cb").cast("double") * F.col("__nu") * F.col("__nu")
+        / (
+            F.col("__nb")
+            * F.col("left_count").cast("double")
+            * F.col("right_count").cast("double")
+        )
+    )
+    scored = (
+        bi.join(lc, "w1")
+        .join(rc, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("cb").cast("long").alias("occurrences"),
+            F.col("left_count").cast("long").alias("left_count"),
+            F.col("right_count").cast("long").alias("right_count"),
+            dround(pmi, 6).alias("pmi"),
+        )
+    )
+    limited = scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(top_n)
+    w = Window.orderBy(F.desc("pmi"), F.asc("bigram"))
+    return limited.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
 # Patterns chosen to mean the same thing in Java regex (Spark) and RE2

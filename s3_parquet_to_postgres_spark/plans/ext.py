@@ -512,6 +512,156 @@ FROM (SELECT doc_id, text,
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.repetition_signals(t(spark, sf_dir, "documents"))
+
+
+def _repetition_oracle_sql(ns: tuple[int, ...] = (2, 3, 5)) -> str:
+    # Mirrors repetition_signals: one gram table for all n (UNION ALL
+    # branches), count, per-(doc,n) top-1 window, per-doc pivot.
+    branches = "\n  UNION ALL\n".join(
+        f"""  SELECT doc_id, chars, {n} AS n,
+         unnest(list_transform(range(1, len(w) - {n} + 2),
+                i -> array_to_string(w[i:i + {n} - 1], ' '))) AS gram
+  FROM toks WHERE len(w) >= {n}"""
+        for n in ns
+    )
+    metric_cols = []
+    for n in ns:
+        metric_cols.append(
+            f"CAST(coalesce(max(CASE WHEN n = {n} THEN top_cnt END), 0)"
+            f" AS BIGINT) AS top{n}_count"
+        )
+        metric_cols.append(
+            "coalesce("
+            + sql_dround(
+                f"max(CASE WHEN n = {n} THEN"
+                f" CAST(top_cnt * length(top_gram) AS DOUBLE) / chars END)",
+                6,
+            )
+            + f", 0.0) AS top{n}_char_frac"
+        )
+        metric_cols.append(
+            "coalesce("
+            + sql_dround(
+                f"max(CASE WHEN n = {n} THEN"
+                f" CAST(total - nd AS DOUBLE) / total END)",
+                6,
+            )
+            + f", 0.0) AS dup{n}_frac"
+        )
+    metrics = ",\n       ".join(metric_cols)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, greatest(length(text), 1) AS chars,
+         string_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+), g AS (
+{branches}
+), c AS (
+  SELECT doc_id, n, gram, count(*) AS cnt, max(chars) AS chars
+  FROM g GROUP BY doc_id, n, gram
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                               ORDER BY cnt DESC, gram DESC) AS rn
+  FROM c
+), p AS (
+  SELECT doc_id, n, max(chars) AS chars, sum(cnt) AS total,
+         count(*) AS nd,
+         max(CASE WHEN rn = 1 THEN cnt END) AS top_cnt,
+         max(CASE WHEN rn = 1 THEN gram END) AS top_gram
+  FROM r GROUP BY doc_id, n
+)
+SELECT doc_id,
+       {metrics}
+FROM p GROUP BY doc_id
+"""
+
+
+TEXT_REPETITION_SQL = _repetition_oracle_sql()
+
+
+def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.unigram_lm_scores(t(spark, sf_dir, "documents"))
+
+
+# Mirrors unigram_lm_scores: (doc, term) counts, windowed corpus term
+# frequency, scaled-BIGINT quantized logprobs summed exactly.
+_CLEAN_TOKS_SQL = (
+    "list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+    " tk -> tk != '')"
+)
+TEXT_UNIGRAM_LM_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_CLEAN_TOKS_SQL}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+), tot AS (
+  SELECT CAST(sum(len({_CLEAN_TOKS_SQL})) AS DOUBLE) AS total
+  FROM documents
+), scored AS (
+  SELECT doc_id, tf,
+         sum(tf) OVER (PARTITION BY term) AS ctf
+  FROM tf
+), lp AS (
+  SELECT doc_id, tf,
+         CAST(floor(tf * ln(CAST(ctf AS DOUBLE) / total) * 1000000.0
+                    + 0.5) AS BIGINT) AS lpq
+  FROM scored, tot
+)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       {sql_dround('sum(lpq) / 1000000.0 / sum(tf)', 6)} AS avg_logprob,
+       {sql_dround('exp(-(sum(lpq) / 1000000.0 / sum(tf)))', 4)} AS ppl
+FROM lp GROUP BY doc_id
+"""
+
+
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.pmi_collocations(t(spark, sf_dir, "documents"))
+
+
+TEXT_COLLOCATIONS_SQL = f"""
+WITH toks AS (
+  SELECT {_CLEAN_TOKS_SQL} AS w FROM documents
+), tot AS (
+  SELECT CAST(sum(len(w)) AS DOUBLE) AS nu,
+         CAST(sum(greatest(len(w) - 1, 0)) AS DOUBLE) AS nb
+  FROM toks
+), uni AS (
+  SELECT unnest(w) AS term FROM toks
+), uc AS (
+  SELECT term, count(*) AS c1 FROM uni GROUP BY term
+), b0 AS (
+  SELECT unnest(list_transform(range(1, len(w)),
+                i -> {{'w1': w[i], 'w2': w[i + 1]}})) AS s
+  FROM toks WHERE len(w) >= 2
+), bi AS (
+  SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS cb
+  FROM b0 GROUP BY 1, 2 HAVING count(*) >= 5
+), scored AS (
+  SELECT w1 || ' ' || w2 AS bigram,
+         CAST(cb AS BIGINT) AS occurrences,
+         CAST(l.c1 AS BIGINT) AS left_count,
+         CAST(r.c1 AS BIGINT) AS right_count,
+         {sql_dround(
+             'ln(CAST(cb AS DOUBLE) * nu * nu'
+             ' / (nb * CAST(l.c1 AS DOUBLE) * CAST(r.c1 AS DOUBLE)))', 6)}
+           AS pmi
+  FROM bi
+  JOIN uc l ON bi.w1 = l.term
+  JOIN uc r ON bi.w2 = r.term
+  CROSS JOIN tot
+), sel AS (
+  SELECT * FROM scored ORDER BY pmi DESC, bigram ASC LIMIT 25
+)
+SELECT bigram, occurrences, left_count, right_count, pmi,
+       CAST(row_number() OVER (ORDER BY pmi DESC, bigram ASC)
+            AS BIGINT) AS rnk
+FROM sel
+"""
+
+
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.language_id(t(spark, sf_dir, "documents")).select(
         "doc_id", "lang", "lang_pred", "lang_score"
@@ -1525,6 +1675,17 @@ SPECS: list[QuerySpec] = [
     QuerySpec("text_tfidf", text_tfidf, TEXT_TFIDF_SQL),
     QuerySpec("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL),
+    QuerySpec("text_repetition", text_repetition, TEXT_REPETITION_SQL,
+              "Gopher within-document repetition signals: top-n-gram "
+              "coverage + duplicate-n-gram fractions, one explode for "
+              "all n"),
+    QuerySpec("text_unigram_lm", text_unigram_lm, TEXT_UNIGRAM_LM_SQL,
+              "CCNet-style corpus-LM quality score: windowed term "
+              "frequency, order-independent quantized logprob sums"),
+    QuerySpec("text_collocations", text_collocations,
+              TEXT_COLLOCATIONS_SQL,
+              "PMI collocations with support floor; AQE-chosen join "
+              "strategy on the vocabulary, TakeOrdered top-n"),
     QuerySpec("text_lang_id", text_lang_id, TEXT_LANG_ID_SQL),
     QuerySpec("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_SQL),
     QuerySpec("text_winnow_fingerprints", text_winnow_fingerprints,

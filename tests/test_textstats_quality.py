@@ -1,0 +1,121 @@
+"""Hand-computed + discrimination tests for the corpus text-analysis
+signals added on top of the oracle-parity sweep: repetition (Gopher),
+unigram-LM scoring, and PMI collocations behave like the statistics
+they claim to be, not just match DuckDB."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_parquet_to_postgres_spark.operators import textstats as T
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestRepetitionSignals:
+    def test_hand_computed_degenerate_doc(self, spark):
+        # "a a a a a a": 6 tokens, 11 chars; five 2-grams, all "a a".
+        df = _docs(spark, [(1, "a a a a a a")])
+        row = T.repetition_signals(df).collect()[0]
+        assert row.top2_count == 5
+        # coverage = 5 occurrences x 3 chars / 11 chars (can exceed 1,
+        # the paper's overlapping definition)
+        assert row.top2_char_frac == pytest.approx(15 / 11, abs=1e-6)
+        assert row.dup2_frac == pytest.approx(4 / 5)  # 1 distinct of 5
+        assert row.top5_count == 2
+        assert row.dup5_frac == pytest.approx(1 / 2)
+
+    def test_diverse_doc_scores_zero_duplication(self, spark):
+        df = _docs(spark, [(1, "b c d e f g h")])
+        row = T.repetition_signals(df).collect()[0]
+        assert row.top2_count == 1
+        assert row.dup2_frac == 0.0
+        assert row.dup3_frac == 0.0
+        assert row.dup5_frac == 0.0
+
+    def test_discriminates_repetitive_from_natural(self, spark):
+        df = _docs(
+            spark,
+            [
+                (1, "spam spam spam spam spam spam spam spam"),
+                (2, "the quick brown fox jumps over the lazy dog"),
+            ],
+        )
+        out = {r.doc_id: r for r in T.repetition_signals(df).collect()}
+        assert out[1].dup2_frac > out[2].dup2_frac
+        assert out[1].top3_char_frac > out[2].top3_char_frac
+
+    def test_short_docs_drop_out(self, spark):
+        # A 1-token doc has no 2-grams at all -> no output row (the
+        # declared semantics, replayed by the oracle).
+        df = _docs(spark, [(1, "only"), (2, "two tokens")])
+        ids = [r.doc_id for r in T.repetition_signals(df).collect()]
+        assert ids == [2]
+
+
+class TestUnigramLM:
+    def test_hand_computed_logprob(self, spark):
+        # Corpus: "x x y" + "x y". Counts: x=3, y=2, total=5.
+        # doc 1: avg lp = (2*ln(3/5) + 1*ln(2/5)) / 3
+        df = _docs(spark, [(1, "x x y"), (2, "x y")])
+        out = {r.doc_id: r for r in T.unigram_lm_scores(df).collect()}
+        lp_x, lp_y = math.log(3 / 5), math.log(2 / 5)
+        assert out[1].n_tokens == 3
+        assert out[1].avg_logprob == pytest.approx(
+            (2 * lp_x + lp_y) / 3, abs=1e-5
+        )
+        assert out[2].avg_logprob == pytest.approx(
+            (lp_x + lp_y) / 2, abs=1e-5
+        )
+
+    def test_rare_word_doc_scores_lower(self, spark):
+        common = " ".join(["the"] * 20)
+        df = _docs(
+            spark,
+            [(1, common), (2, common), (3, common), (4, "zyzzyva qoph")],
+        )
+        out = {r.doc_id: r for r in T.unigram_lm_scores(df).collect()}
+        # Doc of corpus-rare words is less probable under the corpus
+        # unigram LM -- the CCNet-style quality ordering.
+        assert out[4].avg_logprob < out[1].avg_logprob
+        assert out[4].ppl > out[1].ppl
+
+    def test_case_folded(self, spark):
+        df = _docs(spark, [(1, "The the THE")])
+        row = T.unigram_lm_scores(df).collect()[0]
+        assert row.avg_logprob == pytest.approx(0.0, abs=1e-6)  # p=1
+        assert row.ppl == pytest.approx(1.0, abs=1e-4)
+
+
+class TestCollocations:
+    def test_collocated_pair_beats_independent(self, spark):
+        # "san francisco" always co-occur; "of" is everywhere.
+        rows = [(i, "san francisco is of interest of note") for i in range(6)]
+        rows += [(10 + i, "of the city of the bay of fog") for i in range(6)]
+        df = _docs(spark, rows)
+        out = T.pmi_collocations(df, min_count=5, top_n=5).collect()
+        assert out, "expected at least one collocation"
+        by_name = {r.bigram: r for r in out}
+        # The perfectly-collocated pair is present, with positive PMI,
+        # and outranks the promiscuous "of the" pair.
+        assert "san francisco" in by_name
+        sf = by_name["san francisco"]
+        assert sf.pmi > 0
+        assert sf.pmi == out[0].pmi  # ties with its equally-exclusive peers
+        if "of the" in by_name:
+            assert sf.pmi > by_name["of the"].pmi
+        # Ranking is deterministic: pmi desc, bigram asc.
+        ranks = [r.rnk for r in out]
+        assert ranks == sorted(ranks)
+        assert out[0].bigram == min(
+            r.bigram for r in out if r.pmi == out[0].pmi
+        )
+
+    def test_min_count_filters_rare_bigrams(self, spark):
+        df = _docs(spark, [(1, "alpha beta"), (2, "gamma delta")])
+        assert T.pmi_collocations(df, min_count=2, top_n=5).count() == 0
