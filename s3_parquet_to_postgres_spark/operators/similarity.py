@@ -260,6 +260,27 @@ def cosine_topk_pandas(
     )
 
 
+def nearest_centroid(cents: Column, v: Column) -> Column:
+    """Argmax over a broadcast-folded (centroid_id, cent_vec) array:
+    a narrow ``F.aggregate`` fold, so the corpus never shuffles for
+    assignment. Strict ``>`` keeps the first (smallest centroid_id)
+    among equal sims -- deterministic ties."""
+    return F.aggregate(
+        cents,
+        F.struct(
+            F.lit(None).cast("bigint").alias("cid"),
+            F.lit(float("-inf")).alias("sim"),
+        ),
+        lambda acc, c: F.when(
+            cosine(v, c.getField("cent_vec")) > acc.getField("sim"),
+            F.struct(
+                c.getField("centroid_id").cast("bigint").alias("cid"),
+                cosine(v, c.getField("cent_vec")).alias("sim"),
+            ),
+        ).otherwise(acc),
+    ).getField("cid")
+
+
 def kmeans_refine_centroids(
     corpus: DataFrame,
     init: DataFrame,
@@ -293,28 +314,15 @@ def kmeans_refine_centroids(
             ).alias("cents")
         )
 
-        def _best(cents: Column, v: Column) -> Column:
-            # argmax over the broadcast centroid array: strict > keeps
-            # the first (smallest centroid_id) among equal sims.
-            return F.aggregate(
-                cents,
-                F.struct(
-                    F.lit(None).cast("bigint").alias("cid"),
-                    F.lit(float("-inf")).alias("sim"),
-                ),
-                lambda acc, c: F.when(
-                    cosine(v, c.getField("cent_vec")) > acc.getField("sim"),
-                    F.struct(
-                        c.getField("centroid_id").cast("bigint").alias("cid"),
-                        cosine(v, c.getField("cent_vec")).alias("sim"),
-                    ),
-                ).otherwise(acc),
-            ).getField("cid")
-
         assigned = (
             corpus.select(as_double(vec_col).alias("v"))
             .join(F.broadcast(cent_arr))
-            .select(_best(F.col("cents"), F.col("v")).alias("centroid_id"), "v")
+            .select(
+                nearest_centroid(F.col("cents"), F.col("v")).alias(
+                    "centroid_id"
+                ),
+                "v",
+            )
         )
         means = (
             assigned.select("centroid_id", F.posexplode("v").alias("d", "x"))
@@ -477,4 +485,94 @@ def cosine_near_pairs_blocked(
         .select("block", "id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
         .select("block", "id_a", "id_b", dround("sim", 4).alias("cosine_sim"))
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.3,
+    max_cluster_size: int = 1024,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): coarse-cluster the
+    embedding space, then within each cluster drop every point with a
+    near-duplicate (cosine >= ``threshold``) of smaller id. The
+    greedy-by-id rule replaces the paper's keep-one-per-group choice
+    -- identical when duplicate groups are cliques, and deterministic
+    + oracle-replayable always.
+
+    Cluster seeds are a md5-hash-sample of the corpus (deterministic
+    AND portable, unlike xxhash64, so the DuckDB oracle replays them
+    bit-exactly; production swaps in ``kmeans_refine_centroids``).
+    Assignment is the ``nearest_centroid`` broadcast fold -- the
+    corpus never shuffles for it -- and in-cluster pairing reuses
+    ``cosine_near_pairs_blocked`` including its ``max_cluster_size``
+    quadratic-blowup guard. The assignment subplan feeds four
+    branches (size gate, both pair sides, final accounting); at
+    production scale persist the assigned table first so the narrow
+    argmax scan runs once.
+
+    Returns per-cluster accounting: cluster_id, size, n_removed,
+    n_kept.
+    """
+    cent = (
+        df.select(
+            F.col(id_col).alias("centroid_id"),
+            as_double(vec_col).alias("cent_vec"),
+        )
+        .withColumn(
+            "__h",
+            F.conv(
+                F.substring(F.md5(F.col("centroid_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long"),
+        )
+        .orderBy("__h", "centroid_id")
+        .limit(n_clusters)
+        .drop("__h")
+    )
+    cent_arr = cent.agg(
+        F.array_sort(
+            F.collect_list(F.struct("centroid_id", "cent_vec"))
+        ).alias("cents")
+    )
+    assigned = (
+        df.select(F.col(id_col).alias("__id"), as_double(vec_col).alias("__v"))
+        .join(F.broadcast(cent_arr))
+        .select(
+            nearest_centroid(F.col("cents"), F.col("__v")).alias("cluster_id"),
+            F.col("__id").alias(id_col),
+            "__v",
+        )
+    )
+    pairs = cosine_near_pairs_blocked(
+        assigned,
+        block_col="cluster_id",
+        id_col=id_col,
+        vec_col="__v",
+        threshold=threshold,
+        max_block_size=max_cluster_size,
+    )
+    removed = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__rm", F.lit(1))
+    )
+    return (
+        assigned.join(removed, id_col, "left")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("__size"),
+            F.sum(F.coalesce(F.col("__rm"), F.lit(0))).alias("__removed"),
+        )
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("__size").cast("long").alias("size"),
+            F.col("__removed").cast("long").alias("n_removed"),
+            (F.col("__size") - F.col("__removed")).cast("long").alias("n_kept"),
+        )
     )

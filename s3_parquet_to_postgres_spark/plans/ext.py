@@ -313,6 +313,47 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.3
 """
 
 
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.semantic_dedup(t(spark, sf_dir, "embeddings"))
+
+
+# Replays semantic_dedup end-to-end: md5 hash-sampled centroids,
+# argmax assignment (sim desc, centroid_id asc = Spark's strict-> fold
+# over the centroid_id-sorted array), in-cluster near pairs with the
+# oversize-cluster guard, greedy-by-id removal.
+DEDUP_SEMANTIC_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+  SELECT vec_id AS centroid_id, v AS cent_vec FROM e
+  ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                AS BIGINT) ASC, vec_id ASC
+  LIMIT 16
+), assigned AS (
+  SELECT vec_id, v, centroid_id AS cluster_id FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.v, c.cent_vec) DESC,
+                        c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN cent c) WHERE rn = 1
+), ok AS (
+  SELECT cluster_id FROM assigned
+  GROUP BY cluster_id HAVING count(*) <= 1024
+), removed AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+    AND a.cluster_id IN (SELECT cluster_id FROM ok)
+)
+SELECT CAST(a.cluster_id AS BIGINT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS size,
+       CAST(count(r.vec_id) AS BIGINT) AS n_removed,
+       CAST(count(*) - count(r.vec_id) AS BIGINT) AS n_kept
+FROM assigned a LEFT JOIN removed r ON a.vec_id = r.vec_id
+GROUP BY a.cluster_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Similarity search (E3)
 # --------------------------------------------------------------------------
@@ -1660,6 +1701,9 @@ SPECS: list[QuerySpec] = [
               CORPUS_CURATION_SQL),
     QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine,
               DEDUP_EMBEDDING_COSINE_SQL),
+    QuerySpec("dedup_semantic", dedup_semantic, DEDUP_SEMANTIC_SQL,
+              "SemDeDup: hash-sampled coarse clusters, broadcast-fold "
+              "assignment, in-cluster greedy-by-id removal"),
     QuerySpec("similarity_topk_cosine", similarity_topk_cosine,
               SIMILARITY_TOPK_SQL),
     QuerySpec("similarity_ann_lsh", similarity_ann_lsh, ANN_VERIFIED_SQL,
