@@ -46,6 +46,10 @@ HEADLINE = [
     "asof_join_events",
     "event_sessionize",
     "corpus_curation_pipeline",
+    "text_repetition",
+    "text_unigram_lm",
+    "text_collocations",
+    "dedup_semantic",
 ]
 
 

@@ -90,6 +90,63 @@ def cosine_topk(
     )
 
 
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN majority-vote label propagation: each query takes the mode
+    of its k nearest labeled neighbors' labels (cosine; count-desc,
+    label-asc tiebreak -- fully deterministic). The semi-supervised
+    companion to ``cosine_topk``: auto-labeling new embeddings from an
+    already-labeled corpus is the standard cheap classifier in
+    training-data pipelines.
+
+    Same scale shape as ``cosine_topk``: queries broadcast, the corpus
+    never shuffles, per-partition scoring, only the top-k rows per
+    query reach the vote. The vote itself is a two-level aggregation
+    over k*|queries| rows -- driver-negligible.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("__lbl"),
+        as_double(vec_col).alias("c_vec"),
+    )
+    sim = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        "__lbl",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    votes = (
+        sim.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .groupBy("query_id", "__lbl")
+        .agg(F.count("*").alias("votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("__lbl").asc()
+    )
+    return (
+        votes.withColumn("__rv", F.row_number().over(wv))
+        .filter(F.col("__rv") == 1)
+        .select(
+            "query_id",
+            F.col("__lbl").cast("long").alias("pred_label"),
+            F.col("votes").cast("long").alias("votes"),
+        )
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 13) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (pure python LCG so
     no numpy state leaks into executors; values are plan literals)."""
@@ -262,21 +319,28 @@ def cosine_topk_pandas(
 
 def nearest_centroid(cents: Column, v: Column) -> Column:
     """Argmax over a broadcast-folded (centroid_id, cent_vec) array:
-    a narrow ``F.aggregate`` fold, so the corpus never shuffles for
-    assignment. Strict ``>`` keeps the first (smallest centroid_id)
-    among equal sims -- deterministic ties."""
-    return F.aggregate(
+    a narrow transform-then-fold, so the corpus never shuffles for
+    assignment. The transform scores each centroid's cosine exactly
+    ONCE (a fold comparing cosines directly would evaluate each one
+    twice -- once in the predicate, once in the kept value); the fold
+    then runs over the small (cid, sim) structs. Strict ``>`` keeps
+    the first (smallest centroid_id) among equal sims --
+    deterministic ties."""
+    scored = F.transform(
         cents,
+        lambda c: F.struct(
+            c.getField("centroid_id").cast("bigint").alias("cid"),
+            cosine(v, c.getField("cent_vec")).alias("sim"),
+        ),
+    )
+    return F.aggregate(
+        scored,
         F.struct(
             F.lit(None).cast("bigint").alias("cid"),
             F.lit(float("-inf")).alias("sim"),
         ),
-        lambda acc, c: F.when(
-            cosine(v, c.getField("cent_vec")) > acc.getField("sim"),
-            F.struct(
-                c.getField("centroid_id").cast("bigint").alias("cid"),
-                cosine(v, c.getField("cent_vec")).alias("sim"),
-            ),
+        lambda acc, s: F.when(
+            s.getField("sim") > acc.getField("sim"), s
         ).otherwise(acc),
     ).getField("cid")
 
@@ -508,12 +572,20 @@ def semantic_dedup(
     AND portable, unlike xxhash64, so the DuckDB oracle replays them
     bit-exactly; production swaps in ``kmeans_refine_centroids``).
     Assignment is the ``nearest_centroid`` broadcast fold -- the
-    corpus never shuffles for it -- and in-cluster pairing reuses
-    ``cosine_near_pairs_blocked`` including its ``max_cluster_size``
-    quadratic-blowup guard. The assignment subplan feeds four
-    branches (size gate, both pair sides, final accounting); at
-    production scale persist the assigned table first so the narrow
-    argmax scan runs once.
+    corpus never shuffles for it.
+
+    In-cluster detection is GROUPED, not self-joined (the same choice
+    as the MinHash/SimHash buckets): each cluster's members are
+    collected into one row and the "has an earlier near-duplicate"
+    test is a per-row filter/exists array expression, so the corpus
+    is scanned ONCE and shuffled ONCE (to co-locate clusters) instead
+    of Catalyst re-evaluating the assignment subplan per join branch.
+    The per-cluster check is quadratic in cluster size, identical to
+    the pair-join's blowup, so clusters over ``max_cluster_size``
+    skip pairing (their members are not collected at all -- a window
+    count gates the collect, preventing a hot cluster from
+    materializing a giant row) but still appear in the accounting
+    with zero removals.
 
     Returns per-cluster accounting: cluster_id, size, n_removed,
     n_kept.
@@ -545,34 +617,38 @@ def semantic_dedup(
         .join(F.broadcast(cent_arr))
         .select(
             nearest_centroid(F.col("cents"), F.col("__v")).alias("cluster_id"),
-            F.col("__id").alias(id_col),
+            F.col("__id").alias("id"),
             "__v",
         )
     )
-    pairs = cosine_near_pairs_blocked(
-        assigned,
-        block_col="cluster_id",
-        id_col=id_col,
-        vec_col="__v",
-        threshold=threshold,
-        max_block_size=max_cluster_size,
+    gated = assigned.withColumn(
+        "__n", F.count("*").over(Window.partitionBy("cluster_id"))
     )
-    removed = (
-        pairs.select(F.col("id_b").alias(id_col))
-        .distinct()
-        .withColumn("__rm", F.lit(1))
+    grouped = gated.groupBy("cluster_id").agg(
+        F.count("*").alias("__size"),
+        F.collect_list(
+            F.when(
+                F.col("__n") <= max_cluster_size, F.struct("id", "__v")
+            )
+        ).alias("members"),
     )
-    return (
-        assigned.join(removed, id_col, "left")
-        .groupBy("cluster_id")
-        .agg(
-            F.count("*").alias("__size"),
-            F.sum(F.coalesce(F.col("__rm"), F.lit(0))).alias("__removed"),
+    members = F.col("members")
+    removed = F.size(
+        F.filter(
+            members,
+            lambda x: F.exists(
+                members,
+                lambda y: (y.getField("id") < x.getField("id"))
+                & (
+                    cosine(x.getField("__v"), y.getField("__v"))
+                    >= F.lit(threshold)
+                ),
+            ),
         )
-        .select(
-            F.col("cluster_id").cast("long").alias("cluster_id"),
-            F.col("__size").cast("long").alias("size"),
-            F.col("__removed").cast("long").alias("n_removed"),
-            (F.col("__size") - F.col("__removed")).cast("long").alias("n_kept"),
-        )
+    ).cast("long")
+    return grouped.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("__size").cast("long").alias("size"),
+        removed.alias("n_removed"),
+        (F.col("__size") - removed).cast("long").alias("n_kept"),
     )

@@ -175,7 +175,7 @@ def repetition_signals(
     each word-n-gram size ``n``,
 
     * ``top{n}_count``     -- occurrences of the document's most
-      frequent n-gram (count-desc, gram-desc tiebreak, deterministic);
+      frequent n-gram (count-desc, gram-asc tiebreak, deterministic);
     * ``top{n}_char_frac`` -- characters covered by that n-gram
       (count x gram length / doc chars; overlapping occurrences mean
       the ratio can exceed 1, as in the paper's definition);
@@ -186,16 +186,15 @@ def repetition_signals(
     meaningless on single-line documents, so the word-n-gram family
     carries the whole repetition axis here.
 
-    Scale shape: ONE explode emits every (n, gram) pair for all
-    ``ns`` together -- the corpus is scanned and tokenized once, not
-    once per n. Three successively smaller hash shuffles follow:
-    (doc, n, gram) counts, per-(doc, n) top-1 + totals, per-doc
-    pivot. No self-joins, no UDFs; a document with fewer than
-    ``min(ns)`` tokens has no n-grams and drops out (the oracle
-    replays the same rule).
+    Scale shape: ZERO shuffles -- a pure narrow map. The per-doc
+    top-gram count does not need a (doc, gram) aggregation: sort the
+    gram array and fold it once tracking the longest run
+    (O(t log t) per document, JVM-side, embarrassingly parallel).
+    ``dup{n}_frac`` is ``array_distinct`` arithmetic on the same
+    array. Every document keeps a row; sizes with no n-grams report
+    zeros. The first-max-run-wins fold over the ASC-sorted array
+    makes the tiebreak "smallest gram among equal counts".
     """
-    from pyspark.sql.window import Window
-
     from ..functions import dround
 
     base = spread(df).select(
@@ -205,67 +204,63 @@ def repetition_signals(
     )
     toks = F.col("__toks")
 
-    def gram_struct(n: int):
+    def gram_at(n: int):
         # Factory capture (see language_id): a default arg would be
         # introspected by PySpark as a second lambda variable.
-        return lambda i: F.struct(
-            F.lit(n).alias("n"),
-            F.concat_ws(" ", F.slice(toks, i, n)).alias("gram"),
+        return lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+
+    def run_step(acc: Column, g: Column) -> Column:
+        run = F.when(g == acc.getField("prev"), acc.getField("run") + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        better = run > acc.getField("best")
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc.getField("best")).alias("best"),
+            F.when(better, g).otherwise(acc.getField("bg")).alias("bg"),
         )
 
-    parts = []
+    cols: dict[str, Column] = {}
     for n in ns:
         n_g = F.size(toks) - (n - 1)
         idx = F.when(n_g >= 1, F.sequence(F.lit(1), n_g)).otherwise(
             F.array().cast("array<int>")
         )
-        parts.append(F.transform(idx, gram_struct(n)))
-    exploded = base.select(
-        id_col, "__chars", F.explode(F.concat(*parts)).alias("g")
-    )
-    counted = exploded.groupBy(
-        F.col(id_col),
-        F.col("g.n").alias("n"),
-        F.col("g.gram").alias("gram"),
-    ).agg(F.count("*").alias("cnt"), F.max("__chars").alias("chars"))
-    w = Window.partitionBy(id_col, "n").orderBy(
-        F.col("cnt").desc(), F.col("gram").desc()
-    )
-    per_n = (
-        counted.withColumn("__rn", F.row_number().over(w))
-        .groupBy(id_col, "n")
-        .agg(
-            F.max("chars").alias("chars"),
-            F.sum("cnt").alias("total"),
-            F.count("*").alias("nd"),
-            F.max(F.when(F.col("__rn") == 1, F.struct("cnt", "gram"))).alias(
-                "top"
+        grams = F.array_sort(F.transform(idx, gram_at(n)))
+        top = F.aggregate(
+            grams,
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("best"),
+                F.lit(None).cast("string").alias("bg"),
             ),
+            run_step,
         )
-    )
-
-    def pick(n: int, c: Column) -> Column:
-        return F.max(F.when(F.col("n") == n, c))
-
-    aggs = [F.max("chars").alias("__chars")]
+        cols[f"__g{n}"] = grams
+        cols[f"__top{n}"] = top
+    staged = base.withColumns(cols)
+    out: dict[str, Column] = {}
     for n in ns:
-        aggs.append(pick(n, F.col("top.cnt")).alias(f"__cnt{n}"))
-        aggs.append(pick(n, F.length(F.col("top.gram"))).alias(f"__len{n}"))
-        aggs.append(pick(n, F.col("total")).alias(f"__tot{n}"))
-        aggs.append(pick(n, F.col("nd")).alias(f"__nd{n}"))
-    pivoted = per_n.groupBy(id_col).agg(*aggs)
-    out_cols: dict[str, Column] = {}
-    for n in ns:
-        cnt, ln = F.col(f"__cnt{n}"), F.col(f"__len{n}")
-        tot, nd = F.col(f"__tot{n}"), F.col(f"__nd{n}")
-        out_cols[f"top{n}_count"] = F.coalesce(cnt, F.lit(0)).cast("long")
-        out_cols[f"top{n}_char_frac"] = F.coalesce(
-            dround(cnt.cast("double") * ln / F.col("__chars"), 6), F.lit(0.0)
-        )
-        out_cols[f"dup{n}_frac"] = F.coalesce(
-            dround((tot - nd).cast("double") / tot, 6), F.lit(0.0)
-        )
-    return pivoted.select(F.col(id_col), *[c.alias(a) for a, c in out_cols.items()])
+        grams, top = F.col(f"__g{n}"), F.col(f"__top{n}")
+        total = F.size(grams).cast("double")
+        nd = F.size(F.array_distinct(grams)).cast("double")
+        cnt = top.getField("best")
+        out[f"top{n}_count"] = cnt.cast("long")
+        out[f"top{n}_char_frac"] = F.when(
+            cnt >= 1,
+            dround(
+                cnt.cast("double")
+                * F.length(top.getField("bg"))
+                / F.col("__chars"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0))
+        out[f"dup{n}_frac"] = F.when(
+            total >= 1, dround((total - nd) / total, 6)
+        ).otherwise(F.lit(0.0))
+    return staged.select(F.col(id_col), *[c.alias(a) for a, c in out.items()])
 
 
 def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:

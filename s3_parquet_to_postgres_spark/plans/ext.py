@@ -455,6 +455,39 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_verified(spark, sf_dir, approx, k=10, min_recall=0.3)
 
 
+def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return S.knn_classify(
+        e.filter(F.col("vec_id") >= 20), e.filter(F.col("vec_id") < 20), k=10
+    )
+
+
+ML_KNN_CLASSIFY_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, label, v FROM e WHERE vec_id >= 20),
+sims AS (
+  SELECT query_id, neighbor_id, label,
+         list_cosine_similarity(qv, c.v) AS sim
+  FROM q JOIN c ON c.neighbor_id <> q.query_id
+), topk AS (
+  SELECT query_id, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id ASC) AS rn
+    FROM sims) WHERE rn <= 10
+), votes AS (
+  SELECT query_id, label, count(*) AS votes
+  FROM topk GROUP BY query_id, label
+)
+SELECT query_id, CAST(label AS BIGINT) AS pred_label,
+       CAST(votes AS BIGINT) AS votes
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY votes DESC, label ASC) AS rv
+      FROM votes)
+WHERE rv = 1
+"""
+
+
 def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Iterative ML over the embedding column (MLlib KMeans, fixed
     # seed). Lloyd's algorithm is not SQL-expressible, so the
@@ -558,8 +591,11 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _repetition_oracle_sql(ns: tuple[int, ...] = (2, 3, 5)) -> str:
-    # Mirrors repetition_signals: one gram table for all n (UNION ALL
-    # branches), count, per-(doc,n) top-1 window, per-doc pivot.
+    # Same SEMANTICS as repetition_signals (the Spark side is a
+    # zero-shuffle narrow fold; SQL states it relationally): grams per
+    # (doc, n), count, per-(doc,n) top-1 window with the cnt-desc
+    # gram-ASC tiebreak, per-doc pivot, LEFT JOIN back to documents so
+    # every document keeps a row (zeros where no n-grams exist).
     branches = "\n  UNION ALL\n".join(
         f"""  SELECT doc_id, chars, {n} AS n,
          unnest(list_transform(range(1, len(w) - {n} + 2),
@@ -591,7 +627,16 @@ def _repetition_oracle_sql(ns: tuple[int, ...] = (2, 3, 5)) -> str:
             )
             + f", 0.0) AS dup{n}_frac"
         )
-    metrics = ",\n       ".join(metric_cols)
+    metrics = ",\n         ".join(metric_cols)
+    outer = ",\n       ".join(
+        col
+        for n in ns
+        for col in (
+            f"CAST(coalesce(m.top{n}_count, 0) AS BIGINT) AS top{n}_count",
+            f"coalesce(m.top{n}_char_frac, 0.0) AS top{n}_char_frac",
+            f"coalesce(m.dup{n}_frac, 0.0) AS dup{n}_frac",
+        )
+    )
     return f"""
 WITH toks AS (
   SELECT doc_id, greatest(length(text), 1) AS chars,
@@ -604,7 +649,7 @@ WITH toks AS (
   FROM g GROUP BY doc_id, n, gram
 ), r AS (
   SELECT *, row_number() OVER (PARTITION BY doc_id, n
-                               ORDER BY cnt DESC, gram DESC) AS rn
+                               ORDER BY cnt DESC, gram ASC) AS rn
   FROM c
 ), p AS (
   SELECT doc_id, n, max(chars) AS chars, sum(cnt) AS total,
@@ -612,10 +657,14 @@ WITH toks AS (
          max(CASE WHEN rn = 1 THEN cnt END) AS top_cnt,
          max(CASE WHEN rn = 1 THEN gram END) AS top_gram
   FROM r GROUP BY doc_id, n
+), m AS (
+  SELECT doc_id,
+         {metrics}
+  FROM p GROUP BY doc_id
 )
-SELECT doc_id,
-       {metrics}
-FROM p GROUP BY doc_id
+SELECT t.doc_id,
+       {outer}
+FROM toks t LEFT JOIN m ON t.doc_id = m.doc_id
 """
 
 
@@ -1590,6 +1639,36 @@ GROUP BY doc_id
 
 
 
+def sample_group_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixed-size deterministic per-stratum sample: exactly k docs per
+    # language, chosen by content-independent md5 order (stable as the
+    # corpus grows/repartitions -- the exact-k companion to
+    # sample_stratified's fraction-based downsampling, and the
+    # distributed stand-in for per-group reservoir sampling). One
+    # window over (lang), no shuffle beyond the per-stratum hash
+    # partitioning; at 100 TB each stratum's candidates stay on their
+    # own executors until the row_number cut.
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "doc_id", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+SAMPLE_GROUP_FIXED_SQL = """
+SELECT lang, doc_id, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      FROM documents)
+WHERE rnk <= 5
+"""
+
+
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-stratum deterministic downsampling: dominant language kept
     # at ~10%, the rest at ~50%, decided by the same content-stable
@@ -1715,6 +1794,13 @@ SPECS: list[QuerySpec] = [
     QuerySpec("ml_kmeans_embeddings", ml_kmeans_embeddings, ML_KMEANS_SQL,
               "MLlib KMeans summary: exact counts oracled, SSE "
               "improvement asserted as an oracle-checkable boolean"),
+    QuerySpec("ml_knn_classify", ml_knn_classify, ML_KNN_CLASSIFY_SQL,
+              "kNN majority-vote label propagation: broadcast "
+              "queries, corpus never shuffles, deterministic vote"),
+    QuerySpec("sample_group_fixed", sample_group_fixed,
+              SAMPLE_GROUP_FIXED_SQL,
+              "exact-k per-stratum deterministic sample by md5 order "
+              "(distributed reservoir-sampling stand-in)"),
     QuerySpec("sample_split", sample_split, SAMPLE_SPLIT_SQL),
     QuerySpec("text_tfidf", text_tfidf, TEXT_TFIDF_SQL),
     QuerySpec("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL),

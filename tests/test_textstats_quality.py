@@ -50,12 +50,15 @@ class TestRepetitionSignals:
         assert out[1].dup2_frac > out[2].dup2_frac
         assert out[1].top3_char_frac > out[2].top3_char_frac
 
-    def test_short_docs_drop_out(self, spark):
-        # A 1-token doc has no 2-grams at all -> no output row (the
-        # declared semantics, replayed by the oracle).
+    def test_short_docs_keep_a_zero_row(self, spark):
+        # A 1-token doc has no 2-grams; it still gets a row of zeros
+        # (narrow map: every document in, every document out).
         df = _docs(spark, [(1, "only"), (2, "two tokens")])
-        ids = [r.doc_id for r in T.repetition_signals(df).collect()]
-        assert ids == [2]
+        out = {r.doc_id: r for r in T.repetition_signals(df).collect()}
+        assert set(out) == {1, 2}
+        assert out[1].top2_count == 0
+        assert out[1].dup5_frac == 0.0
+        assert out[2].top2_count == 1
 
 
 class TestUnigramLM:
