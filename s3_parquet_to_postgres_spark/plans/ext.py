@@ -1313,6 +1313,44 @@ FROM numbered GROUP BY user_id, session_id
 """
 
 
+def event_enrich_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stream-static enrichment, batch half: events joined to the
+    # customer dimension (user_id -> c_custkey) and rolled up per
+    # (market segment, event type). The dim is explicitly broadcast --
+    # the fact stream never shuffles for the join -- and the same
+    # stream_static_enrich operator runs this join per micro-batch
+    # with exact parity (test_streaming_joins.py).
+    from ..streaming.joins import stream_static_enrich
+
+    e = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    joined = stream_static_enrich(
+        e, c, on=e["user_id"] == c["c_custkey"], how="inner"
+    )
+    return (
+        joined.groupBy(
+            F.col("c_mktsegment").alias("segment"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            dsum("value", 4).alias("total_value"),
+        )
+    )
+
+
+EVENT_ENRICH_CUSTOMER_SQL = f"""
+SELECT c.c_mktsegment AS segment, e.event_type,
+       count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users,
+       {sql_dsum('e.value', 4)} AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Ordered conversion funnel view -> click -> purchase: each stage
     # counts users whose earliest qualifying event strictly follows
@@ -1752,6 +1790,11 @@ ORDER BY occurrences DESC, bigram ASC LIMIT 25
 
 SPECS: list[QuerySpec] = [
     QuerySpec("event_funnel", event_funnel, EVENT_FUNNEL_SQL),
+    QuerySpec("event_enrich_customer", event_enrich_customer,
+              EVENT_ENRICH_CUSTOMER_SQL,
+              "stream-static enrichment (batch half): broadcast dim "
+              "join + segment rollup; streaming half tested for "
+              "exact parity"),
     QuerySpec("cohort_retention", cohort_retention, COHORT_RETENTION_SQL),
     QuerySpec("event_transitions", event_transitions, EVENT_TRANSITIONS_SQL),
     QuerySpec("value_histogram", value_histogram, VALUE_HISTOGRAM_SQL),

@@ -42,6 +42,29 @@ def stream_stream_interval_join(
     return lw.join(rw, cond).drop(rw[on]).drop("__lts", "__rts")
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "inner",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static join: enrich an event stream with a (slowly
+    changing) dimension table -- the third leg of the join ladder
+    next to stream-stream (state-store) and batch-batch.
+
+    Stateless by construction: Spark re-plans the static side every
+    micro-batch, so no watermark and no state store are involved, and
+    dimension updates written between triggers are picked up at the
+    next one. ``broadcast=True`` pins the dim to a broadcast hash
+    join (the right call for every dimension that fits an executor);
+    a static side too big to broadcast turns every micro-batch into a
+    shuffle join -- pre-bucket both sides instead at that scale.
+    """
+    d = F.broadcast(dim) if broadcast else dim
+    return stream.join(d, on, how)
+
+
 def streaming_dedup(
     events: DataFrame,
     key_cols: list[str],

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from s3_parquet_to_postgres_spark.catalog import read_table
 from s3_parquet_to_postgres_spark.streaming.joins import (
+    stream_static_enrich,
     stream_stream_interval_join,
     streaming_dedup,
 )
@@ -69,6 +70,45 @@ def test_stream_stream_join_matches_batch(spark, events, tmp_path):
             .collect(),
         )
     )
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_stream_static_enrich_matches_batch_entry(spark, events, tmp_path):
+    # The streaming half of event_enrich_customer: events arrive as
+    # incremental files, the customer dim stays static; the per-batch
+    # broadcast join must reproduce the batch rollup exactly.
+    from s3_parquet_to_postgres_spark.plans.ext import event_enrich_customer
+
+    # Stage the stream in two file batches to exercise >1 micro-batch.
+    events.filter(F.col("event_id") % 2 == 0).write.parquet(
+        str(tmp_path / "ev")
+    )
+    events.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(
+        str(tmp_path / "ev")
+    )
+    dim = read_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    stream = spark.readStream.schema(events.schema).parquet(str(tmp_path / "ev"))
+    enriched = stream_static_enrich(
+        stream, dim, on=stream["user_id"] == dim["c_custkey"], how="inner"
+    ).select("event_id", "user_id", "event_type", "value", "c_mktsegment")
+    _run_to_memory(enriched, "t_sse")
+
+    got = {
+        (r.segment, r.event_type): (r.n_events, r.n_users, r.total_value)
+        for r in spark.sql(
+            """select c_mktsegment segment, event_type,
+                      count(*) n_events,
+                      count(distinct user_id) n_users,
+                      cast(sum(cast(value as decimal(18,4))) as double)
+                        total_value
+               from t_sse group by 1, 2"""
+        ).collect()
+    }
+    expected = {
+        (r.segment, r.event_type): (r.n_events, r.n_users, r.total_value)
+        for r in event_enrich_customer(spark, SF).collect()
+    }
     assert got == expected
     assert len(got) > 0
 
