@@ -179,6 +179,77 @@ def connected_components_star(
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """Power-iteration PageRank (Page et al. 1999) over a SYMMETRIC
+    edge list, expressed as the Pregel message pattern (Malewicz et
+    al. 2010) in DataFrame joins: each iteration, every vertex sends
+    rank/outdeg along its out-edges (one hash equi-join) and the
+    messages are summed per target (one partially-aggregated
+    groupBy); rank = (1-d)/N + d * inbox.
+
+    The edge list is ``localCheckpoint``ed ONCE up front: an
+    iterative operator that leaves its input lazy re-evaluates the
+    (possibly expensive) upstream plan every iteration -- for a
+    derived graph like the winnowing passage-pair edges that would
+    mean one corpus scan per iteration. Symmetric edges guarantee no
+    dangling vertices, so the dangling-mass term is structurally zero
+    (documented precondition -- feed directed graphs through an
+    explicit sink-handling wrapper instead). Double-addition order in
+    the message sums differs across engines only at the ~1e-15 level
+    and damping keeps it from compounding, so the final dround(6) is
+    order-insensitive and the DuckDB oracle replays the whole
+    iteration bit-compatibly.
+
+    Returns (id, pagerank) for every vertex.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.localCheckpoint(eager=True)
+    # deg/verts share lineage with e; aliased columns keep the joins
+    # unambiguous (same-attribute self-reference otherwise).
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg")).select(
+        F.col("src").alias("deg_id"), "outdeg"
+    )
+    verts = e.select(F.col("src").alias("id")).distinct()
+    msg_edges = e.select(
+        F.col("src").alias("m_src"), F.col("dst").alias("m_dst")
+    )
+    n = verts.agg(F.count("*").cast("double").alias("__n"))
+    ranks = verts.crossJoin(F.broadcast(n)).select(
+        "id", (F.lit(1.0) / F.col("__n")).alias("r")
+    )
+    base, d = F.lit(1.0 - damping), F.lit(damping)
+    for _ in range(iters):
+        msgs = (
+            ranks.join(deg, F.col("id") == F.col("deg_id"))
+            .join(msg_edges, F.col("id") == F.col("m_src"))
+            .select(
+                F.col("m_dst").alias("to"),
+                (F.col("r") / F.col("outdeg")).alias("c"),
+            )
+        )
+        inbox = msgs.groupBy("to").agg(F.sum("c").alias("s"))
+        ranks = (
+            verts.join(inbox, F.col("id") == F.col("to"), "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "id",
+                (
+                    base / F.col("__n")
+                    + d * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    from ..functions import dround
+
+    return ranks.select("id", dround("r", 6).alias("pagerank"))
+
+
 def dedup_groups(
     edges: DataFrame,
     src: str = "id_a",

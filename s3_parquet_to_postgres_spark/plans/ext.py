@@ -1081,6 +1081,60 @@ SELECT DISTINCT doc_id, fp AS fingerprint FROM wins
 """
 
 
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PageRank centrality over the winnowing passage-overlap graph:
+    # which documents sit at the center of the copied-passage web
+    # (template/boilerplate hubs -- prime removal candidates). Pairs
+    # are symmetrized into a directed edge list; the operator
+    # checkpoints it once so the corpus is NOT re-scanned per
+    # iteration.
+    from ..operators.components import pagerank
+
+    pairs = T.passage_overlap_pairs(t(spark, sf_dir, "documents"))
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    return pagerank(edges).select(F.col("id").alias("doc_id"), "pagerank")
+
+
+def _pagerank_oracle_sql(damping: float = 0.85, iters: int = 10) -> str:
+    # Replays pagerank()'s power iteration as chained CTEs; float
+    # literals are repr()'d so both engines parse the identical
+    # double (1 - 0.85 is NOT 0.15 in binary).
+    base, d = repr(1.0 - damping), repr(damping)
+    ctes = [
+        f"pairs AS ({DEDUP_PASSAGE_PAIRS_SQL})",
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs"
+        " UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "v AS (SELECT DISTINCT src AS id FROM edges)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v)",
+        "r0 AS (SELECT id, 1.0 / n AS r FROM v, nn)",
+    ]
+    for k in range(iters):
+        ctes.append(
+            f"c{k} AS (SELECT e.dst AS id, sum(r{k}.r / d.outdeg) AS s"
+            f" FROM r{k} JOIN edges e ON r{k}.id = e.src"
+            f" JOIN deg d ON d.src = r{k}.id GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{k + 1} AS (SELECT v.id,"
+            f" {base} / nn.n + {d} * coalesce(c{k}.s, 0.0) AS r"
+            f" FROM v CROSS JOIN nn LEFT JOIN c{k} ON c{k}.id = v.id)"
+        )
+    joined = ",\n".join(ctes)
+    return (
+        f"WITH {joined}\n"
+        f"SELECT id AS doc_id, {sql_dround('r', 6)} AS pagerank"
+        f" FROM r{iters}"
+    )
+
+
+GRAPH_PAGERANK_SQL = _pagerank_oracle_sql()
+
+
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.pii_scrub(t(spark, sf_dir, "documents")).select(
         "doc_id", "n_emails", "n_urls", "scrubbed_sha256"
@@ -1417,6 +1471,62 @@ p AS (SELECT e.user_id, min(e.ts) AS t_purchase
 SELECT (SELECT count(*) FROM v WHERE t_view IS NOT NULL) AS viewed,
        (SELECT count(*) FROM c) AS clicked,
        (SELECT count(*) FROM p) AS purchased
+"""
+
+
+def event_user_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-user outlier detection: z-score every event value against
+    # its user's own distribution, report each user's most anomalous
+    # event. ONE shuffle: mean/std/count are windows over the user
+    # partition, and the top-1 row_number reuses the SAME partitioning
+    # (no join-back, no second scan of the event log -- the naive
+    # stats-table + broadcast-join-back formulation scans twice).
+    e = t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    scored = e.withColumns(
+        {
+            "__n": F.count("*").over(wu),
+            "__mean": F.avg("value").over(wu),
+            "__std": F.stddev_samp("value").over(wu),
+        }
+    ).withColumn(
+        "__z", (F.col("value") - F.col("__mean")) / F.col("__std")
+    )
+    rn = Window.partitionBy("user_id").orderBy(
+        F.col("__z").desc(), F.col("event_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(rn))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("__n").cast("long").alias("n_events"),
+            dround("__mean", 6).alias("mean_value"),
+            dround("__std", 6).alias("std_value"),
+            F.col("event_id").alias("top_event_id"),
+            dround("__z", 4).alias("top_z"),
+        )
+    )
+
+
+EVENT_USER_ANOMALY_SQL = f"""
+WITH scored AS (
+  SELECT user_id, event_id, value,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         avg(value) OVER (PARTITION BY user_id) AS mean,
+         stddev_samp(value) OVER (PARTITION BY user_id) AS std
+  FROM events
+), z AS (
+  SELECT *, (value - mean) / std AS zv FROM scored
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       {sql_dround('mean', 6)} AS mean_value,
+       {sql_dround('std', 6)} AS std_value,
+       event_id AS top_event_id,
+       {sql_dround('zv', 4)} AS top_z
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+          ORDER BY zv DESC, event_id ASC) AS rn FROM z)
+WHERE rn = 1
 """
 
 
@@ -1796,6 +1906,10 @@ SPECS: list[QuerySpec] = [
               "join + segment rollup; streaming half tested for "
               "exact parity"),
     QuerySpec("cohort_retention", cohort_retention, COHORT_RETENTION_SQL),
+    QuerySpec("event_user_anomaly", event_user_anomaly,
+              EVENT_USER_ANOMALY_SQL,
+              "per-user z-score outliers: single-shuffle window stats "
+              "+ top-1, no join-back"),
     QuerySpec("event_transitions", event_transitions, EVENT_TRANSITIONS_SQL),
     QuerySpec("value_histogram", value_histogram, VALUE_HISTOGRAM_SQL),
     QuerySpec("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_SQL),
@@ -1865,6 +1979,10 @@ SPECS: list[QuerySpec] = [
               TEXT_WINNOW_FINGERPRINTS_SQL),
     QuerySpec("dedup_passage_pairs", dedup_passage_pairs,
               DEDUP_PASSAGE_PAIRS_SQL),
+    QuerySpec("graph_pagerank", graph_pagerank, GRAPH_PAGERANK_SQL,
+              "Pregel-style power-iteration PageRank over the "
+              "passage-overlap graph; edges checkpointed once, 10 "
+              "join+agg rounds"),
     QuerySpec("text_pii_scrub", text_pii_scrub, TEXT_PII_SCRUB_SQL),
     QuerySpec("multimodal_payload", multimodal_payload, MULTIMODAL_PAYLOAD_SQL),
     QuerySpec("multimodal_features", multimodal_features,

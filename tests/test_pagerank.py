@@ -1,0 +1,44 @@
+"""pagerank() behaves like PageRank: hubs outrank leaves, mass is
+conserved, and symmetric-regular graphs are uniform."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_parquet_to_postgres_spark.operators.components import pagerank
+
+
+def _edges(spark, pairs):
+    sym = pairs + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(sym, "src long, dst long")
+
+
+def test_star_center_dominates_and_mass_conserved(spark):
+    e = _edges(spark, [(0, i) for i in range(1, 6)])
+    out = {r.id: r.pagerank for r in pagerank(e).collect()}
+    center, leaves = out[0], [out[i] for i in range(1, 6)]
+    assert all(center > lv for lv in leaves)
+    assert len(set(leaves)) == 1  # symmetric leaves tie exactly
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_cycle_is_uniform(spark):
+    k = 6
+    e = _edges(spark, [(i, (i + 1) % k) for i in range(k)])
+    ranks = [r.pagerank for r in pagerank(e).collect()]
+    assert len(set(ranks)) == 1
+    assert ranks[0] == pytest.approx(1 / k, abs=1e-6)
+
+
+def test_iterations_converge(spark):
+    # More iterations move the star ranks less: |r(12) - r(10)| is
+    # far smaller than |r(2) - r(0 uniform)|.
+    e = _edges(spark, [(0, i) for i in range(1, 6)] + [(1, 2)])
+    r10 = {r.id: r.pagerank for r in pagerank(e, iters=10).collect()}
+    r12 = {r.id: r.pagerank for r in pagerank(e, iters=12).collect()}
+    r2 = {r.id: r.pagerank for r in pagerank(e, iters=2).collect()}
+    uniform = 1.0 / len(r10)
+    drift_late = max(abs(r12[i] - r10[i]) for i in r10)
+    drift_early = max(abs(r2[i] - uniform) for i in r10)
+    assert drift_late < drift_early / 10
