@@ -832,8 +832,32 @@ def curation_signals(d: DataFrame, gated: bool = True) -> DataFrame:
     non-cheap signal expression into the scan (measured 14 split()
     evaluations per row vs 2). Streaming consumers keep the default:
     they gate early (no dedup state) and the scan-level filter is the
-    point."""
-    toks = T.ws_tokens(F.lower(F.col("text")))
+    point.
+
+    Signals: token count, the five marker-language scores, the
+    Gopher-style duplicate-2-gram fraction (repetition gate), and the
+    PII-scrubbed sha256 content key. Tokenization and the 2-gram
+    array are MATERIALIZED into their own Projects first, so each
+    evaluates once however many signals reference them."""
+    pre = d.select(
+        "doc_id",
+        "text",
+        T.ws_tokens(F.lower(F.col("text"))).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    n2 = F.size(toks) - 1
+    g2 = F.transform(
+        F.when(n2 >= 1, F.sequence(F.lit(1), n2)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    pre = pre.withColumn("__g2", g2)
+    dup2 = F.when(
+        F.size("__g2") >= 1,
+        (F.size("__g2") - F.size(F.array_distinct("__g2"))).cast("double")
+        / F.size("__g2"),
+    ).otherwise(F.lit(0.0))
 
     # All 5 language scores in ONE traversal of the token array (a
     # struct-of-counters fold): separate F.filter expressions would
@@ -858,12 +882,13 @@ def curation_signals(d: DataFrame, gated: bool = True) -> DataFrame:
         F.regexp_replace(F.col("text"), T.EMAIL_REGEX, "<EMAIL>"),
         T.URL_REGEX, "<URL>",
     )
-    scored = d.select(
+    scored = pre.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.aggregate(toks, zero, step).alias("__sc"),
         F.sha2(scrubbed, 256).alias("content_key"),
-    )  # noqa: E501 -- d is the raw documents frame (batch or streaming)
+        dup2.alias("dup2_frac"),
+    )
     cols = {k: F.col("__sc").getField(f"s_{k}") for k in arrs}
     best = F.greatest(*cols.values())
     pred = F.lit(None).cast("string")
@@ -875,10 +900,15 @@ def curation_signals(d: DataFrame, gated: bool = True) -> DataFrame:
         pred.alias("lang_pred"),
         best.cast("long").alias("lang_score"),
         "content_key",
+        "dup2_frac",
     )
     if gated:
-        # Quality gate (length) and language-confidence gate.
-        sig = sig.filter((F.col("n_tokens") >= 20) & (F.col("lang_score") >= 1))
+        # Quality (length), language-confidence, and repetition gates.
+        sig = sig.filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("lang_score") >= 1)
+            & (F.col("dup2_frac") <= 0.08)
+        )
     return sig
 
 
@@ -903,7 +933,11 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = (
         sig.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .filter((F.col("n_tokens") >= 20) & (F.col("lang_score") >= 1))
+        .filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("lang_score") >= 1)
+            & (F.col("dup2_frac") <= 0.08)
+        )
     )
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     split = (
@@ -929,6 +963,10 @@ WITH base AS (
            regexp_replace(text, '{T.EMAIL_REGEX}', '<EMAIL>', 'g'),
            '{T.URL_REGEX}', '<URL>', 'g') AS scrubbed
   FROM documents
+), grams AS (
+  SELECT *, list_transform(range(1, len(toks)),
+              i -> array_to_string(toks[i:i + 1], ' ')) AS g2
+  FROM base
 ), scored AS (
   SELECT doc_id,
          CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -937,10 +975,14 @@ WITH base AS (
          {_lang_score_sql(T.LANG_MARKERS['es'])} AS s_es,
          {_lang_score_sql(T.LANG_MARKERS['fr'])} AS s_fr,
          {_lang_score_sql(T.LANG_MARKERS['zh'])} AS s_zh,
-         sha256(scrubbed) AS content_key
-  FROM base
+         sha256(scrubbed) AS content_key,
+         CASE WHEN len(g2) >= 1
+              THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                   / len(g2)
+              ELSE 0.0 END AS dup2_frac
+  FROM grams
 ), labeled AS (
-  SELECT doc_id, n_tokens, content_key, best,
+  SELECT doc_id, n_tokens, content_key, best, dup2_frac,
          CASE WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
               WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
               ELSE 'zh' END AS lang_pred
@@ -963,7 +1005,7 @@ SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
        count(*) AS docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM deduped
-WHERE n_tokens >= 20 AND best >= 1
+WHERE n_tokens >= 20 AND best >= 1 AND dup2_frac <= 0.08
 GROUP BY 1, 2
 """
 
