@@ -71,6 +71,33 @@ SECTIONS = [
         " the final per-(split, lang) aggregate is partial before its"
         " exchange.",
     ),
+    (
+        "text_repetition",
+        "Gopher repetition signals as a shuffle-free narrow map: every"
+        " n-gram statistic (top-gram count via sort + run-length fold,"
+        " duplicate fraction via array_distinct) is a per-row array"
+        " expression -- no explode, no aggregation, no key shuffle; the"
+        " single round-robin Exchange is spread()'s parallelism"
+        " repartition for the one-file local input and carries no"
+        " grouping semantics. Scales embarrassingly parallel.",
+    ),
+    (
+        "dedup_semantic",
+        "SemDeDup: centroid argmax as a broadcast transform-then-fold (the"
+        " corpus never shuffles for assignment), ONE shuffle to co-locate"
+        " clusters, in-cluster greedy-by-id removal as grouped array"
+        " expressions (filter/exists) instead of a self-join -- the"
+        " assignment subplan is evaluated once, not four times; a window"
+        " count gates the collect so a hot cluster cannot materialize a"
+        " giant row.",
+    ),
+    (
+        "event_user_anomaly",
+        "Per-user outlier detection in ONE shuffle: mean/std/count as"
+        " windows over the user partition and the top-1 row_number reusing"
+        " the SAME partitioning -- no stats-table join-back (which would"
+        " scan the event log twice).",
+    ),
 ]
 
 
