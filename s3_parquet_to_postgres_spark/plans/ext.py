@@ -455,6 +455,66 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_verified(spark, sf_dir, approx, k=10, min_recall=0.3)
 
 
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return S.pq_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+
+
+def _pq_oracle_sql(m: int = 16, n_codes: int = 16, dim: int = 64) -> str:
+    # Replays pq_topk end-to-end: md5 hash-sampled per-subspace
+    # codebooks, argmin encoding (d asc, code asc = Spark's strict-<
+    # fold over the hash-ordered samples), ADC distance summed across
+    # subspaces. (a-b)*(a-b) spelled out -- pow() is not guaranteed
+    # bit-equal to multiplication.
+    sub = dim // m
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) AS code, v
+  FROM (SELECT vec_id, v,
+          CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+               AS BIGINT) AS h
+        FROM e)
+  ORDER BY h ASC, vec_id ASC LIMIT {n_codes}
+), subs AS (
+  SELECT unnest(range(0, {m})) AS j
+), enc_d AS (
+  SELECT c.vec_id, s.j, k.code,
+         list_sum(list_transform(range(1, {sub + 1}),
+           i -> (c.v[s.j * {sub} + i] - k.v[s.j * {sub} + i])
+              * (c.v[s.j * {sub} + i] - k.v[s.j * {sub} + i]))) AS d
+  FROM e c CROSS JOIN subs s CROSS JOIN cents k
+), enc AS (
+  SELECT vec_id AS neighbor_id, j, code
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+            ORDER BY d ASC, code ASC) AS rn FROM enc_d)
+  WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5
+), dists AS (
+  SELECT q.query_id, enc.neighbor_id,
+         list_sum(list_transform(range(1, {sub + 1}),
+           i -> (q.qv[enc.j * {sub} + i] - k.v[enc.j * {sub} + i])
+              * (q.qv[enc.j * {sub} + i] - k.v[enc.j * {sub} + i]))) AS dj
+  FROM q CROSS JOIN enc JOIN cents k ON k.code = enc.code
+  WHERE enc.neighbor_id <> q.query_id
+), adc AS (
+  SELECT query_id, neighbor_id, sum(dj) AS adc
+  FROM dists GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id,
+       CAST(floor(adc * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+         AS adc_dist,
+       CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adc ASC, neighbor_id ASC) AS rnk FROM adc)
+WHERE rnk <= 10
+"""
+
+
+SIMILARITY_ANN_PQ_SQL = _pq_oracle_sql()
+
+
 def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     return S.knn_classify(
@@ -1990,6 +2050,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("similarity_ann_ivf", similarity_ann_ivf, ANN_VERIFIED_SQL,
               "IVF ANN vs exact top-k: exact top-1 oracled, recall "
               "bound asserted as an oracle-checkable boolean"),
+    QuerySpec("similarity_ann_pq", similarity_ann_pq,
+              SIMILARITY_ANN_PQ_SQL,
+              "product-quantization ADC top-k, full bit-compatible "
+              "oracle incl. codebook build and encoding"),
     QuerySpec("ml_kmeans_embeddings", ml_kmeans_embeddings, ML_KMEANS_SQL,
               "MLlib KMeans summary: exact counts oracled, SSE "
               "improvement asserted as an oracle-checkable boolean"),

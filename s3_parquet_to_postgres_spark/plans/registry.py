@@ -33,16 +33,20 @@ FLAGSHIP: list[str] = [
     "filter_predicates",
     "join_inner_broadcast",
     "join_semi",
-    "join_range_bucketed",
-    "join_skew_salted",
     "join_bloom_pruned",
     "agg_pricing_summary",
     "agg_approx",
-    "agg_hll_mergeable",
     "agg_grouping_sets",
     "window_topk_per_group",
     "scalar_json",
     "subquery_correlated",
+    # round-2 session additions: repetition signals, semantic dedup,
+    # graph centrality (skew-salted/range joins + HLL rollup rotate
+    # out; their families stay covered by join_bloom_pruned/semi and
+    # agg_approx, and all three remain oracle-verified past the
+    # window by tests/test_oracle_parity.py + tools/drive_entry.py)
+    "text_repetition",
+    "dedup_semantic",
     # TPC-H, complete (§2.5)
     "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
@@ -76,9 +80,10 @@ FLAGSHIP: list[str] = [
     "event_sessionize",
     "multimodal_payload",
     # The fused curation funnel subsumes sample_split's md5 split plus
-    # the quality/lang/PII/dedup gates -- the strongest single E5 row
-    # the driver's 50-entry window can carry.
+    # the quality/lang/PII/dedup/repetition gates -- the strongest
+    # single E5 row the driver's 50-entry window can carry.
     "corpus_curation_pipeline",
+    "graph_pagerank",
 ]
 
 
