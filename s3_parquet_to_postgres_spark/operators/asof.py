@@ -31,7 +31,7 @@ forbids that).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -45,15 +45,31 @@ def asof_join(
     right_payload: list[str],
     tolerance: str | None = None,
     right_order: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Columns of ``left`` plus ``right_payload`` from the as-of match
-    (NULL when no earlier right row exists).
+    (NULL when no matching right row exists).
 
-    ``tolerance``: optional max staleness as an INTERVAL string (e.g.
-    ``'2 hours'``); matches older than it become NULL.
+    ``direction`` (pandas ``merge_asof`` parity):
+    * ``"backward"`` (default) -- latest right row with
+      right.time <= left.time (carry-forward ``last`` over the
+      preceding frame);
+    * ``"forward"`` -- earliest right row with right.time >=
+      left.time (carry-backward ``first`` over the following frame --
+      the mirrored one-shuffle pattern);
+    * ``"nearest"`` -- whichever of the two is closer in time, ties
+      to backward (both carries share the one hash partitioning: a
+      second Sort within the same exchange, still no row explosion).
+
+    ``tolerance``: optional max time gap as an INTERVAL string (e.g.
+    ``'2 hours'``); matches farther than it (stale for backward,
+    too-far-ahead for forward, either for nearest) become NULL.
     ``right_order``: optional right-side column breaking ties among
-    right rows with equal (key, time) -- the greatest value wins.
+    right rows with equal (key, time) -- the greatest value wins in
+    every direction.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction: {direction!r}")
     left_cols = left.columns
     tie_type = (
         right.schema[right_order].dataType if right_order else "int"
@@ -76,37 +92,74 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in right_payload],
     ).select(*l.columns)  # align column order for union
 
-    w = (
+    carried = r.unionByName(l)
+    out_cols = list(left_cols)
+    # ONE struct-valued carry per direction: non-NULL iff a right row
+    # exists at-or-before (backward) / at-or-after (forward) this
+    # position, so NULL payload fields inside the matched row survive
+    # as NULL instead of falling back to other rows.
+    right_struct = F.when(
+        F.col("__is_left") == 0,
+        F.struct(
+            F.col("__t").alias("__mt"),
+            *[F.col(f"__r_{c}").alias(c) for c in right_payload],
+        ),
+    )
+    # Backward: right rows sort BEFORE left at equal time (<= match),
+    # greatest __tie last so `last` picks it. Forward: left sorts
+    # before right at equal time (>= match), greatest __tie first so
+    # `first` picks it.
+    w_back = (
         Window.partitionBy(on)
         .orderBy(F.col("__t").asc(), F.col("__is_left").asc(),
                  F.col("__tie").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = r.unionByName(l)
-    out_cols = list(left_cols)
-    # ONE struct-valued carry: non-NULL iff a right row exists at or
-    # before this position, so NULL payload fields inside the matched
-    # row survive as NULL instead of falling back to older rows.
-    match = F.last(
-        F.when(
-            F.col("__is_left") == 0,
-            F.struct(
-                F.col("__t").alias("__mt"),
-                *[F.col(f"__r_{c}").alias(c) for c in right_payload],
-            ),
-        ),
-        ignorenulls=True,
-    ).over(w)
-    out = carried.withColumn("__match", match).filter(F.col("__is_left") == 1)
-    match_t = F.col("__match").getField("__mt")
-    stale = (
-        F.col("__match").isNull()
-        | (match_t < F.col("__t") - F.expr(f"INTERVAL {tolerance}"))
-        if tolerance
-        else F.col("__match").isNull()
+    w_fwd = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__t").asc(), F.col("__is_left").desc(),
+                 F.col("__tie").desc_nulls_last())
+        .rowsBetween(0, Window.unboundedFollowing)
     )
+    matches = {}
+    if direction in ("backward", "nearest"):
+        matches["__m_b"] = F.last(right_struct, ignorenulls=True).over(w_back)
+    if direction in ("forward", "nearest"):
+        matches["__m_f"] = F.first(right_struct, ignorenulls=True).over(w_fwd)
+    out = carried.withColumns(matches).filter(F.col("__is_left") == 1)
+
+    def gap_ok(m: Column, ahead: bool) -> Column:
+        if not tolerance:
+            return m.isNotNull()
+        tol = F.expr(f"INTERVAL {tolerance}")
+        mt = m.getField("__mt")
+        near = (
+            (mt <= F.col("__t") + tol) if ahead
+            else (mt >= F.col("__t") - tol)
+        )
+        return m.isNotNull() & near
+
+    if direction == "backward":
+        chosen = F.when(gap_ok(F.col("__m_b"), False), F.col("__m_b"))
+    elif direction == "forward":
+        chosen = F.when(gap_ok(F.col("__m_f"), True), F.col("__m_f"))
+    else:
+        b, f = F.col("__m_b"), F.col("__m_f")
+        ok_b, ok_f = gap_ok(b, False), gap_ok(f, True)
+        closer_b = (
+            F.col("__t") - b.getField("__mt")
+            <= f.getField("__mt") - F.col("__t")
+        )
+        chosen = (
+            F.when(ok_b & (~ok_f | closer_b), b)
+            .when(ok_f, f)
+        )
+    out = out.withColumn("__match", chosen)
     payload = [
-        F.when(stale, F.lit(None).cast(right.schema[c].dataType))
+        F.when(
+            F.col("__match").isNull(),
+            F.lit(None).cast(right.schema[c].dataType),
+        )
         .otherwise(F.col("__match").getField(c))
         .alias(c)
         for c in right_payload

@@ -1383,6 +1383,48 @@ ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts
 """
 
 
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # For every error event: the user's NEXT click at/after it -- the
+    # forward direction of the same one-shuffle carry pattern
+    # (mirrored frame + `first`), oracled against DuckDB's native
+    # forward ASOF JOIN.
+    e = t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join(
+        errors, clicks, on="user_id", left_time="ts", right_time="ts",
+        right_payload=["click_event_id", "click_value"],
+        right_order="click_event_id", direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("error_ts"),
+        "click_event_id",
+        "click_value",
+    )
+
+
+ASOF_JOIN_FORWARD_SQL = """
+WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   event_type, value FROM events),
+errors AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'error'),
+clicks AS (SELECT user_id, ts, event_id AS click_event_id,
+                  value AS click_value FROM ev WHERE event_type = 'click')
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS error_ts,
+       c.click_event_id,
+       c.click_value AS click_value
+FROM errors e
+ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts <= c.ts
+"""
+
+
 def event_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     return (
@@ -1889,6 +1931,113 @@ GROUP BY doc_id
 
 
 
+def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Snapshot diff between two corpus releases -- the data-ops
+    # primitive behind "what changed since the last training dump":
+    # full outer join on the stable id, classify by content hash.
+    # The two releases are derived deterministically from the one
+    # test table (old drops doc_id%7==1, new drops doc_id%5==2 and
+    # edits doc_id%3==0); real deployments read two snapshot paths,
+    # which makes this ONE scan per snapshot plus one id-shuffle.
+    d = t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 7 != 1).select(
+        F.col("doc_id").alias("old_id"), F.sha2("text", 256).alias("old_hash")
+    )
+    new = d.filter(F.col("doc_id") % 5 != 2).select(
+        F.col("doc_id").alias("new_id"),
+        F.sha2(
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+            256,
+        ).alias("new_hash"),
+    )
+    j = old.join(new, old["old_id"] == new["new_id"], "full_outer")
+    change = (
+        F.when(F.col("old_id").isNull(), "added")
+        .when(F.col("new_id").isNull(), "removed")
+        .when(F.col("old_hash") != F.col("new_hash"), "changed")
+        .otherwise("unchanged")
+    )
+    doc = F.coalesce(F.col("old_id"), F.col("new_id"))
+    return (
+        j.select(change.alias("change_type"), doc.alias("doc_id"))
+        .groupBy("change_type")
+        .agg(
+            F.count("*").alias("docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+CORPUS_DIFF_SQL = """
+WITH old AS (
+  SELECT doc_id AS old_id, sha256(text) AS old_hash
+  FROM documents WHERE doc_id % 7 != 1
+), new AS (
+  SELECT doc_id AS new_id,
+         sha256(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+                     ELSE text END) AS new_hash
+  FROM documents WHERE doc_id % 5 != 2
+), j AS (
+  SELECT CASE WHEN old_id IS NULL THEN 'added'
+              WHEN new_id IS NULL THEN 'removed'
+              WHEN old_hash != new_hash THEN 'changed'
+              ELSE 'unchanged' END AS change_type,
+         coalesce(old_id, new_id) AS doc_id
+  FROM old FULL OUTER JOIN new ON old.old_id = new.new_id
+)
+SELECT change_type, count(*) AS docs,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM j GROUP BY change_type
+"""
+
+
+PROFILE_COLS = (
+    "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+    "l_returnflag", "l_shipdate",
+)
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Data-quality profiling: one pass over the fact table computing
+    # per-column row/null/exact-distinct counts, unpivoted to long
+    # form via stack(). The multi-count-distinct aggregate expands to
+    # Catalyst's Expand operator (one stream per distinct column) --
+    # the standard single-query profile plan; at 100 TB swap the
+    # exact distincts for approx_count_distinct and keep the shape.
+    li = t(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in PROFILE_COLS:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}" for c in PROFILE_COLS
+    )
+    return one.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stack_args})"
+            " AS (col_name, n_non_null, n_distinct)"
+        ),
+    ).select(
+        "col_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.col("n_rows") - F.col("n_non_null")).cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+    )
+
+
+TABLE_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct FROM lineitem"""
+    for c in PROFILE_COLS
+)
+
+
 def sample_group_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fixed-size deterministic per-stratum sample: exactly k docs per
     # language, chosen by content-independent md5 order (stable as the
@@ -2064,6 +2213,12 @@ SPECS: list[QuerySpec] = [
               SAMPLE_GROUP_FIXED_SQL,
               "exact-k per-stratum deterministic sample by md5 order "
               "(distributed reservoir-sampling stand-in)"),
+    QuerySpec("corpus_diff", corpus_diff, CORPUS_DIFF_SQL,
+              "snapshot diff: full outer join on stable id, "
+              "content-hash change classification"),
+    QuerySpec("table_profile", table_profile, TABLE_PROFILE_SQL,
+              "single-pass per-column data-quality profile "
+              "(rows/nulls/exact distincts via Expand), unpivoted"),
     QuerySpec("sample_split", sample_split, SAMPLE_SPLIT_SQL),
     QuerySpec("text_tfidf", text_tfidf, TEXT_TFIDF_SQL),
     QuerySpec("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_SQL),
@@ -2096,6 +2251,11 @@ SPECS: list[QuerySpec] = [
               "Arrow-batched decode plumbing; fake codec replayed "
               "byte-exactly by the oracle"),
     QuerySpec("asof_join_events", asof_join_events, ASOF_JOIN_EVENTS_SQL),
+    QuerySpec("asof_join_forward", asof_join_forward,
+              ASOF_JOIN_FORWARD_SQL,
+              "forward as-of direction (earliest right >= left), "
+              "mirrored one-shuffle carry; differential-tested with "
+              "'nearest' too"),
     QuerySpec("event_window_tumbling", event_window_tumbling,
               EVENT_WINDOW_TUMBLING_SQL),
     QuerySpec("event_window_sliding", event_window_sliding,

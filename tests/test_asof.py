@@ -113,3 +113,63 @@ def test_asof_matches_brute_force_on_random_data(spark):
     got = {r["lid"]: r["v"] for r in out}
     want = {lid: expect(k, t) for k, t, lid in left_rows}
     assert got == want
+
+
+def test_asof_forward_and_nearest_match_brute_force(spark):
+    """Same randomized differential, for direction='forward' and
+    'nearest' (pandas merge_asof semantics: forward = earliest
+    rt >= t; nearest = closer side, ties to backward; greatest
+    right_order wins equal-(key, time) ties in every direction)."""
+    import datetime
+    import random
+
+    from s3_parquet_to_postgres_spark.operators.asof import asof_join
+
+    rng = random.Random(7)
+    base = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return base + datetime.timedelta(minutes=m)
+
+    left_rows = [
+        (rng.randrange(5), ts(rng.randrange(100)), i) for i in range(90)
+    ]
+    right_rows = [
+        (rng.randrange(5), ts(rng.randrange(100)), i,
+         None if rng.random() < 0.2 else f"v{i}")
+        for i in range(110)
+    ]
+    tol = datetime.timedelta(minutes=20)
+
+    def pick(cands):
+        # greatest (time-precedence handled by caller) -> by seq
+        return max(cands, key=lambda r: r[2])
+
+    def expect(k, t, direction):
+        back = [r for r in right_rows if r[0] == k and r[1] <= t]
+        fwd = [r for r in right_rows if r[0] == k and r[1] >= t]
+        b = max(back, key=lambda r: (r[1], r[2])) if back else None
+        f = min(fwd, key=lambda r: (r[1], -r[2])) if fwd else None
+        if b is not None and t - b[1] > tol:
+            b = None
+        if f is not None and f[1] - t > tol:
+            f = None
+        if direction == "forward":
+            return f[3] if f else None
+        if b is not None and (f is None or t - b[1] <= f[1] - t):
+            return b[3]
+        return f[3] if f else None
+
+    left = spark.createDataFrame(left_rows, "k long, t timestamp, lid long")
+    right = spark.createDataFrame(
+        right_rows, "k long, rt timestamp, seq long, v string"
+    ).repartition(6)
+    for direction in ("forward", "nearest"):
+        out = asof_join(
+            left, right, on="k", left_time="t", right_time="rt",
+            right_payload=["v"], tolerance="20 minutes",
+            right_order="seq", direction=direction,
+        ).collect()
+        got = {r["lid"]: r["v"] for r in out}
+        want = {lid: expect(k, t, direction) for k, t, lid in left_rows}
+        assert got == want, direction
