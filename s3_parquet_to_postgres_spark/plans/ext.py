@@ -1344,6 +1344,77 @@ FROM h
 # Event-time operators over `events` (as-of, windows, sessionization)
 # --------------------------------------------------------------------------
 
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Frame-sampling plumbing (mapInPandas generator fan-out: one
+    # payload row -> <= max_frames frame rows), driver-visible via
+    # per-frame byte counts + hashes. The deterministic fake "codec"
+    # slices every 256 bytes; the oracle replays the slicing with
+    # string substrings (the test corpus is pure ASCII, so byte and
+    # character offsets coincide -- asserted by the n_bytes oracle
+    # column; the Spark side operates on real bytes regardless).
+    d = t(spark, sf_dir, "documents")
+    payloads = M.attach_binary_payload(d, "text")
+    frames = M.sample_frames(payloads)
+    return frames.select(
+        "doc_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.length("frame").cast("long").alias("frame_bytes"),
+        F.sha2("frame", 256).alias("frame_sha256"),
+    )
+
+
+MULTIMODAL_FRAMES_SQL = """
+WITH d AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents
+), f AS (
+  SELECT doc_id,
+         unnest(range(0, least(8, greatest(n, 1) // 256 + 1))) AS frame_no,
+         text, n
+  FROM d
+)
+SELECT doc_id,
+       CAST(frame_no AS BIGINT) AS frame_no,
+       CAST(length(substring(text, CAST(frame_no * 256 + 1 AS INT), 256))
+            AS BIGINT) AS frame_bytes,
+       sha256(substring(text, CAST(frame_no * 256 + 1 AS INT), 256))
+         AS frame_sha256
+FROM f
+"""
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Resize plumbing (one mapInPandas row per input, fixed-size
+    # output payload). The deterministic fake tiles the payload to
+    # width*height bytes; the oracle replays it with repeat+substring
+    # (ASCII corpus: byte == char offsets, asserted via n_bytes).
+    d = t(spark, sf_dir, "documents")
+    payloads = M.attach_binary_payload(d, "text")
+    out = M.resize_images(payloads, width=64, height=64)
+    return out.select(
+        "doc_id",
+        "content_sha256",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.length("resized").cast("long").alias("n_bytes"),
+        F.sha2("resized", 256).alias("resized_sha256"),
+    )
+
+
+MULTIMODAL_RESIZE_SQL = """
+SELECT doc_id,
+       sha256(text) AS content_sha256,
+       CAST(64 AS BIGINT) AS width,
+       CAST(64 AS BIGINT) AS height,
+       CAST(length(substring(repeat(text,
+              CAST(4096 // greatest(length(text), 1) + 1 AS INT)),
+            1, 4096)) AS BIGINT) AS n_bytes,
+       sha256(substring(repeat(text,
+              CAST(4096 // greatest(length(text), 1) + 1 AS INT)),
+            1, 4096)) AS resized_sha256
+FROM documents
+"""
+
+
 def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # For every error event: the user's most recent click at/before it.
     e = t(spark, sf_dir, "events")
@@ -2246,6 +2317,13 @@ SPECS: list[QuerySpec] = [
               "join+agg rounds"),
     QuerySpec("text_pii_scrub", text_pii_scrub, TEXT_PII_SCRUB_SQL),
     QuerySpec("multimodal_payload", multimodal_payload, MULTIMODAL_PAYLOAD_SQL),
+    QuerySpec("multimodal_frames", multimodal_frames, MULTIMODAL_FRAMES_SQL,
+              "mapInPandas frame fan-out plumbing; deterministic "
+              "slicing replayed by the oracle per frame"),
+    QuerySpec("multimodal_resize", multimodal_resize,
+              MULTIMODAL_RESIZE_SQL,
+              "mapInPandas resize plumbing; deterministic tiling "
+              "replayed by the oracle per payload"),
     QuerySpec("multimodal_features", multimodal_features,
               MULTIMODAL_FEATURES_SQL,
               "Arrow-batched decode plumbing; fake codec replayed "
