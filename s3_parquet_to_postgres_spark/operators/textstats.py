@@ -435,6 +435,79 @@ def unigram_lm_scores(
     )
 
 
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram language-model score per document --
+    Jelinek-Mercer smoothing (lambda * P(w2|w1) + (1-lambda) *
+    P(w2)), the next rung above ``unigram_lm_scores`` on the CCNet
+    quality ladder: word-salad documents whose unigrams look normal
+    but whose transitions are improbable score low here.
+
+    Plan shape: doc-bigram counts once (one explode), corpus bigram
+    frequency as a window over that SAME tf table, unigram counts
+    from a second explode joined on the vocabulary (AQE chooses
+    broadcast vs shuffle), total tokens as a one-row broadcast agg.
+    Per-bigram log-probabilities are quantized to 1e-6 scaled
+    BIGINTs before the per-doc sum -- exact integer addition, so the
+    DuckDB oracle is replayed independent of partial-aggregation
+    order (same trick as the unigram scorer).
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions import dround
+
+    clean = F.filter(ws_tokens(F.lower(F.col(text_col))), lambda x: x != "")
+    toks = spread(df).select(F.col(id_col).alias("doc"), clean.alias("w"))
+    bi = toks.filter(F.size("w") >= 2).select(
+        "doc",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> named_struct('w1', w[i - 1], 'w2', w[i]))"
+            )
+        ).alias("s"),
+    )
+    tf = bi.groupBy(
+        "doc", F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2")
+    ).agg(F.count("*").alias("tf"))
+    cb = tf.withColumn(
+        "cb", F.sum("tf").over(Window.partitionBy("w1", "w2"))
+    )
+    uni = (
+        toks.select(F.explode("w").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c1"))
+    )
+    ua = uni.select(F.col("term").alias("w1"), F.col("c1").alias("ca"))
+    ub = uni.select(F.col("term").alias("w2"), F.col("c1").alias("c2"))
+    tot = toks.agg(F.sum(F.size("w")).cast("double").alias("__total"))
+    p = (
+        F.lit(lam) * F.col("cb").cast("double") / F.col("ca").cast("double")
+        + F.lit(1.0 - lam) * F.col("c2").cast("double") / F.col("__total")
+    )
+    lpq = F.floor(
+        F.col("tf") * F.log(p) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    per_doc = (
+        cb.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc")
+        .agg(F.sum("tf").alias("n_bigrams"), F.sum(lpq).alias("lp_sum"))
+    )
+    avg = F.col("lp_sum") / F.lit(1000000.0) / F.col("n_bigrams")
+    return per_doc.select(
+        F.col("doc").alias(id_col),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        dround(avg, 6).alias("avg_logprob"),
+        dround(F.exp(-avg), 4).alias("ppl"),
+    )
+
+
 def pmi_collocations(
     df: DataFrame,
     text_col: str = "text",

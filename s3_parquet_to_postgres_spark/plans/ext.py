@@ -767,6 +767,53 @@ FROM lp GROUP BY doc_id
 """
 
 
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.bigram_lm_scores(t(spark, sf_dir, "documents"))
+
+
+def _bigram_lm_oracle_sql(lam: float = 0.7) -> str:
+    # repr()'d float literals so both engines parse identical doubles
+    # (1 - 0.7 is NOT 0.3 in binary).
+    l1, l2 = repr(lam), repr(1.0 - lam)
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc, {_CLEAN_TOKS_SQL} AS w FROM documents
+), b AS (
+  SELECT doc, unnest(list_transform(range(1, len(w)),
+           i -> {{'w1': w[i], 'w2': w[i + 1]}})) AS s
+  FROM toks WHERE len(w) >= 2
+), tf AS (
+  SELECT doc, s.w1 AS w1, s.w2 AS w2, count(*) AS tf
+  FROM b GROUP BY 1, 2, 3
+), cb AS (
+  SELECT *, sum(tf) OVER (PARTITION BY w1, w2) AS cb FROM tf
+), uc AS (
+  SELECT term, count(*) AS c1
+  FROM (SELECT unnest(w) AS term FROM toks) GROUP BY term
+), tot AS (
+  SELECT CAST(sum(len(w)) AS DOUBLE) AS total FROM toks
+), lp AS (
+  SELECT doc, tf,
+         CAST(floor(tf * ln({l1} * CAST(cb AS DOUBLE)
+                              / CAST(a.c1 AS DOUBLE)
+                            + {l2} * CAST(bb.c1 AS DOUBLE) / total)
+                    * 1000000.0 + 0.5) AS BIGINT) AS lpq
+  FROM cb
+  JOIN uc a ON cb.w1 = a.term
+  JOIN uc bb ON cb.w2 = bb.term
+  CROSS JOIN tot
+)
+SELECT doc AS doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       {sql_dround('sum(lpq) / 1000000.0 / sum(tf)', 6)} AS avg_logprob,
+       {sql_dround('exp(-(sum(lpq) / 1000000.0 / sum(tf)))', 4)} AS ppl
+FROM lp GROUP BY doc
+"""
+
+
+TEXT_BIGRAM_LM_SQL = _bigram_lm_oracle_sql()
+
+
 def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.pmi_collocations(t(spark, sf_dir, "documents"))
 
@@ -1582,6 +1629,97 @@ FROM numbered GROUP BY user_id, session_id
 """
 
 
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Market-basket association mining over orders: support /
+    # confidence / lift for part pairs co-occurring in an order
+    # (Agrawal & Srikant 1994's A-priori counts for itemsets of size
+    # 2). Baskets are GROUPED and paired in-array (the bucket pattern
+    # again -- a self-join on l_orderkey would re-scan lineitem per
+    # side); pair fan-out is quadratic in basket size, which TPC-H
+    # bounds at 7 lineitems, and a real deployment caps with the same
+    # oversize guard as the dedup buckets. Part supports join back
+    # onto the (vocabulary-sized) pair table, AQE picking broadcast.
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(parts, (x, i) ->"
+        " transform(slice(parts, i + 2, size(parts)), y ->"
+        " named_struct('pa', x, 'pb', y))))"
+    )
+    pairs = (
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(F.count("*").alias("pair_orders"))
+        .filter(F.col("pair_orders") >= 3)
+    )
+    sup = li.groupBy("l_partkey").agg(F.count("*").alias("part_orders"))
+    sa = sup.select(F.col("l_partkey").alias("pa"),
+                    F.col("part_orders").alias("orders_a"))
+    sb = sup.select(F.col("l_partkey").alias("pb"),
+                    F.col("part_orders").alias("orders_b"))
+    tot = li.agg(F.count_distinct("l_orderkey").cast("double").alias("__n"))
+    lift = (
+        F.col("pair_orders").cast("double") * F.col("__n")
+        / (F.col("orders_a").cast("double") * F.col("orders_b").cast("double"))
+    )
+    scored = (
+        pairs.join(sa, "pa").join(sb, "pb").crossJoin(F.broadcast(tot))
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("pair_orders").cast("long").alias("pair_orders"),
+            (F.col("pair_orders").cast("double") / F.col("orders_a")).alias(
+                "confidence"
+            ),
+            dround(lift, 6).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("part_a"), F.asc("part_b")
+    ).limit(25)
+
+
+BASKET_PART_PAIRS_SQL = """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+baskets AS (
+  SELECT l_orderkey, list_sort(list(l_partkey)) AS parts
+  FROM lp GROUP BY l_orderkey HAVING count(*) >= 2
+), p0 AS (
+  SELECT unnest(flatten(list_transform(parts, x ->
+           list_transform(list_filter(parts, y -> y > x),
+                          y -> {'pa': x, 'pb': y})))) AS s
+  FROM baskets
+), pairs AS (
+  SELECT s.pa AS pa, s.pb AS pb, count(*) AS pair_orders
+  FROM p0 GROUP BY 1, 2 HAVING count(*) >= 3
+), sup AS (
+  SELECT l_partkey, count(*) AS part_orders FROM lp GROUP BY l_partkey
+), tot AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n FROM lp
+)
+SELECT pa AS part_a, pb AS part_b,
+       CAST(pair_orders AS BIGINT) AS pair_orders,
+       CAST(pair_orders AS DOUBLE) / a.part_orders AS confidence,
+       CAST(floor(CAST(pair_orders AS DOUBLE) * n
+                  / (CAST(a.part_orders AS DOUBLE)
+                     * CAST(b.part_orders AS DOUBLE))
+                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS lift
+FROM pairs
+JOIN sup a ON pairs.pa = a.l_partkey
+JOIN sup b ON pairs.pb = b.l_partkey
+CROSS JOIN tot
+ORDER BY lift DESC, part_a ASC, part_b ASC LIMIT 25
+"""
+
+
 def event_enrich_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stream-static enrichment, batch half: events joined to the
     # customer dimension (user_id -> c_custkey) and rolled up per
@@ -2222,6 +2360,10 @@ ORDER BY occurrences DESC, bigram ASC LIMIT 25
 
 SPECS: list[QuerySpec] = [
     QuerySpec("event_funnel", event_funnel, EVENT_FUNNEL_SQL),
+    QuerySpec("basket_part_pairs", basket_part_pairs,
+              BASKET_PART_PAIRS_SQL,
+              "market-basket support/confidence/lift: baskets "
+              "grouped + paired in-array, vocabulary joins via AQE"),
     QuerySpec("event_enrich_customer", event_enrich_customer,
               EVENT_ENRICH_CUSTOMER_SQL,
               "stream-static enrichment (batch half): broadcast dim "
@@ -2301,6 +2443,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("text_unigram_lm", text_unigram_lm, TEXT_UNIGRAM_LM_SQL,
               "CCNet-style corpus-LM quality score: windowed term "
               "frequency, order-independent quantized logprob sums"),
+    QuerySpec("text_bigram_lm", text_bigram_lm, TEXT_BIGRAM_LM_SQL,
+              "interpolated (Jelinek-Mercer) bigram LM score: "
+              "windowed bigram frequency + vocabulary joins, exact "
+              "quantized sums"),
     QuerySpec("text_collocations", text_collocations,
               TEXT_COLLOCATIONS_SQL,
               "PMI collocations with support floor; AQE-chosen join "

@@ -95,6 +95,25 @@ class TestUnigramLM:
         assert row.ppl == pytest.approx(1.0, abs=1e-4)
 
 
+class TestBigramLM:
+    def test_word_salad_scores_lower_than_fluent(self, spark):
+        # Same unigram profile, different transitions: the shuffled
+        # doc is exactly what the bigram rung catches and the unigram
+        # rung cannot.
+        fluent = "a b a b a b a b"
+        rows = [(i, fluent) for i in range(6)] + [(9, "a a b b a a b b")]
+        df = _docs(spark, rows)
+        bi = {r.doc_id: r.avg_logprob for r in T.bigram_lm_scores(df).collect()}
+        uni = {r.doc_id: r.avg_logprob for r in T.unigram_lm_scores(df).collect()}
+        assert bi[9] < bi[0]
+        assert abs(uni[9] - uni[0]) < 1e-9  # unigram rung is blind to it
+
+    def test_single_token_docs_drop_out(self, spark):
+        df = _docs(spark, [(1, "only"), (2, "two tokens")])
+        ids = [r.doc_id for r in T.bigram_lm_scores(df).collect()]
+        assert ids == [2]
+
+
 class TestCollocations:
     def test_collocated_pair_beats_independent(self, spark):
         # "san francisco" always co-occur; "of" is everywhere.
