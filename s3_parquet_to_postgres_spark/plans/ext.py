@@ -1543,6 +1543,130 @@ ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts <= c.ts
 """
 
 
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Nearest-direction as-of: closer of the backward/forward match,
+    # ties to backward. Oracled as two chained native DuckDB ASOF
+    # joins + a closeness CASE. (user_id, ts) is unique in events, so
+    # no tie-among-equals ambiguity between engines.
+    e = t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join(
+        errors, clicks, on="user_id", left_time="ts", right_time="ts",
+        right_payload=["click_event_id", "click_value"],
+        right_order="click_event_id", direction="nearest",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("error_ts"),
+        "click_event_id",
+        "click_value",
+    )
+
+
+ASOF_JOIN_NEAREST_SQL = """
+WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   event_type, value FROM events),
+errors AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'error'),
+clicks AS (SELECT user_id, ts, event_id AS click_event_id,
+                  value AS click_value FROM ev WHERE event_type = 'click')
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS error_ts,
+       CASE WHEN cb.ts IS NOT NULL
+                 AND (cf.ts IS NULL OR e.ts - cb.ts <= cf.ts - e.ts)
+            THEN cb.click_event_id ELSE cf.click_event_id
+       END AS click_event_id,
+       CASE WHEN cb.ts IS NOT NULL
+                 AND (cf.ts IS NULL OR e.ts - cb.ts <= cf.ts - e.ts)
+            THEN cb.click_value ELSE cf.click_value
+       END AS click_value
+FROM errors e
+ASOF LEFT JOIN clicks cb ON e.user_id = cb.user_id AND e.ts >= cb.ts
+ASOF LEFT JOIN clicks cf ON e.user_id = cf.user_id AND e.ts <= cf.ts
+"""
+
+
+SKEW_KEYS = ("l_orderkey", "l_partkey", "l_suppkey")
+
+
+def table_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Join-key skew diagnostics -- the planning input for salting /
+    # AQE skew-join decisions: per candidate key, distinct count, the
+    # heaviest key and its row share, and the max/avg skew ratio.
+    # ONE scan: the three key columns are melted into (key_name,
+    # key_value) rows by a 3-way explode, then two aggregations
+    # (key-level counts -> key_name-level stats) and a window top-1
+    # that reuses the second aggregation's partitioning.
+    li = t(spark, sf_dir, "lineitem")
+    melted = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("key_name"),
+                        F.col(k).cast("long").alias("key_value"),
+                    )
+                    for k in SKEW_KEYS
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.key_name", "kv.key_value")
+    counts = melted.groupBy("key_name", "key_value").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("key_name").orderBy(
+        F.col("cnt").desc(), F.col("key_value").asc()
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .groupBy("key_name")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count("*").alias("n_distinct"),
+            F.max("cnt").alias("max_rows_per_key"),
+            F.max(F.when(F.col("__rn") == 1, F.col("key_value"))).alias(
+                "top_key"
+            ),
+        )
+        .select(
+            "key_name",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.col("max_rows_per_key").cast("long").alias("max_rows_per_key"),
+            F.col("top_key").cast("long").alias("top_key"),
+            dround(
+                F.col("max_rows_per_key").cast("double")
+                * F.col("n_distinct")
+                / F.col("n_rows"),
+                6,
+            ).alias("skew_ratio"),
+        )
+    )
+
+
+TABLE_SKEW_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{k}' AS key_name,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(max(cnt) AS BIGINT) AS max_rows_per_key,
+       CAST(max(CASE WHEN rn = 1 THEN key_value END) AS BIGINT) AS top_key,
+       {sql_dround(
+           'CAST(max(cnt) AS DOUBLE) * count(*) / sum(cnt)', 6)}
+         AS skew_ratio
+FROM (SELECT key_value, cnt,
+             row_number() OVER (ORDER BY cnt DESC, key_value ASC) AS rn
+      FROM (SELECT CAST({k} AS BIGINT) AS key_value, count(*) AS cnt
+            FROM lineitem GROUP BY 1))"""
+    for k in SKEW_KEYS
+)
+
+
 def event_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     return (
@@ -2480,6 +2604,15 @@ SPECS: list[QuerySpec] = [
               "forward as-of direction (earliest right >= left), "
               "mirrored one-shuffle carry; differential-tested with "
               "'nearest' too"),
+    QuerySpec("asof_join_nearest", asof_join_nearest,
+              ASOF_JOIN_NEAREST_SQL,
+              "nearest as-of direction: both carries in one hash "
+              "partitioning; oracle = two chained DuckDB ASOF joins "
+              "+ closeness CASE"),
+    QuerySpec("table_skew_profile", table_skew_profile,
+              TABLE_SKEW_PROFILE_SQL,
+              "join-key skew diagnostics: melted single-scan key "
+              "counts, per-key-name top-1 + skew ratio"),
     QuerySpec("event_window_tumbling", event_window_tumbling,
               EVENT_WINDOW_TUMBLING_SQL),
     QuerySpec("event_window_sliding", event_window_sliding,
