@@ -1667,6 +1667,123 @@ FROM (SELECT key_value, cnt,
 )
 
 
+def event_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Time-series resampling to hourly OHLC bars: open/close via
+    # min_by/max_by on the (ts, event_id) composite order key (unique,
+    # so fully deterministic), high/low/volume as plain aggregates --
+    # ONE hash aggregation, no window, no self-join. The financial
+    # downsample shape every time-series engine ships.
+    e = t(spark, sf_dir, "events")
+    bar = F.date_trunc("hour", F.col("ts"))
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy(bar.alias("__bar"))
+        .agg(
+            F.min_by("value", ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordk).alias("close"),
+            F.count("*").alias("n_events"),
+            dsum("value", 4).alias("total_value"),
+        )
+        .select(
+            F.date_format("__bar", "yyyy-MM-dd HH:00").alias("bar_ts"),
+            "open", "high", "low", "close",
+            F.col("n_events").cast("long").alias("n_events"),
+            "total_value",
+        )
+    )
+
+
+EVENT_OHLC_BARS_SQL = f"""
+WITH x AS (
+  SELECT date_trunc('hour', ts) AS b, ts, event_id, value FROM events
+), o AS (
+  SELECT b, value AS open FROM (
+    SELECT *, row_number() OVER (PARTITION BY b
+        ORDER BY ts ASC, event_id ASC) AS rn FROM x) WHERE rn = 1
+), c AS (
+  SELECT b, value AS close FROM (
+    SELECT *, row_number() OVER (PARTITION BY b
+        ORDER BY ts DESC, event_id DESC) AS rn FROM x) WHERE rn = 1
+), agg AS (
+  SELECT b, max(value) AS high, min(value) AS low,
+         count(*) AS n_events, {sql_dsum('value', 4)} AS total_value
+  FROM x GROUP BY b
+)
+SELECT strftime(agg.b, '%Y-%m-%d %H:00') AS bar_ts,
+       o.open, agg.high, agg.low, c.close,
+       CAST(agg.n_events AS BIGINT) AS n_events, agg.total_value
+FROM agg JOIN o ON agg.b = o.b JOIN c ON agg.b = c.b
+"""
+
+
+def event_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gap-filled per-user daily series with forward-fill: generate
+    # each user's full day spine (sequence + explode from a one-row
+    # per-user span -- no calendar table join), left join the daily
+    # aggregates, carry the last seen total forward over the gap days
+    # (last ignorenulls over the user partition). The
+    # resample+interpolate shape; two scans of the fact (span + daily
+    # aggregate) and one id-shuffle for the spine join.
+    e = t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    daily = e.groupBy(
+        F.col("user_id"), day.alias("day")
+    ).agg(F.count("*").alias("n"), dsum("value", 4).alias("total"))
+    span = e.groupBy("user_id").agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce(F.col("total"), F.lit(0.0)).alias("total_value"),
+        F.last("total", ignorenulls=True).over(w).alias("carried_value"),
+    )
+
+
+EVENT_GAPFILL_SQL = f"""
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*) AS n, {sql_dsum('value', 4)} AS total
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+), spine AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+), j AS (
+  SELECT s.user_id, s.day, d.n, d.total
+  FROM spine s LEFT JOIN daily d
+    ON s.user_id = d.user_id AND s.day = d.day
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+       coalesce(total, 0.0) AS total_value,
+       last_value(total IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS carried_value
+FROM j
+"""
+
+
 def event_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     return (
@@ -2613,6 +2730,12 @@ SPECS: list[QuerySpec] = [
               TABLE_SKEW_PROFILE_SQL,
               "join-key skew diagnostics: melted single-scan key "
               "counts, per-key-name top-1 + skew ratio"),
+    QuerySpec("event_ohlc_bars", event_ohlc_bars, EVENT_OHLC_BARS_SQL,
+              "hourly OHLC resample: min_by/max_by on a composite "
+              "order key, one hash aggregation, no window"),
+    QuerySpec("event_gapfill", event_gapfill, EVENT_GAPFILL_SQL,
+              "gap-filled per-user daily series with forward-fill "
+              "(sequence-exploded spine + last ignorenulls carry)"),
     QuerySpec("event_window_tumbling", event_window_tumbling,
               EVENT_WINDOW_TUMBLING_SQL),
     QuerySpec("event_window_sliding", event_window_sliding,
