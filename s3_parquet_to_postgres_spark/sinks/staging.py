@@ -64,6 +64,38 @@ def swap_by_rename(table: str, staging: str | None = None,
     return "\n".join(stmts)
 
 
+def merge_upsert_sql(
+    table: str,
+    key_cols: list[str],
+    update_cols: list[str],
+    staging: str | None = None,
+) -> str:
+    """One-statement UPSERT promote: merge the staging table into the
+    live table keyed on ``key_cols`` (INSERT .. ON CONFLICT DO
+    UPDATE), the incremental alternative to the full-table swap --
+    right when a load carries only changed rows and the live table
+    must keep its unmatched history. Requires a unique index on the
+    key columns (the ON CONFLICT arbiter). With no ``update_cols``
+    the conflict action is DO NOTHING (insert-only dedup load).
+    """
+    stg = staging or f"{table}__staging"
+    keys = ", ".join(_q(c) for c in key_cols)
+    cols = key_cols + update_cols
+    collist = ", ".join(_q(c) for c in cols)
+    if update_cols:
+        sets = ", ".join(
+            f"{_q(c)} = EXCLUDED.{_q(c)}" for c in update_cols
+        )
+        action = f"DO UPDATE SET {sets}"
+    else:
+        action = "DO NOTHING"
+    return (
+        f"INSERT INTO {_q(table)} ({collist})\n"
+        f"SELECT {collist} FROM {_q(stg)}\n"
+        f"ON CONFLICT ({keys}) {action};"
+    )
+
+
 @dataclass
 class StagedLoad:
     """Orchestrates sink -> staging table -> atomic swap.
@@ -99,6 +131,15 @@ class StagedLoad:
     def swap(self) -> None:
         self._execute(
             swap_by_rename(self.table, self.staging_table, self.keep_old)
+        )
+
+    def merge(self, key_cols: list[str], update_cols: list[str]) -> None:
+        """UPSERT promote (see ``merge_upsert_sql``): incremental
+        alternative to ``swap`` for changed-rows-only loads."""
+        self._execute(
+            merge_upsert_sql(
+                self.table, key_cols, update_cols, self.staging_table
+            )
         )
 
     def _execute(self, script: str) -> None:

@@ -104,6 +104,62 @@ def test_identifier_quoting_doubles_embedded_quotes():
     assert '"we""ird"' in sql
 
 
+def test_merge_upsert_sql_shape():
+    from s3_parquet_to_postgres_spark.sinks.staging import merge_upsert_sql
+
+    sql = merge_upsert_sql("events", ["event_id"], ["value", "ts"])
+    assert sql.startswith('INSERT INTO "events" ("event_id", "value", "ts")')
+    assert 'SELECT "event_id", "value", "ts" FROM "events__staging"' in sql
+    assert 'ON CONFLICT ("event_id") DO UPDATE SET' in sql
+    assert '"value" = EXCLUDED."value"' in sql
+    assert '"ts" = EXCLUDED."ts"' in sql
+
+
+def test_merge_upsert_sql_insert_only():
+    from s3_parquet_to_postgres_spark.sinks.staging import merge_upsert_sql
+
+    sql = merge_upsert_sql("t", ["a", "b"], [])
+    assert 'ON CONFLICT ("a", "b") DO NOTHING;' in sql
+    assert "EXCLUDED" not in sql
+
+
+def test_staged_merge_executes_one_script():
+    from s3_parquet_to_postgres_spark.sinks.staging import StagedLoad
+
+    scripts = []
+
+    class _Cur:
+        def execute(self, s):
+            scripts.append(s)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _Conn:
+        def cursor(self):
+            return _Cur()
+
+        def commit(self):
+            scripts.append("<commit>")
+
+        def rollback(self):
+            scripts.append("<rollback>")
+
+        def close(self):
+            pass
+
+    staged = StagedLoad(
+        "postgresql://x", table="events",
+        connection_factory=lambda cs: _Conn(),
+    )
+    staged.merge(["event_id"], ["value"])
+    assert len(scripts) == 2 and scripts[1] == "<commit>"
+    assert 'ON CONFLICT ("event_id") DO UPDATE SET' in scripts[0]
+
+
 def test_staged_load_fails_cleanly_without_psycopg2():
     from s3_parquet_to_postgres_spark.sinks.staging import StagedLoad
 

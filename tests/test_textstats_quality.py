@@ -61,6 +61,53 @@ class TestRepetitionSignals:
         assert out[2].top2_count == 1
 
 
+class TestRepetitionProperty:
+    def test_fold_matches_counter_reference(self, spark):
+        # Property-style differential: the sort+run-length fold must
+        # equal the obvious Counter-based definition on adversarial
+        # token streams (runs, ties, short docs). Deterministic
+        # corpus enumerating the tricky shapes; one Spark job total.
+        import collections
+        import itertools
+        import random
+
+        rng = random.Random(42)
+        vocab = ["a", "b", "ab", "a b"[:1], "xyz"]
+        docs = []
+        # exhaustive tiny docs (all 3-token combos over 2 tokens)
+        for i, combo in enumerate(itertools.product(["a", "b"], repeat=3)):
+            docs.append((i, " ".join(combo)))
+        # random medium docs
+        for i in range(100, 140):
+            n = rng.randrange(2, 30)
+            docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+        df = _docs(spark, docs)
+        got = {r.doc_id: r for r in T.repetition_signals(df).collect()}
+
+        def expect(text, n):
+            toks = text.split()
+            grams = [
+                " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+            ]
+            if not grams:
+                return 0, 0.0, 0.0
+            counts = collections.Counter(grams)
+            top_cnt = max(counts.values())
+            top_gram = min(g for g, c in counts.items() if c == top_cnt)
+            chars = max(len(text), 1)
+            cf = round(top_cnt * len(top_gram) / chars, 6)
+            dup = round((len(grams) - len(counts)) / len(grams), 6)
+            return top_cnt, cf, dup
+
+        for doc_id, text in docs:
+            for n in (2, 3, 5):
+                tc, cf, dup = expect(text, n)
+                row = got[doc_id]
+                assert row[f"top{n}_count"] == tc, (doc_id, n)
+                assert abs(row[f"top{n}_char_frac"] - cf) < 2e-6, (doc_id, n)
+                assert abs(row[f"dup{n}_frac"] - dup) < 2e-6, (doc_id, n)
+
+
 class TestUnigramLM:
     def test_hand_computed_logprob(self, spark):
         # Corpus: "x x y" + "x y". Counts: x=3, y=2, total=5.
