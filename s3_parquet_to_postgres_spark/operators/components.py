@@ -250,6 +250,71 @@ def pagerank(
     return ranks.select("id", dround("r", 6).alias("pagerank"))
 
 
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Degree-ordered triangle counting (Suri & Vassilvitskii, WWW'11
+    "Counting triangles and the curse of the last reducer") over a
+    canonical undirected edge list (src < dst, distinct).
+
+    Each edge is oriented from its lower-degree endpoint (ties by
+    id), so every triangle has exactly ONE vertex with both edges
+    outgoing -- wedges generated only from oriented out-neighborhoods
+    count each triangle exactly once, and a hub vertex's fan-out
+    collapses from deg^2 to (its oriented out-degree)^2, which the
+    orientation bounds by sqrt(|E|)-ish. Out-neighborhoods are
+    GROUPED and paired in-array (the bucket pattern); wedge closure
+    is one equi-join against the canonical edge set. Returns
+    (id, n_triangles) for every vertex in at least one triangle
+    (each triangle credits all three corners).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = e.localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("d_b"))
+    lower_first = (F.col("d_a") < F.col("d_b")) | (
+        (F.col("d_a") == F.col("d_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    outs = oriented.groupBy("src").agg(
+        F.array_sort(F.collect_list("dst")).alias("ns")
+    )
+    wedge_expr = F.expr(
+        "flatten(transform(ns, (x, i) ->"
+        " transform(slice(ns, i + 2, size(ns)), y ->"
+        " named_struct('u', least(x, y), 'w', greatest(x, y)))))"
+    )
+    wedges = outs.select(
+        F.col("src").alias("v"), F.explode(wedge_expr).alias("p")
+    ).select("v", F.col("p.u").alias("u"), F.col("p.w").alias("w"))
+    closed = wedges.join(
+        e.select(F.col("a").alias("u"), F.col("b").alias("w")), ["u", "w"]
+    )
+    corners = (
+        closed.select(F.col("v").alias("id"))
+        .unionAll(closed.select(F.col("u").alias("id")))
+        .unionAll(closed.select(F.col("w").alias("id")))
+    )
+    return corners.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+
+
 def dedup_groups(
     edges: DataFrame,
     src: str = "id_a",

@@ -1284,6 +1284,35 @@ def _pagerank_oracle_sql(damping: float = 0.85, iters: int = 10) -> str:
 GRAPH_PAGERANK_SQL = _pagerank_oracle_sql()
 
 
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Triangle participation counts over the passage-overlap graph --
+    # tightly-knit boilerplate cliques light up here before
+    # components ever merge them.
+    from ..operators.components import triangle_counts
+
+    pairs = T.passage_overlap_pairs(t(spark, sf_dir, "documents"))
+    return triangle_counts(
+        pairs.select("id_a", "id_b")
+    ).select(F.col("id").alias("doc_id"), "n_triangles")
+
+
+# Canonical pairs have id_a < id_b, so the triple join enumerates each
+# triangle exactly once with x < y < z; every corner gets one credit.
+GRAPH_TRIANGLES_SQL = f"""
+WITH e AS ({DEDUP_PASSAGE_PAIRS_SQL}),
+t AS (
+  SELECT a.id_a AS x, a.id_b AS y, b.id_b AS z
+  FROM e a
+  JOIN e b ON a.id_b = b.id_a
+  JOIN e c ON c.id_a = a.id_a AND c.id_b = b.id_b
+), corners AS (
+  SELECT unnest([x, y, z]) AS id FROM t
+)
+SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY id
+"""
+
+
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.pii_scrub(t(spark, sf_dir, "documents")).select(
         "doc_id", "n_emails", "n_urls", "scrubbed_sha256"
@@ -2702,6 +2731,9 @@ SPECS: list[QuerySpec] = [
               "Pregel-style power-iteration PageRank over the "
               "passage-overlap graph; edges checkpointed once, 10 "
               "join+agg rounds"),
+    QuerySpec("graph_triangles", graph_triangles, GRAPH_TRIANGLES_SQL,
+              "degree-ordered triangle counting: oriented wedges "
+              "grouped in-array, one closure equi-join"),
     QuerySpec("text_pii_scrub", text_pii_scrub, TEXT_PII_SCRUB_SQL),
     QuerySpec("multimodal_payload", multimodal_payload, MULTIMODAL_PAYLOAD_SQL),
     QuerySpec("multimodal_frames", multimodal_frames, MULTIMODAL_FRAMES_SQL,

@@ -31,6 +31,27 @@ def test_cycle_is_uniform(spark):
     assert ranks[0] == pytest.approx(1 / k, abs=1e-6)
 
 
+def test_triangle_counts_on_known_graphs(spark):
+    from s3_parquet_to_postgres_spark.operators.components import (
+        triangle_counts,
+    )
+
+    def run(pairs):
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        return {r.id: r.n_triangles for r in triangle_counts(df).collect()}
+
+    # K4: 4 triangles, every vertex in exactly 3.
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert run(k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+    # Square (4-cycle): no triangles.
+    assert run([(0, 1), (1, 2), (2, 3), (0, 3)]) == {}
+    # Triangle + pendant: pendant vertex absent, corners counted once.
+    assert run([(0, 1), (1, 2), (0, 2), (2, 9)]) == {0: 1, 1: 1, 2: 1}
+    # Hub star + one cross edge: exactly the one closed wedge.
+    star = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    assert run(star) == {0: 1, 1: 1, 2: 1}
+
+
 def test_iterations_converge(spark):
     # More iterations move the star ranks less: |r(12) - r(10)| is
     # far smaller than |r(2) - r(0 uniform)|.
