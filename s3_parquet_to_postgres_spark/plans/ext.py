@@ -1696,6 +1696,72 @@ FROM (SELECT key_value, cnt,
 )
 
 
+def event_lookback_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Attribution over a sliding time RANGE frame: for every purchase,
+    # the click count and first/last click time within the preceding
+    # hour -- ONE range-frame window over the user partition (epoch
+    # MICROSECONDS as the exact-integer order key: second-truncated
+    # unix_timestamp would disagree with the oracle's interval
+    # arithmetic at the frame boundary), no self-join, no explosion.
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    # parquet ts is TIMESTAMP_NTZ; unix_micros wants TIMESTAMP (the
+    # session zone is UTC, so the reinterpretation is value-stable)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    click_us = F.when(F.col("event_type") == "click", us)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    scored = e.withColumns(
+        {
+            "__n_clicks": F.count(click_us).over(w),
+            "__first_us": F.min(click_us).over(w),
+            "__last_us": F.max(click_us).over(w),
+        }
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return scored.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("purchase_ts"),
+        F.col("__n_clicks").cast("long").alias("n_clicks_1h"),
+        F.date_format(
+            F.timestamp_micros(F.col("__first_us")), fmt
+        ).alias("first_click_ts"),
+        F.date_format(
+            F.timestamp_micros(F.col("__last_us")), fmt
+        ).alias("last_click_ts"),
+    )
+
+
+EVENT_LOOKBACK_ATTRIBUTION_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events WHERE event_type IN ('click', 'purchase')
+), scored AS (
+  SELECT *,
+    count(CASE WHEN event_type = 'click' THEN us END) OVER w AS n_clicks,
+    min(CASE WHEN event_type = 'click' THEN us END) OVER w AS first_us,
+    max(CASE WHEN event_type = 'click' THEN us END) OVER w AS last_us
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       CAST(n_clicks AS BIGINT) AS n_clicks_1h,
+       strftime(make_timestamp(first_us), '%Y-%m-%d %H:%M:%S.%f')
+         AS first_click_ts,
+       strftime(make_timestamp(last_us), '%Y-%m-%d %H:%M:%S.%f')
+         AS last_click_ts
+FROM scored WHERE event_type = 'purchase'
+"""
+
+
 def event_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Time-series resampling to hourly OHLC bars: open/close via
     # min_by/max_by on the (ts, event_id) composite order key (unique,
@@ -2762,6 +2828,11 @@ SPECS: list[QuerySpec] = [
               TABLE_SKEW_PROFILE_SQL,
               "join-key skew diagnostics: melted single-scan key "
               "counts, per-key-name top-1 + skew ratio"),
+    QuerySpec("event_lookback_attribution", event_lookback_attribution,
+              EVENT_LOOKBACK_ATTRIBUTION_SQL,
+              "sliding interval RANGE frame (epoch-us order key): "
+              "per-purchase click stats in the preceding hour, no "
+              "self-join"),
     QuerySpec("event_ohlc_bars", event_ohlc_bars, EVENT_OHLC_BARS_SQL,
               "hourly OHLC resample: min_by/max_by on a composite "
               "order key, one hash aggregation, no window"),
