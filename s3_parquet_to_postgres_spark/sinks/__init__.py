@@ -1,8 +1,11 @@
 from .copy import CopySink
 from .jdbc import JdbcSink, SchemaValidationError, validate_target_schema
 from .staging import (
+    ExactlyOnceBatchSink,
     StagedLoad,
+    applied_log_ddl,
     clone_then_swap_ddl,
+    exactly_once_merge_sql,
     merge_upsert_sql,
     swap_by_rename,
 )
@@ -11,6 +14,9 @@ __all__ = [
     "JdbcSink",
     "CopySink",
     "StagedLoad",
+    "ExactlyOnceBatchSink",
+    "applied_log_ddl",
+    "exactly_once_merge_sql",
     "clone_then_swap_ddl",
     "merge_upsert_sql",
     "swap_by_rename",

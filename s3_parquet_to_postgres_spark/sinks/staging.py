@@ -96,6 +96,53 @@ def merge_upsert_sql(
     )
 
 
+def applied_log_ddl(log_table: str = "__applied_batches") -> str:
+    """The batch-id dedup log behind exactly-once foreachBatch sinks."""
+    return (
+        f"CREATE TABLE IF NOT EXISTS {_q(log_table)} "
+        f"(batch_id BIGINT PRIMARY KEY, applied_at TIMESTAMPTZ "
+        f"DEFAULT now());"
+    )
+
+
+def exactly_once_merge_sql(
+    table: str,
+    key_cols: list[str],
+    update_cols: list[str],
+    batch_id: int,
+    staging: str | None = None,
+    log_table: str = "__applied_batches",
+) -> str:
+    """ONE atomic statement that claims ``batch_id`` and merges the
+    staging table into the live table only if the claim succeeded:
+    a data-modifying CTE (INSERT .. ON CONFLICT DO NOTHING RETURNING)
+    gates the upsert with WHERE EXISTS. A replayed micro-batch finds
+    its id already logged, the CTE returns no row, and the merge
+    no-ops -- exactly-once without procedural branching, holding for
+    batch retries AND whole-query restarts (Spark's foreachBatch
+    batch_id is stable across both).
+    """
+    stg = staging or f"{table}__staging"
+    cols = key_cols + update_cols
+    collist = ", ".join(_q(c) for c in cols)
+    keys = ", ".join(_q(c) for c in key_cols)
+    if update_cols:
+        sets = ", ".join(f"{_q(c)} = EXCLUDED.{_q(c)}" for c in update_cols)
+        action = f"DO UPDATE SET {sets}"
+    else:
+        action = "DO NOTHING"
+    return (
+        f"WITH claimed AS (\n"
+        f"  INSERT INTO {_q(log_table)} (batch_id) VALUES ({int(batch_id)})\n"
+        f"  ON CONFLICT DO NOTHING RETURNING batch_id\n"
+        f")\n"
+        f"INSERT INTO {_q(table)} ({collist})\n"
+        f"SELECT {collist} FROM {_q(stg)}\n"
+        f"WHERE EXISTS (SELECT 1 FROM claimed)\n"
+        f"ON CONFLICT ({keys}) {action};"
+    )
+
+
 @dataclass
 class StagedLoad:
     """Orchestrates sink -> staging table -> atomic swap.
@@ -155,3 +202,48 @@ class StagedLoad:
             raise
         finally:
             conn.close()
+
+
+@dataclass
+class ExactlyOnceBatchSink:
+    """foreachBatch sink with transactional batch-id dedup -- the
+    exactly-once bridge from ``streaming.ingest.foreach_batch_load``
+    to the PG sinks, and the streaming completion of the reference's
+    completed-list idempotence (reference: src/work_lists.rs:83-108,
+    which dedups at file granularity but replays a half-written COPY).
+
+    Per micro-batch:
+
+    1. ``stage_fn(df)`` (re)loads the batch's rows into the staging
+       table after ``prepare()`` re-clones it -- an idempotent
+       overwrite, safe to repeat on task or batch retry;
+    2. ONE atomic statement (``exactly_once_merge_sql``) claims the
+       batch id in the applied log and merges staging into the live
+       table only if the claim succeeded.
+
+    A replayed batch re-stages its rows, then no-ops at step 2: the
+    merge never applies twice.
+    """
+
+    staged: StagedLoad
+    key_cols: list[str]
+    update_cols: list[str]
+    stage_fn: Callable[[Any], Any]
+    log_table: str = "__applied_batches"
+
+    def ensure_log(self) -> None:
+        self.staged._execute(applied_log_ddl(self.log_table))
+
+    def __call__(self, df: Any, batch_id: int) -> None:
+        self.staged.prepare()
+        self.stage_fn(df)
+        self.staged._execute(
+            exactly_once_merge_sql(
+                self.staged.table,
+                self.key_cols,
+                self.update_cols,
+                batch_id,
+                self.staged.staging_table,
+                self.log_table,
+            )
+        )
