@@ -1,3 +1,19 @@
-from .numeric import dround, dsum, sint, sql_dround, sql_dsum
+from .numeric import (
+    dround,
+    dsum,
+    md5_unit,
+    sint,
+    sql_dround,
+    sql_dsum,
+    sql_md5_unit,
+)
 
-__all__ = ["sint", "dsum", "dround", "sql_dsum", "sql_dround"]
+__all__ = [
+    "sint",
+    "dsum",
+    "dround",
+    "md5_unit",
+    "sql_dsum",
+    "sql_dround",
+    "sql_md5_unit",
+]

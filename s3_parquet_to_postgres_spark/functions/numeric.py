@@ -44,6 +44,47 @@ def dround(col: Column | str, scale: int = 4) -> Column:
     return F.floor(_col(col) * F.lit(m) + F.lit(0.5)).cast("double") / F.lit(m)
 
 
+_HEX = "0123456789abcdef"
+
+
+def md5_unit(col: Column | str) -> Column:
+    """Content-stable uniform double in (0, 1): fold the first 8 hex
+    chars of md5(cast(col as string)) into an exact 32-bit integer
+    (Horner over instr digit lookups -- every step is exact integer
+    arithmetic in doubles, bit-identical cross-engine), then map to
+    (u_int + 0.5) / 2^32. The numeric twin of the catalog's md5
+    string-bucket splits, for operators that need an arithmetic
+    uniform (weighted sampling keys, acceptance-rate thresholds).
+    """
+    return (
+        F.expr(
+            "aggregate(sequence(1, 8), cast(0 as double), (acc, i) -> "
+            f"acc * 16D + cast(instr('{_HEX}', "
+            "substring(md5(cast(__MD5SRC__ as string)), i, 1)) - 1 as double))"
+            .replace("__MD5SRC__", _expr_sql(col))
+        )
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+
+
+def _expr_sql(col: Column | str) -> str:
+    """Column name (or SQL fragment) for embedding in F.expr bodies."""
+    if isinstance(col, str):
+        return col
+    # Column -> its SQL via the jc's sql() where available; names like
+    # `doc_id` round-trip fine, which is all the catalog uses.
+    return col._jc.toString()  # noqa: SLF001
+
+
+def sql_md5_unit(expr: str) -> str:
+    """DuckDB SQL equivalent of ``md5_unit``."""
+    return (
+        "((list_sum(list_transform(range(1, 9), i -> "
+        f"(instr('{_HEX}', substr(md5(CAST(({expr}) AS VARCHAR)), i, 1)) - 1)"
+        " * power(16.0, 8 - i))) + 0.5) / 4294967296.0)"
+    )
+
+
 def sql_dsum(expr: str, scale: int = 2) -> str:
     """DuckDB SQL equivalent of ``dsum``."""
     m = 10**scale

@@ -1,0 +1,440 @@
+"""Training-data curation catalog, session 3: weighted / mixture
+sampling, entropy quality signals, hashed linear quality scoring,
+SCD2 state history, and incremental rollup maintenance.
+
+Cross-engine determinism follows the catalog conventions
+(functions/numeric.py): content-stable uniforms come from
+``md5_unit`` (exact integer fold of an md5 prefix), transcendental
+outputs are quantized with ``dround``/scaled-BIGINT sums, and every
+LIMIT has a total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import dround, dsum, md5_unit, sql_dround, sql_dsum
+from ..functions.numeric import sql_md5_unit
+from .base import QuerySpec, t
+
+# --------------------------------------------------------------------------
+# Weighted sampling (Efraimidis-Spirakis A-ES)
+# --------------------------------------------------------------------------
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted random sample without replacement, k=25, weight =
+    n_chars (longer docs proportionally likelier -- the standard
+    size-biased pick for training-data curation).
+
+    Efraimidis & Spirakis (2006) A-ES keys: key_i = -ln(u_i) / w_i is
+    Exp(w_i); the k smallest keys are a weighted sample without
+    replacement. u_i is the content-stable ``md5_unit`` uniform, so
+    membership is reproducible under any partitioning/cluster size.
+    Keys are quantized to 1e-9 (scaled-BIGINT, the catalog's standard
+    for transcendental outputs) with doc_id as total-order tiebreak.
+
+    Scale: narrow per-row key computation + TakeOrderedAndProject
+    top-k -- per-partition heaps, only k rows per partition reach the
+    driver-side merge; the corpus itself never shuffles.
+    """
+    d = t(spark, sf_dir, "documents")
+    w = F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+    key = -F.log(md5_unit("doc_id")) / w
+    keyq = F.floor(key * F.lit(1.0e9) + F.lit(0.5)).cast("long")
+    return (
+        d.select("doc_id", "lang", "source", "n_chars",
+                 keyq.alias("keyq"))
+        .orderBy(F.asc("keyq"), F.asc("doc_id"))
+        .limit(25)
+    )
+
+
+SAMPLE_WEIGHTED_SQL = f"""
+SELECT doc_id, lang, source, n_chars,
+       CAST(floor(-ln({sql_md5_unit('doc_id')})
+                  / greatest(CAST(n_chars AS DOUBLE), 1.0)
+                  * 1000000000.0 + 0.5) AS BIGINT) AS keyq
+FROM documents
+ORDER BY keyq ASC, doc_id ASC LIMIT 25
+"""
+
+
+# --------------------------------------------------------------------------
+# Domain-mixture resampling (Pile/Dolma-style source rebalancing)
+# --------------------------------------------------------------------------
+
+_MIX_TARGETS = {0: 0.5, 1: 0.3, 2: 0.2}  # domain -> target corpus share
+
+
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance a multi-source corpus toward declared domain target
+    shares (the Pile/Dolma mixture step): acceptance rate per domain
+    = min(1, target * N_total / n_domain), membership decided by the
+    content-stable uniform u(doc_id) < rate.
+
+    Scale shape: the rate table is ONE row per domain (two tiny
+    aggregates joined driver-free and broadcast back); the corpus
+    takes a single narrow pass with a broadcast hash join -- no
+    per-row window over the full corpus, no global shuffle. The final
+    per-domain report is one map-side-combinable aggregate.
+    """
+    d = t(spark, sf_dir, "documents").withColumn(
+        "domain",
+        F.regexp_extract("source", "(\\d+)", 1).cast("int") % 3,
+    )
+    counts = d.groupBy("domain").agg(F.count("*").alias("n_domain"))
+    total = d.agg(F.count("*").alias("n_total"))
+    target = (
+        F.when(F.col("domain") == 0, F.lit(_MIX_TARGETS[0]))
+        .when(F.col("domain") == 1, F.lit(_MIX_TARGETS[1]))
+        .otherwise(F.lit(_MIX_TARGETS[2]))
+    )
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        "domain",
+        "n_domain",
+        F.least(
+            F.lit(1.0),
+            target * F.col("n_total") / F.col("n_domain"),
+        ).alias("rate"),
+    )
+    kept = (
+        d.join(F.broadcast(rates), "domain")
+        .withColumn("keep", md5_unit("doc_id") < F.col("rate"))
+    )
+    return kept.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.col("doc_id"))).alias("id_checksum"),
+        dround(
+            F.count(F.when(F.col("keep"), 1)) / F.count("*"), 6
+        ).alias("achieved_rate"),
+    )
+
+
+SAMPLE_MIXTURE_SQL = f"""
+WITH d AS (
+  SELECT *, CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3 AS domain
+  FROM documents
+), counts AS (
+  SELECT domain, count(*) AS n_domain FROM d GROUP BY domain
+), total AS (
+  SELECT count(*) AS n_total FROM d
+), rates AS (
+  SELECT domain, n_domain,
+         least(1.0,
+               (CASE WHEN domain = 0 THEN {_MIX_TARGETS[0]!r}
+                     WHEN domain = 1 THEN {_MIX_TARGETS[1]!r}
+                     ELSE {_MIX_TARGETS[2]!r} END)
+               * n_total / n_domain) AS rate
+  FROM counts, total
+), kept AS (
+  SELECT d.domain, d.doc_id, {sql_md5_unit('d.doc_id')} < r.rate AS keep
+  FROM d JOIN rates r ON d.domain = r.domain
+)
+SELECT domain,
+       count(*) AS n_docs,
+       count(CASE WHEN keep THEN 1 END) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN doc_id END) AS BIGINT) AS id_checksum,
+       {sql_dround(
+           'count(CASE WHEN keep THEN 1 END) / CAST(count(*) AS DOUBLE)',
+           6)} AS achieved_rate
+FROM kept GROUP BY domain
+"""
+
+
+# --------------------------------------------------------------------------
+# Character-entropy quality signal (shuffle-free)
+# --------------------------------------------------------------------------
+
+_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+
+
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character-distribution stats: Shannon entropy (bits)
+    over the a-z+space alphabet, distinct-char count, and
+    out-of-alphabet char count -- low entropy flags boilerplate /
+    repeated-char junk, high other_chars flags binary/markup bleed.
+
+    Scale shape: per-char counts come from the replace-count identity
+    len(s) - len(replace(s, c, '')) over the 27-literal alphabet --
+    pure JVM string ops in one narrow Project, NO explode, NO
+    shuffle. The entropy sum is a fixed left-assoc expression chain,
+    so float evaluation order is identical cross-engine; the output
+    is dround-quantized.
+    """
+    d = t(spark, sf_dir, "documents")
+    n = F.length("text").cast("double")
+    cnts = [
+        (F.length("text")
+         - F.length(F.expr(f"replace(text, '{c}', '')"))).cast("double")
+        for c in _ALPHABET
+    ]
+    p_terms = []
+    for c_cnt in cnts:
+        p = c_cnt / n
+        p_terms.append(
+            F.when(c_cnt > 0, -(p * F.log2(p))).otherwise(F.lit(0.0))
+        )
+    entropy = p_terms[0]
+    for term in p_terms[1:]:
+        entropy = entropy + term
+    distinct_chars = sum(
+        (cnt > 0).cast("long") for cnt in cnts
+    )
+    in_alpha = cnts[0]
+    for cnt in cnts[1:]:
+        in_alpha = in_alpha + cnt
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_text"),
+        dround(entropy, 6).alias("entropy_bits"),
+        distinct_chars.alias("distinct_alpha_chars"),
+        (F.length("text") - in_alpha).cast("long").alias("other_chars"),
+    )
+
+
+def _entropy_oracle_sql() -> str:
+    cnt = {
+        c: f"(length(text) - length(replace(text, '{c}', '')))"
+        for c in _ALPHABET
+    }
+    n = "CAST(length(text) AS DOUBLE)"
+    terms = " + ".join(
+        f"(CASE WHEN {cnt[c]} > 0 THEN -(({cnt[c]} / {n})"
+        f" * log2({cnt[c]} / {n})) ELSE 0.0 END)"
+        for c in _ALPHABET
+    )
+    distinct = " + ".join(
+        f"(CASE WHEN {cnt[c]} > 0 THEN 1 ELSE 0 END)" for c in _ALPHABET
+    )
+    in_alpha = " + ".join(cnt[c] for c in _ALPHABET)
+    return f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_text,
+       {sql_dround(terms, 6)} AS entropy_bits,
+       CAST({distinct} AS BIGINT) AS distinct_alpha_chars,
+       CAST(length(text) - ({in_alpha}) AS BIGINT) AS other_chars
+FROM documents
+"""
+
+
+TEXT_ENTROPY_SQL = _entropy_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# Hashed bag-of-words linear quality classifier (fastText-style)
+# --------------------------------------------------------------------------
+
+_LINEAR_BUCKETS = 64
+
+
+def ml_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with a hashed bag-of-words linear model
+    (the fastText-style quality-classifier shape used for pretraining
+    corpus filtering): token -> stable hash bucket -> broadcast
+    weight-table lookup -> exact integer weight sum -> sigmoid of the
+    mean weight.
+
+    The 64-row weight table stands in for trained weights (derived
+    here as (bucket % 7) - 3 so the oracle can rebuild it); a real
+    model swaps the table, the plan is unchanged. Scale shape: token
+    explode is the one wide-ish step but feeds a broadcast hash join
+    (weights ~KB) and a map-side-combinable per-doc sum -- the only
+    shuffle carries (doc_id, partial sums). Integer weight sums are
+    order-independent; only the final sigmoid is quantized.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower("text")), "\\s+"),
+                lambda x: x != "",
+            )
+        ).alias("tok"),
+    ).withColumn(
+        "bucket",
+        F.floor(md5_unit("tok") * _LINEAR_BUCKETS).cast("int"),
+    )
+    weights = spark.range(_LINEAR_BUCKETS).select(
+        F.col("id").cast("int").alias("bucket"),
+        (F.col("id") % 7 - 3).cast("long").alias("w"),
+    )
+    scored = (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("w").alias("raw_score"),
+        )
+    )
+    logit = F.col("raw_score").cast("double") / F.col("n_tokens")
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("raw_score").cast("long").alias("raw_score"),
+        dround(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias(
+            "quality_prob"
+        ),
+    )
+
+
+_CURATION_CLEAN_TOKS_SQL = (
+    "list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+    " tk -> tk != '')"
+)
+
+ML_LINEAR_SCORE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_CURATION_CLEAN_TOKS_SQL}) AS tok FROM documents
+), b AS (
+  SELECT doc_id,
+         CAST(floor({sql_md5_unit('tok')} * {_LINEAR_BUCKETS}) AS INT)
+           AS bucket
+  FROM toks
+), w AS (
+  SELECT CAST(i AS INT) AS bucket, CAST(i % 7 - 3 AS BIGINT) AS w
+  FROM range({_LINEAR_BUCKETS}) r(i)
+), scored AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(w.w) AS raw_score
+  FROM b JOIN w ON b.bucket = w.bucket
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(raw_score AS BIGINT) AS raw_score,
+       {sql_dround(
+           '1.0 / (1.0 + exp(-(CAST(raw_score AS DOUBLE) / n_tokens)))',
+           6)} AS quality_prob
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
+# SCD2 state history from an event log
+# --------------------------------------------------------------------------
+
+
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build: collapse the
+    event log into per-user state-validity intervals -- each row is a
+    (user, state, valid_from, valid_to) span, open-ended for the
+    current state. The warehouse-standard change-data-capture fold.
+
+    Scale shape: ONE shuffle on user_id; both windows (change
+    detection via lag, interval close via lead) share the same
+    (partition, order) spec so Catalyst plans a single Sort+Window
+    chain. No self-join against the log, no global sort; output is
+    proportional to state *changes*, not events.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.date_format(F.lead("ts").over(w2), fmt).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+SCD2_USER_STATE_SQL = """
+WITH changes AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+  QUALIFY prev_type IS NULL OR event_type != prev_type
+)
+SELECT user_id,
+       event_type AS state,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(lead(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) IS NULL AS is_current
+FROM changes
+"""
+
+
+# --------------------------------------------------------------------------
+# Incremental rollup maintenance (mergeable partial aggregates)
+# --------------------------------------------------------------------------
+
+
+def event_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup maintenance: the event log arrives as two
+    shards (here: event_id parity, standing in for 'yesterday's
+    rollup' + 'today's late batch'); each shard folds to per-hour
+    partial aggregates (count + scaled-integer sum -- both algebraic/
+    mergeable), and the partials merge into the exact final rollup.
+    The oracle computes the rollup directly from the raw log,
+    verifying merge(partials) == recompute -- the invariant that lets
+    a 100 TB hypertable maintain continuous aggregates by folding
+    only new data into stored partials instead of rescanning history.
+    """
+    e = t(spark, sf_dir, "events")
+    hour = F.date_format(
+        F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00"
+    ).alias("hour")
+    shard = (F.col("event_id") % 2).alias("shard")
+    partials = e.groupBy(hour, shard).agg(
+        F.count("*").alias("pn"),
+        F.sum(
+            F.floor(F.col("value") * F.lit(10000.0) + F.lit(0.5)).cast("long")
+        ).alias("psum"),
+    )
+    return (
+        partials.groupBy("hour")
+        .agg(
+            F.sum("pn").cast("long").alias("n_events"),
+            (F.sum("psum").cast("double") / F.lit(10000.0)).alias(
+                "total_value"
+            ),
+        )
+    )
+
+
+EVENT_ROLLUP_INCREMENTAL_SQL = f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       count(*) AS n_events,
+       {sql_dsum('value', 4)} AS total_value
+FROM events GROUP BY 1
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("sample_weighted", sample_weighted, SAMPLE_WEIGHTED_SQL,
+              "Efraimidis-Spirakis A-ES weighted sample without "
+              "replacement: content-stable exponential-race keys, "
+              "per-partition top-k, corpus never shuffles"),
+    QuerySpec("sample_mixture", sample_mixture, SAMPLE_MIXTURE_SQL,
+              "domain-mixture rebalancing to target shares: tiny "
+              "broadcast rate table + one narrow corpus pass"),
+    QuerySpec("text_entropy", text_entropy, TEXT_ENTROPY_SQL,
+              "char-distribution quality signals via replace-count "
+              "identity: no explode, no shuffle"),
+    QuerySpec("ml_linear_score", ml_linear_score, ML_LINEAR_SCORE_SQL,
+              "hashed BoW linear quality classifier: broadcast "
+              "weight table, exact integer weight sums"),
+    QuerySpec("scd2_user_state", scd2_user_state, SCD2_USER_STATE_SQL,
+              "SCD2 interval build from the event log: single "
+              "user_id shuffle, shared window spec, output ~ changes"),
+    QuerySpec("event_rollup_incremental", event_rollup_incremental,
+              EVENT_ROLLUP_INCREMENTAL_SQL,
+              "continuous-aggregate maintenance: mergeable per-shard "
+              "partials fold to the exact rollup (merge == recompute)"),
+]

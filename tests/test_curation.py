@@ -1,0 +1,159 @@
+"""Semantic properties of the curation catalog (plans/curation.py)
+beyond DuckDB parity: sampling-distribution sanity, entropy bounds,
+SCD2 interval invariants, and the merge==recompute rollup identity.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.window import Window
+
+from s3_parquet_to_postgres_spark.functions import md5_unit
+from s3_parquet_to_postgres_spark.plans import curation as C
+
+
+def test_md5_unit_matches_python_md5(spark):
+    import hashlib
+
+    df = spark.range(1, 200).select(
+        F.col("id"), md5_unit("id").alias("u")
+    )
+    for row in df.collect():
+        h = hashlib.md5(str(row.id).encode()).hexdigest()[:8]
+        expect = (int(h, 16) + 0.5) / 2**32
+        assert row.u == expect, row.id
+
+
+def test_sample_weighted_biases_toward_long_docs(spark, sf_dir):
+    out = C.sample_weighted(spark, sf_dir).collect()
+    assert len(out) == 25
+    assert len({r.doc_id for r in out}) == 25  # without replacement
+    sampled_mean = sum(r.n_chars for r in out) / len(out)
+    corpus_mean = (
+        C.t(spark, sf_dir, "documents")
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    # size-biased sampling must pull the mean length up
+    assert sampled_mean > corpus_mean
+
+
+def test_sample_weighted_keys_are_deterministic(spark, sf_dir):
+    a = {(r.doc_id, r.keyq) for r in C.sample_weighted(spark, sf_dir).collect()}
+    b = {(r.doc_id, r.keyq) for r in C.sample_weighted(spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_sample_mixture_hits_target_shares(spark, sf_dir):
+    rows = {r.domain: r for r in C.sample_mixture(spark, sf_dir).collect()}
+    assert set(rows) == {0, 1, 2}
+    total_kept = sum(r.n_kept for r in rows.values())
+    # kept shares should approximate the declared 0.5/0.3/0.2 mixture
+    for dom, target in C._MIX_TARGETS.items():
+        share = rows[dom].n_kept / total_kept
+        assert abs(share - target) < 0.12, (dom, share, target)
+    # acceptance never exceeds the stratum
+    for r in rows.values():
+        assert 0 < r.n_kept <= r.n_docs
+
+
+def test_text_entropy_bounds(spark, sf_dir):
+    out = C.text_entropy(spark, sf_dir)
+    mx = math.log2(len(C._ALPHABET))
+    bad = out.filter(
+        (F.col("entropy_bits") < 0) | (F.col("entropy_bits") > mx + 1e-9)
+    ).count()
+    assert bad == 0
+    # distinct char count and other_chars are consistent with length
+    incoherent = out.filter(
+        (F.col("other_chars") < 0)
+        | (F.col("other_chars") > F.col("n_chars_text"))
+        | (F.col("distinct_alpha_chars") > len(C._ALPHABET))
+    ).count()
+    assert incoherent == 0
+    # entropy > 0 whenever at least two distinct alphabet chars occur
+    zero_but_varied = out.filter(
+        (F.col("distinct_alpha_chars") >= 2)
+        & (F.col("other_chars") == 0)
+        & (F.col("entropy_bits") <= 0)
+    ).count()
+    assert zero_but_varied == 0
+
+
+def test_scd2_intervals_are_well_formed(spark, sf_dir):
+    out = C.scd2_user_state(spark, sf_dir)
+    # exactly one open (current) interval per user
+    per_user = (
+        out.groupBy("user_id")
+        .agg(F.sum(F.col("is_current").cast("long")).alias("open_n"))
+        .collect()
+    )
+    assert all(r.open_n == 1 for r in per_user)
+    # intervals never invert
+    bad = out.filter(
+        F.col("valid_to").isNotNull()
+        & (F.col("valid_to") < F.col("valid_from"))
+    ).count()
+    assert bad == 0
+    # no adjacent duplicate states within a user
+    w_bad = (
+        out.withColumn(
+            "prev_state",
+            F.lag("state").over(
+                Window.partitionBy("user_id").orderBy("valid_from")
+            ),
+        )
+        .filter(F.col("state") == F.col("prev_state"))
+        .count()
+    )
+    assert w_bad == 0
+
+
+def test_rollup_merge_equals_recompute(spark, sf_dir):
+    merged = {
+        r.hour: (r.n_events, r.total_value)
+        for r in C.event_rollup_incremental(spark, sf_dir).collect()
+    }
+    e = C.t(spark, sf_dir, "events")
+    direct = {
+        r.hour: (r.n_events, r.total_value)
+        for r in e.groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00"
+            ).alias("hour")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(
+                    F.floor(
+                        F.col("value") * F.lit(10000.0) + F.lit(0.5)
+                    ).cast("long")
+                ).cast("double")
+                / F.lit(10000.0)
+            ).alias("total_value"),
+        )
+        .collect()
+    }
+    assert merged == direct
+
+
+def test_linear_score_output_domain(spark, sf_dir):
+    out = C.ml_linear_score(spark, sf_dir)
+    n_docs = C.t(spark, sf_dir, "documents").count()
+    assert out.count() == n_docs
+    bad = out.filter(
+        (F.col("quality_prob") <= 0) | (F.col("quality_prob") >= 1)
+    ).count()
+    assert bad == 0
+    # weight table is bounded by construction: |mean weight| <= 3
+    assert (
+        out.filter(
+            F.abs(F.col("raw_score").cast("double") / F.col("n_tokens"))
+            > 3.0
+        ).count()
+        == 0
+    )

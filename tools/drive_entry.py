@@ -8,8 +8,22 @@ import duckdb
 import __spark_entry__ as entrymod
 from s3_parquet_to_postgres_spark.session import build_session
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = __import__("os").environ.get("DRIVE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def unhashable_cols(df_pandas):
+    """Columns whose values would crash the driver's pandas sort_values
+    canonicalizer (TypeError: unhashable type) — arrays/lists/dicts."""
+    bad = []
+    for c in df_pandas.columns:
+        col = df_pandas[c]
+        if col.dtype == object:
+            for v in col.head(5):
+                if isinstance(v, (list, dict, set)) or type(v).__name__ == "ndarray":
+                    bad.append(c)
+                    break
+    return bad
 
 
 def canon(df_pandas):
@@ -56,6 +70,10 @@ def main():
             print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:200]}", flush=True)
             n_fail += 1
             continue
+        bad = unhashable_cols(sp)
+        if bad:
+            print(f"WARN {name}: array-typed output cols {bad} would crash driver canonicalizer", flush=True)
+            n_fail += 1
         sql = oracles.get(name)
         if sql is None:
             print(f"ROWS {name}: rows={len(sp)} (no oracle)", flush=True)
