@@ -517,3 +517,73 @@ def _jaccard_inverted(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 100,
+) -> DataFrame:
+    """EXACT shingle-containment pairs: C(A in B) = |A ∩ B| / |A|
+    (Broder 1997's second resemblance measure). Containment is the
+    one-sided near-dup test Jaccard misses: a short document pasted
+    inside a much longer one scores near-zero Jaccard (the union is
+    dominated by B) but containment ~1 -- the quote/boilerplate/
+    subset-dup case in training-corpus curation. Emits pairs where
+    EITHER direction clears ``threshold``, with both directions
+    reported.
+
+    Same scale posture as ``_jaccard_inverted`` (shared posting-list
+    buckets, candidate volume proportional to collisions, hot-shingle
+    ``max_shingle_df`` cap bounding per-shingle fan-out at cap^2);
+    sizes derive from the capped posting lists so the corpus explodes
+    once into one aggregation tree.
+    """
+    sh = spread(df).withColumn("__toks", ws_tokens(text_col)).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_of(F.col("__toks"), n)).alias("shingle"),
+    )
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("gdf"))
+            .filter(F.col("gdf") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
+    buckets = sh.groupBy("shingle").agg(F.collect_list("id").alias("ids"))
+    sizes = (
+        buckets.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_sh"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)), y ->"
+        " named_struct('id_a', least(x, y), 'id_b', greatest(x, y)))))"
+    )
+    pair_inter = (
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    c_ab = F.col("inter") / F.col("n_a")
+    c_ba = F.col("inter") / F.col("n_b")
+    return (
+        pair_inter.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            c_ab.alias("containment_a_in_b"),
+            c_ba.alias("containment_b_in_a"),
+        )
+        .filter(
+            (F.col("containment_a_in_b") >= threshold)
+            | (F.col("containment_b_in_a") >= threshold)
+        )
+    )

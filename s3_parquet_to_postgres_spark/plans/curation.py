@@ -416,6 +416,285 @@ FROM events GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Exact shingle-containment dedup (one-sided near-dup)
+# --------------------------------------------------------------------------
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset/quote detection the Jaccard entries miss: Broder's
+    containment C(A in B) = |A∩B| / |A| flags a short doc pasted into
+    a long one (Jaccard ~0 because the union is dominated by the long
+    doc). Pairs where either direction >= 0.5; hot-shingle df cap 100
+    is declared semantics mirrored by the oracle, bounding posting-
+    list fan-out exactly like dedup_ngram_jaccard.
+    """
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(
+        t(spark, sf_dir, "documents"), n=3, threshold=0.5,
+        max_shingle_df=100,
+    )
+
+
+DEDUP_CONTAINMENT_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+), sh0 AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           [array_to_string(l[i:i+2], ' ') FOR i IN range(1, len(l) - 1)]
+         )) AS shingle
+  FROM toks
+), sh AS (
+  SELECT doc_id, shingle FROM sh0
+  WHERE shingle IN (SELECT shingle FROM sh0
+                    GROUP BY shingle HAVING count(*) <= 100)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       i / CAST(sa.n_sh AS DOUBLE) AS containment_a_in_b,
+       i / CAST(sb.n_sh AS DOUBLE) AS containment_b_in_a
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i / CAST(sa.n_sh AS DOUBLE) >= 0.5
+   OR i / CAST(sb.n_sh AS DOUBLE) >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact maximum-inner-product search (MIPS)
+# --------------------------------------------------------------------------
+
+
+def similarity_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 by inner product (the retrieval scoring used when
+    embedding norms carry signal -- recommendation / learned-sparse
+    models -- where cosine's normalization is wrong). Same scale
+    shape as similarity_topk_cosine: queries broadcast, the corpus
+    never shuffles, per-partition top-k survives to the rank window.
+    The ANN-scale path is the standard norm-augmentation reduction
+    (Bachrach et al. 2014): append sqrt(M^2 - |x|^2) to corpus
+    vectors and 0 to queries, turning MIPS into cosine so the LSH /
+    IVF entries apply unchanged.
+    """
+    from ..operators import similarity as S
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") >= 495).select(
+        F.col("vec_id").alias("query_id"),
+        S.as_double("embedding").alias("q_vec"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        S.as_double("embedding").alias("c_vec"),
+    )
+    sim = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        S.dot(F.col("q_vec"), F.col("c_vec")).alias("ip"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ip").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            dround("ip", 4).alias("inner_product"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+SIMILARITY_MIPS_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id >= 495),
+sims AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         list_inner_product(qv, e.v) AS ip
+  FROM q JOIN e ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, {sql_dround('ip', 4)} AS inner_product,
+       CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY ip DESC, neighbor_id ASC) AS rnk
+      FROM sims)
+WHERE rnk <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-user EWMA smoothing (frame + higher-order fold)
+# --------------------------------------------------------------------------
+
+_EWMA_DECAY = 0.8
+_EWMA_SPAN = 10
+
+
+def event_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's metric
+    over their last 10 events -- the streaming-feature smoothing used
+    for rate/engagement signals. The windowed value list folds
+    JVM-side with a single higher-order ``aggregate`` (s <- s*d + x,
+    which telescopes to sum(d^(n-j) x_j)); the normalizer runs the
+    SAME fold over a ones-list instead of a closed-form power so both
+    engines execute identical float operations in identical order.
+
+    Scale: ONE shuffle on user_id; the bounded ROWS frame keeps state
+    at 10 doubles per row regardless of history length.
+    """
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-( _EWMA_SPAN - 1), 0)
+    )
+    d = float(_EWMA_DECAY)
+    lst = F.collect_list(F.col("value")).over(w)
+    out = (
+        e.withColumn("__l", lst)
+        .withColumn(
+            "__s",
+            F.aggregate(
+                F.slice(F.col("__l"), 2, F.size("__l")),
+                F.element_at(F.col("__l"), 1),
+                lambda acc, x: acc * F.lit(d) + x,
+            ),
+        )
+        .withColumn(
+            "__w",
+            F.aggregate(
+                F.slice(F.col("__l"), 2, F.size("__l")),
+                F.lit(1.0),
+                lambda acc, x: acc * F.lit(d) + F.lit(1.0),
+            ),
+        )
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "value",
+        dround(F.col("__s") / F.col("__w"), 6).alias("ewma"),
+    )
+
+
+EVENT_EWMA_SQL = f"""
+WITH framed AS (
+  SELECT event_id, user_id, value,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN {_EWMA_SPAN - 1} PRECEDING
+                           AND CURRENT ROW) AS l
+  FROM events
+), folded AS (
+  SELECT event_id, user_id, value,
+         CASE WHEN len(l) = 1 THEN l[1]
+              ELSE list_reduce(l, (acc, x) ->
+                     acc * CAST({_EWMA_DECAY!r} AS DOUBLE) + x)
+         END AS s,
+         CASE WHEN len(l) = 1 THEN 1.0
+              ELSE list_reduce(list_transform(l, x -> CAST(1.0 AS DOUBLE)),
+                     (acc, x) -> acc * CAST({_EWMA_DECAY!r} AS DOUBLE) + x)
+         END AS w
+  FROM framed
+)
+SELECT event_id, user_id, value,
+       {sql_dround('s / w', 6)} AS ewma
+FROM folded
+"""
+
+
+# --------------------------------------------------------------------------
+# URL normalization + host rollup (web-corpus provenance)
+# --------------------------------------------------------------------------
+
+
+def scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus provenance pipeline: canonical source URLs are
+    parsed (host / path / query param), normalized (lowercase, strip
+    www., drop tracking params, registrable domain = last two
+    labels), and rolled up per registrable domain -- the
+    crawl-side bookkeeping every web-scale corpus needs before
+    per-domain mixing/filtering. All regex work is JVM-side (Java
+    regex here, RE2 in the oracle -- patterns kept in the common
+    subset); one narrow pass then one map-side-combinable rollup.
+    """
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://WWW."),
+        F.col("source"),
+        F.lit(".Example.org/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&id="),
+        F.col("doc_id").cast("string"),
+    )
+    u = d.select("doc_id", "lang", url.alias("url"))
+    host = F.lower(F.regexp_extract("url", "^https?://([^/?#]+)", 1))
+    host_norm = F.regexp_replace(host, "^www\\.", "")
+    domain = F.regexp_extract(host_norm, "([^.]+\\.[^.]+)$", 1)
+    path = F.regexp_extract("url", "^https?://[^/?#]+([^?#]*)", 1)
+    depth = (F.size(F.split(path, "/")) - 1).cast("long")
+    id_param = F.regexp_extract("url", "[?&]id=([^&]*)", 1).cast("long")
+    parsed = u.select(
+        "doc_id", "lang",
+        host_norm.alias("host"),
+        domain.alias("domain"),
+        depth.alias("path_depth"),
+        id_param.alias("id_param"),
+    )
+    return parsed.groupBy("host", "domain").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.max("path_depth").alias("max_depth"),
+        F.sum(
+            (F.col("id_param") == F.col("doc_id")).cast("long")
+        ).alias("id_roundtrip_ok"),
+    )
+
+
+SCALAR_URL_SQL = """
+WITH u AS (
+  SELECT doc_id, lang,
+         'https://WWW.' || source || '.Example.org/' || lang || '/doc/'
+           || CAST(doc_id AS VARCHAR) || '?utm_source=feed&id='
+           || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), parsed AS (
+  SELECT doc_id, lang,
+         regexp_replace(lower(regexp_extract(url, '^https?://([^/?#]+)', 1)),
+                        '^www\\.', '') AS host,
+         regexp_extract(
+           regexp_replace(lower(regexp_extract(url, '^https?://([^/?#]+)', 1)),
+                          '^www\\.', ''),
+           '([^.]+\\.[^.]+)$', 1) AS domain,
+         CAST(len(string_split(
+           regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1), '/')) - 1
+           AS BIGINT) AS path_depth,
+         CAST(regexp_extract(url, '[?&]id=([^&]*)', 1) AS BIGINT) AS id_param
+  FROM u
+)
+SELECT host, domain,
+       count(*) AS n_urls,
+       count(DISTINCT lang) AS n_langs,
+       max(path_depth) AS max_depth,
+       CAST(sum(CASE WHEN id_param = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS id_roundtrip_ok
+FROM parsed GROUP BY host, domain
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("sample_weighted", sample_weighted, SAMPLE_WEIGHTED_SQL,
               "Efraimidis-Spirakis A-ES weighted sample without "
@@ -437,4 +716,17 @@ SPECS: list[QuerySpec] = [
               EVENT_ROLLUP_INCREMENTAL_SQL,
               "continuous-aggregate maintenance: mergeable per-shard "
               "partials fold to the exact rollup (merge == recompute)"),
+    QuerySpec("dedup_containment", dedup_containment,
+              DEDUP_CONTAINMENT_SQL,
+              "Broder containment |A∩B|/|A|: one-sided subset/quote "
+              "dedup, posting-list buckets, df-capped fan-out"),
+    QuerySpec("similarity_mips", similarity_mips, SIMILARITY_MIPS_SQL,
+              "exact maximum-inner-product top-k: broadcast queries, "
+              "corpus never shuffles; norm-augmentation is the ANN path"),
+    QuerySpec("event_ewma", event_ewma, EVENT_EWMA_SQL,
+              "per-user EWMA over a bounded ROWS frame: one shuffle, "
+              "identical HOF fold on both engines"),
+    QuerySpec("scalar_url", scalar_url, SCALAR_URL_SQL,
+              "URL parse/normalize + registrable-domain rollup: "
+              "narrow regex pass, map-side-combinable agg"),
 ]

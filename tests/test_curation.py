@@ -157,3 +157,82 @@ def test_linear_score_output_domain(spark, sf_dir):
         ).count()
         == 0
     )
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    # doc 1 is verbatim inside doc 2 but tiny relative to it:
+    # jaccard low, containment(1 in 2) == 1.0
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally unrelated text body here")],
+        ["doc_id", "text"],
+    )
+    from s3_parquet_to_postgres_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = {
+        (r.id_a, r.id_b): r
+        for r in containment_pairs(df, threshold=0.5,
+                                   max_shingle_df=None).collect()
+    }
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)].containment_a_in_b == 1.0
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=0.0,
+                                     strategy="inverted").collect()
+    }
+    assert jac.get((1, 2), 0.0) < 0.5  # jaccard alone would miss it
+
+
+def test_mips_matches_numpy_brute_force(spark, sf_dir):
+    import numpy as np
+
+    out = C.similarity_mips(spark, sf_dir)
+    got = {
+        (r.query_id, r.rank): r.neighbor_id for r in out.collect()
+    }
+    e = C.t(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in e])
+    mat = np.array([r.embedding for r in e], dtype=np.float64)
+    for q in [r for r in e if r.vec_id >= 495]:
+        ips = mat @ np.array(q.embedding, dtype=np.float64)
+        order = sorted(
+            [(ips[i], -ids[i]) for i in range(len(ids)) if ids[i] != q.vec_id],
+            reverse=True,
+        )
+        top1 = -order[0][1]
+        assert got[(q.vec_id, 1)] == top1
+
+
+def test_ewma_frame_semantics(spark, sf_dir):
+    out = C.event_ewma(spark, sf_dir)
+    e = C.t(spark, sf_dir, "events")
+    # per-user earliest event: ewma == value (frame of one)
+    first = (
+        e.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+        .filter("rn = 1")
+        .select("event_id", "value")
+    )
+    joined = out.join(first, "event_id").collect()
+    assert joined
+    for r in joined:
+        assert abs(r.ewma - r[2]) < 1e-6  # ewma vs first.value
+
+
+def test_scalar_url_roundtrip_and_domains(spark, sf_dir):
+    rows = C.scalar_url(spark, sf_dir).collect()
+    assert len(rows) == 20  # one host per source
+    for r in rows:
+        assert r.domain == "example.org"
+        assert r.host.endswith(".example.org")
+        assert not r.host.startswith("www.")
+        assert r.id_roundtrip_ok == r.n_urls
