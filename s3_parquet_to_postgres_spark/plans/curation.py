@@ -695,6 +695,299 @@ FROM parsed GROUP BY host, domain
 """
 
 
+# --------------------------------------------------------------------------
+# Count-min sketch (portable, mergeable heavy-hitter counting)
+# --------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+
+
+def _cms_bucket(key, j: int):
+    """Row j's CMS bucket for a key: content-stable md5 uniform over
+    the salted key, scaled to the table width. Exact integer result,
+    replayed verbatim by the oracle."""
+    salted = F.concat(F.lit(f"{j}:"), key.cast("string"))
+    return F.floor(md5_unit(salted) * _CMS_WIDTH).cast("int")
+
+
+def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over lineitem
+    part keys, probed for 5 fixed keys against their exact counts.
+    Output per probe: exact count, CMS estimate (min over depth-4
+    rows), and the CMS guarantee estimate >= exact as an
+    oracle-predicted boolean.
+
+    Scale shape: the sketch is a 4x256 counter table built by ONE
+    map-side-combinable aggregation (the depth-wise explode fans each
+    row to 4 cells, and partial aggregation collapses every partition
+    to <=1024 cells before the shuffle) -- constant state per
+    partition at any corpus size, and counter tables from disjoint
+    shards ADD, so the sketch is mergeable for incremental
+    maintenance exactly like event_rollup_incremental's partials.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    cells = li.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    _cms_bucket(F.col("l_partkey"), j).alias("bucket"),
+                )
+                for j in range(_CMS_DEPTH)
+            ])
+        ).alias("c")
+    ).groupBy(F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket")).agg(
+        F.count("*").alias("cnt")
+    )
+    probes = spark.range(1, 6).select(F.col("id").alias("probe_key"))
+    probe_cells = probes.select(
+        "probe_key",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    _cms_bucket(F.col("probe_key"), j).alias("bucket"),
+                )
+                for j in range(_CMS_DEPTH)
+            ])
+        ).alias("c"),
+    ).select("probe_key", "c.j", "c.bucket")
+    est = (
+        probe_cells.join(F.broadcast(cells), ["j", "bucket"], "left")
+        .groupBy("probe_key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
+    )
+    exact = (
+        li.filter(F.col("l_partkey").between(1, 5))
+        .groupBy(F.col("l_partkey").alias("probe_key"))
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return (
+        est.join(exact, "probe_key", "left")
+        .select(
+            "probe_key",
+            F.coalesce("exact_count", F.lit(0)).cast("long")
+            .alias("exact_count"),
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+            (F.col("cms_estimate")
+             >= F.coalesce("exact_count", F.lit(0))).alias("never_under"),
+        )
+    )
+
+
+def _cms_bucket_sql(key_expr: str, j: int) -> str:
+    u = sql_md5_unit(f"'{j}:' || CAST(({key_expr}) AS VARCHAR)")
+    return f"CAST(floor({u} * {_CMS_WIDTH}) AS INT)"
+
+
+def _cms_oracle_sql() -> str:
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, {_cms_bucket_sql('l_partkey', j)} AS bucket"
+        " FROM lineitem"
+        for j in range(_CMS_DEPTH)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT probe_key, {j} AS j,"
+        f" {_cms_bucket_sql('probe_key', j)} AS bucket FROM probes"
+        for j in range(_CMS_DEPTH)
+    )
+    return f"""
+WITH cells AS (
+  SELECT j, bucket, count(*) AS cnt FROM ({cell_rows}) GROUP BY j, bucket
+), probes AS (
+  SELECT unnest([1, 2, 3, 4, 5]) AS probe_key
+), probe_cells AS (
+  {probe_rows}
+), est AS (
+  SELECT probe_key, min(coalesce(cnt, 0)) AS cms_estimate
+  FROM probe_cells LEFT JOIN cells USING (j, bucket)
+  GROUP BY probe_key
+), exact AS (
+  SELECT l_partkey AS probe_key, count(*) AS exact_count
+  FROM lineitem WHERE l_partkey BETWEEN 1 AND 5 GROUP BY l_partkey
+)
+SELECT est.probe_key,
+       CAST(coalesce(exact_count, 0) AS BIGINT) AS exact_count,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       cms_estimate >= coalesce(exact_count, 0) AS never_under
+FROM est LEFT JOIN exact ON est.probe_key = exact.probe_key
+"""
+
+
+AGG_COUNT_MIN_SQL = _cms_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# Token-budget curriculum selection
+# --------------------------------------------------------------------------
+
+_TOKEN_BUDGET = 5000
+
+
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained corpus selection: each language gets a
+    fixed training-token budget; docs are drawn in content-stable
+    random order until the budget fills (a doc is taken if it STARTS
+    within budget -- the greedy rule every fixed-token-count training
+    mix uses). Output is the selection with running totals, so the
+    cut is auditable.
+
+    Scale shape: one shuffle on lang; the cumulative sum is a window
+    over (lang) ordered by the md5 draw -- per-stratum state only,
+    no global sort. At 100 TB the strata partition independently
+    across executors (skewed strata split by AQE).
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim("text"), "\\s+")).cast("long")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    cum = (
+        d.select("lang", "doc_id", toks.alias("n_tokens"))
+        .withColumn(
+            "cum_tokens",
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return cum.filter(
+        F.col("cum_tokens") - F.col("n_tokens") < _TOKEN_BUDGET
+    ).select("lang", "doc_id", "n_tokens", "cum_tokens")
+
+
+SAMPLE_TOKEN_BUDGET_SQL = f"""
+WITH cum AS (
+  SELECT lang, doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+              OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_tokens
+  FROM documents
+)
+SELECT lang, doc_id, n_tokens, cum_tokens
+FROM cum WHERE cum_tokens - n_tokens < {_TOKEN_BUDGET}
+"""
+
+
+# --------------------------------------------------------------------------
+# Classifier evaluation metrics (per-class precision / recall / F1)
+# --------------------------------------------------------------------------
+
+
+def ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 for the kNN label-propagation
+    entry -- the evaluation half every labeling pipeline needs.
+    Predictions join their true labels on the query id (broadcast --
+    the eval set is small by construction), then one
+    map-side-combinable aggregate per (true, predicted) cell folds to
+    per-class metrics. F1 from exact integer cell counts, quantized
+    once at output.
+    """
+    from ..operators import similarity as S
+
+    e = t(spark, sf_dir, "embeddings")
+    preds = S.knn_classify(
+        e.filter(F.col("vec_id") >= 20), e.filter(F.col("vec_id") < 20), k=10
+    )
+    truth = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    j = preds.join(F.broadcast(truth), "query_id")
+    per_class = []
+    for side, name in ((F.col("true_label"), "support"),
+                       (F.col("pred_label"), "predicted_n")):
+        per_class.append(
+            j.groupBy(side.alias("label")).agg(F.count("*").alias(name))
+        )
+    tp = (
+        j.filter(F.col("true_label") == F.col("pred_label"))
+        .groupBy(F.col("true_label").alias("label"))
+        .agg(F.count("*").alias("tp"))
+    )
+    base = per_class[0].join(per_class[1], "label", "full").join(
+        tp, "label", "full"
+    )
+    sup = F.coalesce("support", F.lit(0))
+    pn = F.coalesce("predicted_n", F.lit(0))
+    tp_c = F.coalesce("tp", F.lit(0)).cast("double")
+    prec = F.when(pn > 0, dround(tp_c / pn, 6))
+    rec = F.when(sup > 0, dround(tp_c / sup, 6))
+    f1 = F.when(pn + sup > 0, dround(F.lit(2.0) * tp_c / (pn + sup), 6))
+    return base.select(
+        F.col("label").cast("long").alias("label"),
+        sup.cast("long").alias("support"),
+        pn.cast("long").alias("predicted_n"),
+        F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        prec.alias("precision"),
+        rec.alias("recall"),
+        f1.alias("f1"),
+    )
+
+
+ML_KNN_EVAL_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, label, v FROM e WHERE vec_id >= 20),
+sims AS (
+  SELECT query_id, neighbor_id, label,
+         list_cosine_similarity(qv, c.v) AS sim
+  FROM q JOIN c ON c.neighbor_id <> q.query_id
+), topk AS (
+  SELECT query_id, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id ASC) AS rn
+    FROM sims) WHERE rn <= 10
+), votes AS (
+  SELECT query_id, label AS predicted_label, count(*) AS votes
+  FROM topk GROUP BY query_id, label
+), preds AS (
+  SELECT query_id, predicted_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY votes DESC, predicted_label ASC) AS rn
+    FROM votes) WHERE rn = 1
+), joined AS (
+  SELECT p.query_id, p.predicted_label, t.label AS true_label
+  FROM preds p JOIN (SELECT vec_id AS query_id, label FROM e
+                     WHERE vec_id < 20) t USING (query_id)
+), support AS (
+  SELECT true_label AS label, count(*) AS support FROM joined GROUP BY 1
+), predicted AS (
+  SELECT predicted_label AS label, count(*) AS predicted_n
+  FROM joined GROUP BY 1
+), tp AS (
+  SELECT true_label AS label, count(*) AS tp FROM joined
+  WHERE true_label = predicted_label GROUP BY 1
+), base AS (
+  SELECT coalesce(s.label, p.label, t.label) AS label,
+         coalesce(support, 0) AS support,
+         coalesce(predicted_n, 0) AS predicted_n,
+         coalesce(tp, 0) AS tp
+  FROM support s
+  FULL JOIN predicted p ON s.label = p.label
+  FULL JOIN tp t ON coalesce(s.label, p.label) = t.label
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(support AS BIGINT) AS support,
+       CAST(predicted_n AS BIGINT) AS predicted_n,
+       CAST(tp AS BIGINT) AS tp,
+       CASE WHEN predicted_n > 0 THEN
+         (floor(CAST(tp AS DOUBLE) / predicted_n * 1000000 + 0.5)
+            / 1000000.0) END AS precision,
+       CASE WHEN support > 0 THEN
+         (floor(CAST(tp AS DOUBLE) / support * 1000000 + 0.5)
+            / 1000000.0) END AS recall,
+       CASE WHEN predicted_n + support > 0 THEN
+         (floor(2.0 * tp / (predicted_n + support) * 1000000 + 0.5)
+            / 1000000.0) END AS f1
+FROM base
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("sample_weighted", sample_weighted, SAMPLE_WEIGHTED_SQL,
               "Efraimidis-Spirakis A-ES weighted sample without "
@@ -729,4 +1022,15 @@ SPECS: list[QuerySpec] = [
     QuerySpec("scalar_url", scalar_url, SCALAR_URL_SQL,
               "URL parse/normalize + registrable-domain rollup: "
               "narrow regex pass, map-side-combinable agg"),
+    QuerySpec("agg_count_min", agg_count_min, AGG_COUNT_MIN_SQL,
+              "portable count-min sketch: 4x256 mergeable counter "
+              "table, one map-side-combinable agg, probes vs exact "
+              "with the never-underestimate guarantee oracled"),
+    QuerySpec("sample_token_budget", sample_token_budget,
+              SAMPLE_TOKEN_BUDGET_SQL,
+              "per-language token-budget greedy selection: "
+              "content-stable draw order, per-stratum window cumsum"),
+    QuerySpec("ml_knn_eval", ml_knn_eval, ML_KNN_EVAL_SQL,
+              "per-class precision/recall/F1 over the kNN entry: "
+              "exact integer confusion cells, quantized once"),
 ]

@@ -236,3 +236,143 @@ def test_scalar_url_roundtrip_and_domains(spark, sf_dir):
         assert r.host.endswith(".example.org")
         assert not r.host.startswith("www.")
         assert r.id_roundtrip_ok == r.n_urls
+
+
+def test_count_min_never_underestimates_and_is_tight_here(spark, sf_dir):
+    rows = {r.probe_key: r for r in C.agg_count_min(spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    for r in rows.values():
+        assert r.never_under
+        assert r.cms_estimate >= r.exact_count
+
+
+def test_count_min_is_mergeable_across_shards(spark, sf_dir):
+    # CMS counter tables from disjoint shards ADD: building the table
+    # on each half and summing cells == building it on the whole.
+    li = C.t(spark, sf_dir, "lineitem")
+
+    def table(df):
+        cells = df.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        C._cms_bucket(F.col("l_partkey"), j).alias("bucket"),
+                    )
+                    for j in range(C._CMS_DEPTH)
+                ])
+            ).alias("c")
+        ).groupBy("c.j", "c.bucket").agg(F.count("*").alias("cnt"))
+        return {(r.j, r.bucket): r.cnt for r in cells.collect()}
+
+    whole = table(li)
+    a = table(li.filter(F.col("l_orderkey") % 2 == 0))
+    b = table(li.filter(F.col("l_orderkey") % 2 == 1))
+    merged = dict(a)
+    for k, v in b.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == whole
+
+
+def test_token_budget_cut_is_exact(spark, sf_dir):
+    out = C.sample_token_budget(spark, sf_dir).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: r.cum_tokens)
+        # every selected doc STARTS within budget
+        for r in rows:
+            assert r.cum_tokens - r.n_tokens < C._TOKEN_BUDGET
+        # cum_tokens is a consistent running sum
+        run = 0
+        for r in rows:
+            run += r.n_tokens
+            assert r.cum_tokens == run
+
+
+def test_knn_eval_metrics_are_consistent(spark, sf_dir):
+    rows = C.ml_knn_eval(spark, sf_dir).collect()
+    assert rows
+    n_queries = sum(r.support for r in rows)
+    assert sum(r.predicted_n for r in rows) == n_queries
+    for r in rows:
+        assert r.tp <= min(r.support, r.predicted_n)
+        if r.precision is not None:
+            assert 0.0 <= r.precision <= 1.0
+        if r.recall is not None:
+            assert 0.0 <= r.recall <= 1.0
+
+
+def test_streaming_rollup_maintains_continuous_aggregate(spark, tmp_path):
+    """Streaming half of event_rollup_incremental: per-micro-batch
+    partials append via foreachBatch; merging the stored partials
+    reproduces the exact batch rollup (merge == recompute, now across
+    micro-batches instead of shards)."""
+    import os
+
+    from s3_parquet_to_postgres_spark.streaming.ingest import (
+        foreach_batch_load,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "landing")
+    partials_dir = str(tmp_path / "partials")
+    ckpt = str(tmp_path / "ckpt")
+    events = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    events.repartition(5).write.parquet(src)
+
+    def sink(batch_df, batch_id):
+        (
+            batch_df.groupBy(
+                F.date_format(
+                    F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00"
+                ).alias("hour")
+            )
+            .agg(
+                F.count("*").alias("pn"),
+                F.sum(
+                    F.floor(
+                        F.col("value") * F.lit(10000.0) + F.lit(0.5)
+                    ).cast("long")
+                ).alias("psum"),
+            )
+            .write.mode("append")
+            .parquet(partials_dir)
+        )
+
+    foreach_batch_load(spark, src, ckpt, sink, max_files_per_trigger=2)
+
+    merged = {
+        r.hour: (r.n_events, r.total_value)
+        for r in spark.read.parquet(partials_dir)
+        .groupBy("hour")
+        .agg(
+            F.sum("pn").cast("long").alias("n_events"),
+            (F.sum("psum").cast("double") / F.lit(10000.0)).alias(
+                "total_value"
+            ),
+        )
+        .collect()
+    }
+    direct = {
+        r.hour: (r.n_events, r.total_value)
+        for r in events.groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00"
+            ).alias("hour")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(
+                    F.floor(
+                        F.col("value") * F.lit(10000.0) + F.lit(0.5)
+                    ).cast("long")
+                ).cast("double")
+                / F.lit(10000.0)
+            ).alias("total_value"),
+        )
+        .collect()
+    }
+    assert merged == direct and len(merged) > 0
