@@ -988,6 +988,99 @@ FROM base
 """
 
 
+# --------------------------------------------------------------------------
+# INET / CIDR arithmetic (reference PG-type parity)
+# --------------------------------------------------------------------------
+
+_CIDR_BLOCK = "10.0.0.0/8"
+
+
+def scalar_inet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INET/CIDR semantics the reference delegates to Postgres
+    (src/converters.rs:119-133 accepts INET/CIDR string targets and
+    lets PG parse them): parse dotted-quad IPv4 to a 32-bit integer,
+    test CIDR-block containment with pure bit arithmetic
+    (ip >> (32-p) == net >> (32-p)), and roll up per /8 -- the
+    network-provenance accounting a crawl pipeline runs before
+    per-network rate decisions. Synthetic IPs derive from event ids
+    so the oracle rebuilds them; all arithmetic is exact integer ops,
+    one narrow pass + one map-side-combinable rollup.
+    """
+    e = t(spark, sf_dir, "events")
+    oct1 = (F.col("user_id") % 223 + 1).cast("long")
+    oct2 = (F.col("event_id") % 256).cast("long")
+    oct3 = (F.floor(F.col("event_id") / 256) % 256).cast("long")
+    oct4 = (F.col("user_id") % 256).cast("long")
+    ip = F.concat_ws(".", oct1, oct2, oct3, oct4)
+    parts = F.split(ip, "\\.")
+    ip_int = (
+        parts.getItem(0).cast("long") * 16777216
+        + parts.getItem(1).cast("long") * 65536
+        + parts.getItem(2).cast("long") * 256
+        + parts.getItem(3).cast("long")
+    )
+    net, prefix = _CIDR_BLOCK.split("/")
+    p = int(prefix)
+    net_parts = [int(x) for x in net.split(".")]
+    net_int = (
+        net_parts[0] * 16777216 + net_parts[1] * 65536
+        + net_parts[2] * 256 + net_parts[3]
+    )
+    in_block = (
+        F.shiftright(ip_int, 32 - p) == F.lit(net_int >> (32 - p))
+    )
+    d = e.select(
+        ip.alias("ip"),
+        ip_int.alias("ip_int"),
+        parts.getItem(0).cast("long").alias("net8"),
+        in_block.alias("in_block"),
+        "user_id",
+    )
+    return d.groupBy("net8").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("in_block").cast("long")).alias("n_in_block"),
+        F.min("ip_int").alias("min_ip"),
+        F.max("ip_int").alias("max_ip"),
+    )
+
+
+def _inet_oracle_sql() -> str:
+    net, prefix = _CIDR_BLOCK.split("/")
+    p = int(prefix)
+    np_ = [int(x) for x in net.split(".")]
+    net_int = np_[0] * 16777216 + np_[1] * 65536 + np_[2] * 256 + np_[3]
+    return f"""
+WITH ips AS (
+  SELECT user_id,
+         CAST(user_id % 223 + 1 AS BIGINT) || '.' ||
+         CAST(event_id % 256 AS BIGINT) || '.' ||
+         CAST(CAST(floor(event_id / 256) AS BIGINT) % 256 AS BIGINT) || '.' ||
+         CAST(user_id % 256 AS BIGINT) AS ip
+  FROM events
+), parsed AS (
+  SELECT user_id, ip,
+         CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+         + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+         + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+         + CAST(string_split(ip, '.')[4] AS BIGINT) AS ip_int,
+         CAST(string_split(ip, '.')[1] AS BIGINT) AS net8
+  FROM ips
+)
+SELECT net8,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CASE WHEN (ip_int >> {32 - p}) = {net_int >> (32 - p)}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_in_block,
+       min(ip_int) AS min_ip,
+       max(ip_int) AS max_ip
+FROM parsed GROUP BY net8
+"""
+
+
+SCALAR_INET_SQL = _inet_oracle_sql()
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("sample_weighted", sample_weighted, SAMPLE_WEIGHTED_SQL,
               "Efraimidis-Spirakis A-ES weighted sample without "
@@ -1033,4 +1126,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("ml_knn_eval", ml_knn_eval, ML_KNN_EVAL_SQL,
               "per-class precision/recall/F1 over the kNN entry: "
               "exact integer confusion cells, quantized once"),
+    QuerySpec("scalar_inet", scalar_inet, SCALAR_INET_SQL,
+              "INET/CIDR parity (reference PG-type table): dotted-quad "
+              "parse, bit-arithmetic CIDR containment, per-/8 rollup"),
 ]
