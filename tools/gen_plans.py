@@ -98,6 +98,36 @@ SECTIONS = [
         " the SAME partitioning -- no stats-table join-back (which would"
         " scan the event log twice).",
     ),
+    (
+        "text_entropy",
+        "Character-distribution quality signals with NO shuffle and NO"
+        " explode: the 27 per-char counts are replace-count expressions in"
+        " one narrow Project (whole-stage codegen end to end); the only"
+        " exchange is spread()'s parallelism repartition. The shape every"
+        " per-doc signal should have at 100 TB.",
+    ),
+    (
+        "ml_linear_score",
+        "Hashed bag-of-words classifier: token explode feeds a BROADCAST"
+        " hash join against the weight table (never a shuffle of the"
+        " token stream against weights) and a partial/final per-doc sum"
+        " -- the one shuffle carries (doc_id, partial aggregates), not"
+        " tokens.",
+    ),
+    (
+        "agg_count_min",
+        "Count-min sketch: the depth-wise explode collapses via partial"
+        " aggregation to at most 1024 counter cells per partition before"
+        " the single exchange -- constant shuffle state at any corpus"
+        " size, and the counter table is broadcast to the probe side.",
+    ),
+    (
+        "sample_weighted",
+        "Weighted sampling without replacement: per-row exponential-race"
+        " keys in a narrow Project, then TakeOrderedAndProject -- per-"
+        "partition top-k heaps, only k rows per partition reach the"
+        " driver-side merge; the corpus never shuffles.",
+    ),
 ]
 
 
