@@ -1081,6 +1081,215 @@ FROM parsed GROUP BY net8
 SCALAR_INET_SQL = _inet_oracle_sql()
 
 
+# --------------------------------------------------------------------------
+# Declarative data-quality checks (dbt-test-shaped gates)
+# --------------------------------------------------------------------------
+
+
+def table_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard warehouse data-quality gate as one query: not-null,
+    uniqueness, referential integrity (orphan FK detection via
+    broadcast anti-join), accepted-range, and accepted-values checks,
+    each reporting its violation count and pass/fail. This is the
+    pre-flight the reference runs as Postgres constraint enforcement
+    at COPY time (src/db.rs:202-239 aborts on violation) -- here the
+    checks run BEFORE the sink, on the cluster, without a round trip.
+
+    Scale shape: each check is one scan + one map-side-combinable
+    aggregate (the FK check's dimension side is broadcast); the five
+    one-row results union driver-free.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+
+    def row(check: str, table: str, viol):
+        return F.struct(
+            F.lit(check).alias("check_name"),
+            F.lit(table).alias("table_name"),
+            viol.cast("long").alias("n_violations"),
+            (viol == 0).alias("passed"),
+        )
+
+    not_null = li.agg(
+        row("not_null:l_orderkey", "lineitem",
+            F.count(F.when(F.col("l_orderkey").isNull(), 1)))
+        .alias("r")
+    )
+    unique = o.agg(
+        row("unique:o_orderkey", "orders",
+            F.count("*") - F.countDistinct("o_orderkey")).alias("r")
+    )
+    orphans = (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o.o_custkey == c.c_custkey,
+            "left_anti",
+        ).agg(row("fk:o_custkey->customer", "orders", F.count("*")).alias("r"))
+    )
+    rng = li.agg(
+        row("range:l_discount[0,1]", "lineitem",
+            F.count(F.when(~F.col("l_discount").between(0.0, 1.0), 1)))
+        .alias("r")
+    )
+    vals = o.agg(
+        row("accepted:o_orderstatus", "orders",
+            F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)))
+        .alias("r")
+    )
+    out = not_null
+    for d in (unique, orphans, rng, vals):
+        out = out.unionAll(d)
+    return out.select("r.check_name", "r.table_name", "r.n_violations",
+                      "r.passed")
+
+
+TABLE_QUALITY_CHECKS_SQL = """
+SELECT 'not_null:l_orderkey' AS check_name, 'lineitem' AS table_name,
+       count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS n_violations,
+       count(CASE WHEN l_orderkey IS NULL THEN 1 END) = 0 AS passed
+FROM lineitem
+UNION ALL
+SELECT 'unique:o_orderkey', 'orders',
+       count(*) - count(DISTINCT o_orderkey),
+       count(*) - count(DISTINCT o_orderkey) = 0
+FROM orders
+UNION ALL
+SELECT 'fk:o_custkey->customer', 'orders', count(*), count(*) = 0
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'range:l_discount[0,1]', 'lineitem',
+       count(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 1.0) THEN 1 END),
+       count(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 1.0) THEN 1 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'accepted:o_orderstatus', 'orders',
+       count(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END),
+       count(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END) = 0
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup impact report (per-source duplicate rates)
+# --------------------------------------------------------------------------
+
+
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The accounting half of exact dedup: per source, how many docs
+    are redundant copies (same sha256 content, not the min-id keeper)
+    and what fraction of the stratum survives. The report every
+    curation run publishes alongside the deduped corpus.
+
+    Scale shape: group sizes and keepers come from a window over the
+    content hash (ONE shuffle, same partitioning dedup itself uses);
+    the per-source rollup is a second map-side-combinable aggregate.
+    """
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2("text", 256))
+    flagged = d.select(
+        "source",
+        (F.col("doc_id") > F.min("doc_id").over(w)).alias("is_copy"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("is_copy").cast("long")).alias("n_dup_copies"),
+        dround(
+            F.lit(1.0)
+            - F.sum(F.col("is_copy").cast("long")) / F.count("*"), 6
+        ).alias("survival_rate"),
+    )
+
+
+DEDUP_RATE_BY_SOURCE_SQL = """
+WITH flagged AS (
+  SELECT source,
+         doc_id > min(doc_id) OVER (PARTITION BY sha256(text)) AS is_copy
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN is_copy THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_copies,
+       (floor((1.0 - sum(CASE WHEN is_copy THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) / 1000000.0)
+         AS survival_rate
+FROM flagged GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# CCNet perplexity bucketing (head / middle / tail)
+# --------------------------------------------------------------------------
+
+
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): rank every
+    document by its corpus-LM avg_logprob (exact quantized sums from
+    the unigram_lm machinery -- IEEE-identical cross-engine), cut at
+    the 33rd/67th percentiles, and report each bucket's population.
+    Head = most-fluent third, the pretraining-priority slice.
+
+    Scale shape: scores reuse the single-explode tf pipeline; the two
+    boundary percentiles are ONE tiny agg broadcast back (at 100 TB
+    swap in approx_percentile -- the bucket edges move by noise, the
+    plan is unchanged); bucketing is a narrow map + one rollup.
+    """
+    from ..operators.textstats import unigram_lm_scores
+
+    scores = unigram_lm_scores(t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "avg_logprob"
+    )
+    bounds = scores.agg(
+        dround(F.percentile("avg_logprob", F.lit(0.33)), 6).alias("t_tail"),
+        dround(F.percentile("avg_logprob", F.lit(0.67)), 6).alias("t_head"),
+    )
+    bucketed = scores.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("avg_logprob") >= F.col("t_head"), F.lit("head"))
+        .when(F.col("avg_logprob") >= F.col("t_tail"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        "n_tokens",
+        "avg_logprob",
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        dround(F.min("avg_logprob"), 6).alias("min_lp"),
+        dround(F.max("avg_logprob"), 6).alias("max_lp"),
+    )
+
+
+def _ppl_buckets_oracle_sql() -> str:
+    from .ext import TEXT_UNIGRAM_LM_SQL
+
+    return f"""
+WITH lm AS ({TEXT_UNIGRAM_LM_SQL}),
+bounds AS (
+  SELECT floor(quantile_cont(avg_logprob, 0.33) * 1000000 + 0.5)
+           / 1000000.0 AS t_tail,
+         floor(quantile_cont(avg_logprob, 0.67) * 1000000 + 0.5)
+           / 1000000.0 AS t_head
+  FROM lm
+), bucketed AS (
+  SELECT CASE WHEN avg_logprob >= t_head THEN 'head'
+              WHEN avg_logprob >= t_tail THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         n_tokens, avg_logprob
+  FROM lm, bounds
+)
+SELECT bucket,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       (floor(min(avg_logprob) * 1000000 + 0.5) / 1000000.0) AS min_lp,
+       (floor(max(avg_logprob) * 1000000 + 0.5) / 1000000.0) AS max_lp
+FROM bucketed GROUP BY bucket
+"""
+
+
+TEXT_PERPLEXITY_BUCKETS_SQL = _ppl_buckets_oracle_sql()
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("sample_weighted", sample_weighted, SAMPLE_WEIGHTED_SQL,
               "Efraimidis-Spirakis A-ES weighted sample without "
@@ -1129,4 +1338,17 @@ SPECS: list[QuerySpec] = [
     QuerySpec("scalar_inet", scalar_inet, SCALAR_INET_SQL,
               "INET/CIDR parity (reference PG-type table): dotted-quad "
               "parse, bit-arithmetic CIDR containment, per-/8 rollup"),
+    QuerySpec("table_quality_checks", table_quality_checks,
+              TABLE_QUALITY_CHECKS_SQL,
+              "declarative data-quality gate: not-null/unique/FK-orphan/"
+              "range/accepted-values checks, one scan+agg each, "
+              "broadcast anti-join for referential integrity"),
+    QuerySpec("dedup_rate_by_source", dedup_rate_by_source,
+              DEDUP_RATE_BY_SOURCE_SQL,
+              "per-source dedup impact report: one content-hash window "
+              "shuffle + one rollup"),
+    QuerySpec("text_perplexity_buckets", text_perplexity_buckets,
+              TEXT_PERPLEXITY_BUCKETS_SQL,
+              "CCNet head/middle/tail split: exact quantized LM scores, "
+              "percentile boundaries broadcast, narrow bucketing"),
 ]

@@ -376,3 +376,64 @@ def test_streaming_rollup_maintains_continuous_aggregate(spark, tmp_path):
         .collect()
     }
     assert merged == direct and len(merged) > 0
+
+
+def test_quality_checks_all_pass_on_clean_data(spark, sf_dir):
+    rows = {r.check_name: r for r in
+            C.table_quality_checks(spark, sf_dir).collect()}
+    assert len(rows) == 5
+    for r in rows.values():
+        assert r.passed and r.n_violations == 0, r
+
+
+def test_quality_checks_catch_injected_violations(spark, sf_dir, tmp_path):
+    import os
+    import shutil
+
+    # Corrupt a copy of the tables: an orphan FK and a bad status.
+    bad_dir = str(tmp_path / "bad")
+    os.makedirs(bad_dir)
+    for t in ["lineitem", "customer", "region", "nation", "supplier",
+              "part", "events", "documents", "embeddings"]:
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{bad_dir}/{t}.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 100 == 0, F.lit(99999999))
+        .otherwise(F.col("o_custkey")),
+    ).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 200 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus")),
+    ).write.parquet(f"{bad_dir}/orders.parquet")
+
+    rows = {r.check_name: r for r in
+            C.table_quality_checks(spark, bad_dir).collect()}
+    assert not rows["fk:o_custkey->customer"].passed
+    assert rows["fk:o_custkey->customer"].n_violations > 0
+    assert not rows["accepted:o_orderstatus"].passed
+    assert rows["not_null:l_orderkey"].passed  # untouched check still green
+
+
+def test_dedup_rate_matches_exact_dedup(spark, sf_dir):
+    rows = C.dedup_rate_by_source(spark, sf_dir).collect()
+    d = C.t(spark, sf_dir, "documents")
+    total_docs = d.count()
+    keepers = d.groupBy(F.sha2("text", 256)).count().count()
+    assert sum(r.n_docs for r in rows) == total_docs
+    assert sum(r.n_dup_copies for r in rows) == total_docs - keepers
+    for r in rows:
+        assert 0 < r.survival_rate <= 1.0
+
+
+def test_perplexity_buckets_partition_the_corpus(spark, sf_dir):
+    rows = {r.bucket: r for r in
+            C.text_perplexity_buckets(spark, sf_dir).collect()}
+    assert set(rows) == {"head", "middle", "tail"}
+    n = C.t(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows.values()) == n
+    # thirds-ish split and ordered score ranges
+    for r in rows.values():
+        assert r.n_docs > 0.2 * n
+    assert rows["tail"].max_lp <= rows["middle"].min_lp + 1e-9
+    assert rows["middle"].max_lp <= rows["head"].min_lp + 1e-9
