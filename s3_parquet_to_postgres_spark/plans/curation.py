@@ -833,23 +833,50 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix uses). Output is the selection with running totals, so the
     cut is auditable.
 
-    Scale shape: one shuffle on lang; the cumulative sum is a window
-    over (lang) ordered by the md5 draw -- per-stratum state only,
-    no global sort. At 100 TB the strata partition independently
-    across executors (skewed strata split by AQE).
+    Scale shape: a naive window over (lang) would push an entire
+    stratum through ONE partition (window partitions cannot be split
+    by AQE), so the running sum is the standard distributed two-phase
+    prefix sum instead: the draw order's leading 2 md5 hex chars
+    define 256 shards per stratum whose per-shard token totals fold
+    in one tiny aggregate (<=256*|langs| rows); shard offsets come
+    from a window over THAT table; and the doc-level cumsum is a
+    window within (lang, shard) -- per-partition state bounded by
+    corpus/256 per stratum, while the totals are bit-identical to the
+    single-window formulation (the shard key is a prefix of the
+    order key, so shard order extends draw order).
     """
     d = t(spark, sf_dir, "documents")
     toks = F.size(F.split(F.trim("text"), "\\s+")).cast("long")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    draw = F.md5(F.col("doc_id").cast("string"))
+    base = d.select(
+        "lang",
+        "doc_id",
+        toks.alias("n_tokens"),
+        draw.alias("__draw"),
+        F.substring(draw, 1, 2).alias("__shard"),
+    )
+    shard_tot = base.groupBy("lang", "__shard").agg(
+        F.sum("n_tokens").alias("__shard_tokens")
+    )
+    w_shard = (
+        Window.partitionBy("lang")
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = shard_tot.withColumn(
+        "__offset",
+        F.coalesce(F.sum("__shard_tokens").over(w_shard), F.lit(0)),
+    ).select("lang", "__shard", "__offset")
+    w_in = (
+        Window.partitionBy("lang", "__shard")
+        .orderBy("__draw", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = (
-        d.select("lang", "doc_id", toks.alias("n_tokens"))
+        base.join(F.broadcast(offsets), ["lang", "__shard"])
         .withColumn(
             "cum_tokens",
-            F.sum("n_tokens").over(
-                w.rowsBetween(Window.unboundedPreceding, 0)
-            ),
+            F.col("__offset") + F.sum("n_tokens").over(w_in),
         )
     )
     return cum.filter(
