@@ -1317,6 +1317,212 @@ FROM bucketed GROUP BY bucket
 TEXT_PERPLEXITY_BUCKETS_SQL = _ppl_buckets_oracle_sql()
 
 
+# --------------------------------------------------------------------------
+# Multimodal payload dedup (content-addressed binary dedup)
+# --------------------------------------------------------------------------
+
+
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed dedup over BINARY payloads: the sha256
+    content key the multimodal columns already carry doubles as the
+    dedup key (the way image/audio corpora dedup before any decode --
+    bytes first, perceptual hashes later). Per mime type: payload
+    count, distinct-content count, redundant bytes that dedup
+    reclaims. One hash aggregate on (mime, sha) then one rollup; at
+    100 TB only 32-byte keys + counts shuffle, never payload bytes.
+    """
+    from ..operators.multimodal import attach_binary_payload
+
+    d = t(spark, sf_dir, "documents")
+    p = attach_binary_payload(d, "text", mime="text/plain").select(
+        "mime", "content_sha256", "n_bytes"
+    )
+    per_content = p.groupBy("mime", "content_sha256").agg(
+        F.count("*").alias("copies"),
+        F.min("n_bytes").alias("n_bytes"),
+    )
+    return per_content.groupBy("mime").agg(
+        F.sum("copies").cast("long").alias("n_payloads"),
+        F.count("*").alias("n_distinct"),
+        F.sum((F.col("copies") - 1) * F.col("n_bytes"))
+        .cast("long")
+        .alias("reclaimable_bytes"),
+    )
+
+
+MULTIMODAL_DEDUP_SQL = """
+WITH p AS (
+  SELECT 'text/plain' AS mime, sha256(text) AS content_sha256,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+), per_content AS (
+  SELECT mime, content_sha256, count(*) AS copies, min(n_bytes) AS n_bytes
+  FROM p GROUP BY mime, content_sha256
+)
+SELECT mime,
+       CAST(sum(copies) AS BIGINT) AS n_payloads,
+       count(*) AS n_distinct,
+       CAST(sum((copies - 1) * n_bytes) AS BIGINT) AS reclaimable_bytes
+FROM per_content GROUP BY mime
+"""
+
+
+# --------------------------------------------------------------------------
+# Feature-store rollup (per-user ML feature vector)
+# --------------------------------------------------------------------------
+
+
+def ml_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-store materialization every behavioral model
+    needs: one row per user with event-type counts (conditional
+    aggregates, NOT a pivot shuffle per type), value statistics on
+    exact scaled integers, and recency (last event timestamp). ONE
+    map-side-combinable aggregate over the log -- the canonical
+    wide-feature rollup; new features are new agg columns, the plan
+    shape never changes.
+    """
+    e = t(spark, sf_dir, "events")
+    cnt = lambda v: F.count(F.when(F.col("event_type") == v, 1)).alias(  # noqa: E731
+        f"n_{v}"
+    )
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        cnt("view"),
+        cnt("click"),
+        cnt("purchase"),
+        dsum("value", 4).alias("total_value"),
+        dround(
+            F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long"))
+            / F.lit(10000.0) / F.count("*"),
+            6,
+        ).alias("avg_value"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "last_seen"
+        ),
+    )
+
+
+ML_USER_FEATURES_SQL = f"""
+SELECT user_id,
+       count(*) AS n_events,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       {sql_dsum('value', 4)} AS total_value,
+       {sql_dround(
+           'sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))'
+           ' / 10000.0 / count(*)', 6)} AS avg_value,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_seen
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Point-in-time join (events against their SCD2 state)
+# --------------------------------------------------------------------------
+
+
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correctness -- the feature-store/backtest join
+    that must never leak the future: each purchase picks up the
+    BROWSING state (SCD2 intervals over the user's non-purchase
+    activity) valid at its timestamp -- "what was the user doing when
+    they bought". Composed as an as-of-style window: state changes
+    and probe events union into one stream per user, the state
+    carries forward, so the lookup costs ONE user_id shuffle -- no
+    interval self-join, no row explosion (the same carry-forward
+    machinery as asof_join_events, operators/asof.py). Rolled up per
+    state for a compact audit; purchases before any activity report
+    NULL state on both engines.
+    """
+    e = t(spark, sf_dir, "events")
+    activity = e.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        activity.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select(
+            "user_id",
+            F.col("ts").alias("chg_ts"),
+            F.col("event_id").alias("chg_id"),
+            F.col("event_type").alias("state"),
+        )
+    )
+    probes = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        "value",
+    )
+    merged = changes.select(
+        "user_id",
+        F.col("chg_ts").alias("ts"),
+        F.col("chg_id").alias("tie"),
+        F.lit(0).alias("kind"),
+        "state",
+        F.lit(None).cast("long").alias("p_id"),
+        F.lit(None).cast("double").alias("value"),
+    ).unionAll(
+        probes.select(
+            "user_id",
+            F.col("p_ts").alias("ts"),
+            F.col("p_id").alias("tie"),
+            F.lit(1).alias("kind"),
+            F.lit(None).cast("string").alias("state"),
+            "p_id",
+            "value",
+        )
+    )
+    # carry the latest state forward; a probe event (kind=1) sorts
+    # after the state change with the same (ts, tie) ordering, and a
+    # purchase IS itself a change when it alters the state -- matching
+    # the SCD2 interval semantics [valid_from, valid_to).
+    wc = Window.partitionBy("user_id").orderBy("ts", "tie", "kind")
+    carried = merged.withColumn(
+        "cur_state",
+        F.last("state", ignorenulls=True).over(
+            wc.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        carried.filter(F.col("kind") == 1)
+        .groupBy(F.col("cur_state").alias("state_at_purchase"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            dsum("value", 4).alias("total_value"),
+        )
+    )
+
+
+JOIN_POINT_IN_TIME_SQL = f"""
+WITH changes AS (
+  SELECT user_id, ts AS chg_ts, event_id AS chg_id, event_type AS state
+  FROM (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev_type
+        FROM events WHERE event_type != 'purchase')
+  WHERE prev_type IS NULL OR event_type != prev_type
+), probes AS (
+  SELECT user_id, ts AS p_ts, event_id AS p_id, value
+  FROM events WHERE event_type = 'purchase'
+), matched AS (
+  SELECT p.user_id, p.p_id, p.value,
+         (SELECT c.state FROM changes c
+          WHERE c.user_id = p.user_id
+            AND (c.chg_ts < p.p_ts
+                 OR (c.chg_ts = p.p_ts AND c.chg_id <= p.p_id))
+          ORDER BY c.chg_ts DESC, c.chg_id DESC LIMIT 1) AS state_at_purchase
+  FROM probes p
+)
+SELECT state_at_purchase,
+       count(*) AS n_purchases,
+       {sql_dsum('value', 4)} AS total_value
+FROM matched GROUP BY state_at_purchase
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("sample_weighted", sample_weighted, SAMPLE_WEIGHTED_SQL,
               "Efraimidis-Spirakis A-ES weighted sample without "
@@ -1378,4 +1584,14 @@ SPECS: list[QuerySpec] = [
               TEXT_PERPLEXITY_BUCKETS_SQL,
               "CCNet head/middle/tail split: exact quantized LM scores, "
               "percentile boundaries broadcast, narrow bucketing"),
+    QuerySpec("multimodal_dedup", multimodal_dedup, MULTIMODAL_DEDUP_SQL,
+              "content-addressed binary dedup: only 32-byte sha keys "
+              "shuffle, never payload bytes; reclaimable-bytes report"),
+    QuerySpec("ml_user_features", ml_user_features, ML_USER_FEATURES_SQL,
+              "feature-store rollup: conditional aggregates (no pivot "
+              "shuffle), exact scaled-integer value stats, recency"),
+    QuerySpec("join_point_in_time", join_point_in_time,
+              JOIN_POINT_IN_TIME_SQL,
+              "point-in-time SCD2 lookup via union + carry-forward: "
+              "ONE user shuffle, no interval self-join, no future leak"),
 ]

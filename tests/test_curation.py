@@ -437,3 +437,44 @@ def test_perplexity_buckets_partition_the_corpus(spark, sf_dir):
         assert r.n_docs > 0.2 * n
     assert rows["tail"].max_lp <= rows["middle"].min_lp + 1e-9
     assert rows["middle"].max_lp <= rows["head"].min_lp + 1e-9
+
+
+def test_multimodal_dedup_accounting(spark, sf_dir):
+    rows = C.multimodal_dedup(spark, sf_dir).collect()
+    assert len(rows) == 1 and rows[0].mime == "text/plain"
+    r = rows[0]
+    n_docs = C.t(spark, sf_dir, "documents").count()
+    assert r.n_payloads == n_docs
+    assert 0 < r.n_distinct <= r.n_payloads
+    if r.n_distinct < r.n_payloads:
+        assert r.reclaimable_bytes > 0
+
+
+def test_user_features_consistency(spark, sf_dir):
+    rows = C.ml_user_features(spark, sf_dir).collect()
+    e = C.t(spark, sf_dir, "events")
+    assert len(rows) == e.select("user_id").distinct().count()
+    for r in rows:
+        assert r.n_view + r.n_click + r.n_purchase <= r.n_events
+        assert abs(r.avg_value - r.total_value / r.n_events) < 1e-4
+
+
+def test_point_in_time_never_leaks_future(spark, sf_dir):
+    # brute-force check on a sample of purchases: reported state must
+    # equal the last non-purchase event type at-or-before the purchase
+    rows = {r.state_at_purchase: r.n_purchases
+            for r in C.join_point_in_time(spark, sf_dir).collect()}
+    e = C.t(spark, sf_dir, "events").collect()
+    by_user = {}
+    for r in e:
+        by_user.setdefault(r.user_id, []).append(r)
+    expect = {}
+    for evs in by_user.values():
+        evs.sort(key=lambda r: (r.ts, r.event_id))
+        state = None
+        for r in evs:
+            if r.event_type != "purchase":
+                state = r.event_type
+            else:
+                expect[state] = expect.get(state, 0) + 1
+    assert rows == expect
