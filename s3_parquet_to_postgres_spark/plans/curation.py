@@ -1523,6 +1523,188 @@ FROM matched GROUP BY state_at_purchase
 """
 
 
+# --------------------------------------------------------------------------
+# Kaplan-Meier retention survival curve
+# --------------------------------------------------------------------------
+
+
+def event_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of user retention: for each
+    day-since-first-event t, S(t) = prod_{t' <= t} (1 - d_t'/n_t')
+    where d_t' = users whose LAST event falls on day t' (churned) and
+    n_t' = users still at risk entering t'. The product-limit
+    estimator behind every retention curve, censoring-free here
+    because the log is complete.
+
+    Scale shape: per-user first/last days fold in ONE
+    map-side-combinable aggregate over the log; everything after
+    operates on the tiny per-day table (<= observation window rows),
+    where the running product is a window in log space with
+    scaled-BIGINT quantized terms (exact cross-engine sums, one
+    rounding at output).
+    """
+    e = t(spark, sf_dir, "events")
+    spans = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day"),
+        F.date_trunc("day", F.max("ts")).alias("last_day"),
+    )
+    per_user = spans.select(
+        F.datediff(F.col("last_day"), F.col("first_day")).alias("t_churn")
+    )
+    days = per_user.groupBy("t_churn").agg(F.count("*").alias("d"))
+    total = per_user.agg(F.count("*").alias("n"))
+    w = Window.orderBy("t_churn").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    at_risk = days.crossJoin(F.broadcast(total)).withColumn(
+        "n_risk",
+        F.col("n") - F.coalesce(F.sum("d").over(w), F.lit(0)),
+    )
+    # log-space running product with quantized terms: exact integer
+    # sums in any order, identical cross-engine.
+    lnq = F.floor(
+        F.log(F.lit(1.0) - F.col("d") / F.col("n_risk")) * F.lit(1.0e9)
+        + F.lit(0.5)
+    ).cast("long")
+    w2 = Window.orderBy("t_churn").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = at_risk.filter(F.col("d") < F.col("n_risk")).withColumn(
+        "survival",
+        dround(
+            F.exp(F.sum(lnq).over(w2).cast("double") / F.lit(1.0e9)), 6
+        ),
+    )
+    return out.select(
+        F.col("t_churn").cast("long").alias("day"),
+        F.col("d").cast("long").alias("n_churned"),
+        F.col("n_risk").cast("long").alias("n_at_risk"),
+        "survival",
+    )
+
+
+EVENT_SURVIVAL_SQL = """
+WITH spans AS (
+  SELECT user_id,
+         date_diff('day', date_trunc('day', min(ts)),
+                   date_trunc('day', max(ts))) AS t_churn
+  FROM events GROUP BY user_id
+), days AS (
+  SELECT t_churn, count(*) AS d FROM spans GROUP BY t_churn
+), total AS (
+  SELECT count(*) AS n FROM spans
+), at_risk AS (
+  SELECT t_churn, d,
+         n - coalesce(sum(d) OVER (ORDER BY t_churn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM days, total
+), lnq AS (
+  SELECT t_churn, d, n_risk,
+         CAST(floor(ln(1.0 - d / CAST(n_risk AS DOUBLE)) * 1000000000.0
+                    + 0.5) AS BIGINT) AS lq
+  FROM at_risk WHERE d < n_risk
+)
+SELECT CAST(t_churn AS BIGINT) AS day,
+       CAST(d AS BIGINT) AS n_churned,
+       CAST(n_risk AS BIGINT) AS n_at_risk,
+       (floor(exp(CAST(sum(lq) OVER (ORDER BY t_churn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) / 1000000000.0) * 1000000 + 0.5) / 1000000.0)
+         AS survival
+FROM lnq
+"""
+
+
+# --------------------------------------------------------------------------
+# A/B-test readout (two-proportion z-test)
+# --------------------------------------------------------------------------
+
+
+def ml_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: users split into control/treatment by a
+    content-stable assignment (user_id parity stands in for the
+    bucketing service), per-variant high-value-purchase conversion rates, and
+    the pooled two-proportion z statistic -- the decision row an
+    experimentation platform materializes per metric. One aggregate
+    over the log -> a 2-row table -> a 1-row readout; nothing about
+    the plan changes at any scale.
+    """
+    e = t(spark, sf_dir, "events")
+    converted = (
+        (F.col("event_type") == "purchase") & (F.col("value") > 90.0)
+    ).cast("int")
+    per_user = e.groupBy("user_id").agg(
+        F.max(converted).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).alias("variant"),
+        "converted",
+    )
+    v = per_user.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    wide = v.groupBy().agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias(
+            "c0"
+        ),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias(
+            "c1"
+        ),
+    )
+    p0 = F.col("c0") / F.col("n0")
+    p1 = F.col("c1") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    return wide.select(
+        F.col("n0").cast("long").alias("control_users"),
+        F.col("c0").cast("long").alias("control_conversions"),
+        F.col("n1").cast("long").alias("treatment_users"),
+        F.col("c1").cast("long").alias("treatment_conversions"),
+        dround(p0, 6).alias("control_rate"),
+        dround(p1, 6).alias("treatment_rate"),
+        dround((p1 - p0) / se, 6).alias("z_score"),
+    )
+
+
+ML_AB_TEST_SQL = """
+WITH per_user AS (
+  SELECT user_id % 2 AS variant,
+         max(CASE WHEN event_type = 'purchase' AND value > 90.0
+             THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), v AS (
+  SELECT variant, count(*) AS n_users, sum(converted) AS n_converted
+  FROM per_user GROUP BY variant
+), wide AS (
+  SELECT max(CASE WHEN variant = 0 THEN n_users END) AS n0,
+         max(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+         max(CASE WHEN variant = 1 THEN n_users END) AS n1,
+         max(CASE WHEN variant = 1 THEN n_converted END) AS c1
+  FROM v
+)
+SELECT CAST(n0 AS BIGINT) AS control_users,
+       CAST(c0 AS BIGINT) AS control_conversions,
+       CAST(n1 AS BIGINT) AS treatment_users,
+       CAST(c1 AS BIGINT) AS treatment_conversions,
+       (floor(c0 / CAST(n0 AS DOUBLE) * 1000000 + 0.5) / 1000000.0)
+         AS control_rate,
+       (floor(c1 / CAST(n1 AS DOUBLE) * 1000000 + 0.5) / 1000000.0)
+         AS treatment_rate,
+       (floor((c1 / CAST(n1 AS DOUBLE) - c0 / CAST(n0 AS DOUBLE))
+              / sqrt(((c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                     * (1.0 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                     * (1.0 / n0 + 1.0 / n1))
+              * 1000000 + 0.5) / 1000000.0) AS z_score
+FROM wide
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("sample_weighted", sample_weighted, SAMPLE_WEIGHTED_SQL,
               "Efraimidis-Spirakis A-ES weighted sample without "
@@ -1594,4 +1776,10 @@ SPECS: list[QuerySpec] = [
               JOIN_POINT_IN_TIME_SQL,
               "point-in-time SCD2 lookup via union + carry-forward: "
               "ONE user shuffle, no interval self-join, no future leak"),
+    QuerySpec("event_survival", event_survival, EVENT_SURVIVAL_SQL,
+              "Kaplan-Meier retention curve: one log aggregate, then "
+              "log-space running product on the tiny per-day table"),
+    QuerySpec("ml_ab_test", ml_ab_test, ML_AB_TEST_SQL,
+              "two-proportion z-test readout: one aggregate over the "
+              "log, constant-size everything after"),
 ]

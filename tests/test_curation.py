@@ -478,3 +478,32 @@ def test_point_in_time_never_leaks_future(spark, sf_dir):
             else:
                 expect[state] = expect.get(state, 0) + 1
     assert rows == expect
+
+
+def test_survival_curve_is_monotone_and_bounded(spark, sf_dir):
+    rows = sorted(C.event_survival(spark, sf_dir).collect(),
+                  key=lambda r: r.day)
+    assert rows
+    prev = 1.0
+    for r in rows:
+        assert 0.0 <= r.survival <= 1.0
+        assert r.survival <= prev + 1e-9  # KM curves never increase
+        prev = r.survival
+        assert r.n_churned <= r.n_at_risk
+    # at-risk counts strictly decrease across days
+    risks = [r.n_at_risk for r in rows]
+    assert risks == sorted(risks, reverse=True)
+
+
+def test_ab_test_readout_consistency(spark, sf_dir):
+    r = C.ml_ab_test(spark, sf_dir).first()
+    assert r.control_users > 0 and r.treatment_users > 0
+    assert 0 < r.control_rate < 1 and 0 < r.treatment_rate < 1
+    assert abs(
+        r.control_rate - r.control_conversions / r.control_users
+    ) < 1e-4
+    # z sign agrees with the rate difference
+    if r.treatment_rate > r.control_rate:
+        assert r.z_score > 0
+    elif r.treatment_rate < r.control_rate:
+        assert r.z_score < 0
