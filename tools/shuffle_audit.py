@@ -1,0 +1,203 @@
+"""Measure, don't guess: per-query shuffle audit at sf0.1.
+
+Runs each audited query end-to-end (noop sink) inside its own job
+group with the Spark event log enabled, then parses the log's
+SparkListenerTaskEnd records -- the same task-level metrics the Spark
+UI shows -- summing shuffle bytes/records written per query. Plan-walk
+counts of shuffle/broadcast exchanges come from the executed (post-AQE)
+physical plan. This is the evidence behind the plan-shape claims in
+PLANS.md and the operator docstrings: a query claiming "one shuffle of
+partial aggregates" is held to kilobytes here, not corpus volume.
+
+Writes SHUFFLE_AUDIT.md at the repo root.
+
+Usage: python tools/shuffle_audit.py
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+import sys
+import tempfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from s3_parquet_to_postgres_spark.plans import all_queries  # noqa: E402
+from s3_parquet_to_postgres_spark.session import build_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+QUERIES = [
+    "ref_project_rename_cast",
+    "agg_pricing_summary",
+    "join_inner_broadcast",
+    "join_range_bucketed",
+    "window_topk_per_group",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk_cosine",
+    "text_quality",
+    "text_tfidf",
+    "text_entropy",
+    "asof_join_events",
+    "event_sessionize",
+    "corpus_curation_pipeline",
+    "sample_weighted",
+    "ml_linear_score",
+    "agg_count_min",
+    "sample_token_budget",
+    "event_ewma",
+    "dedup_containment",
+]
+
+
+def _walk(node):
+    yield node
+    for i in range(node.children().size()):
+        yield from _walk(node.children().apply(i))
+    name = node.nodeName()
+    if name == "AdaptiveSparkPlan":
+        yield from _walk(node.executedPlan())
+    elif "QueryStage" in name:
+        try:
+            yield from _walk(node.plan())
+        except Exception:
+            pass
+
+
+def plan_counts(df):
+    """(n shuffle exchanges, n broadcast exchanges) in the final plan."""
+    plan = df._jdf.queryExecution().executedPlan()
+    shuffles = broadcasts = 0
+    seen = set()
+    for node in _walk(plan):
+        nid = node.id()
+        if nid in seen:
+            continue
+        seen.add(nid)
+        name = node.nodeName()
+        if "BroadcastExchange" in name:
+            broadcasts += 1
+        elif name.startswith("Exchange") or "ShuffleExchange" in name:
+            shuffles += 1
+    return shuffles, broadcasts
+
+
+def parse_event_log(log_dir):
+    """group -> {bytes, records} summed over all TaskEnd events of the
+    jobs launched under that job group."""
+    paths = [
+        p
+        for p in glob.glob(os.path.join(log_dir, "**", "*"), recursive=True)
+        if os.path.isfile(p) and "appstatus" not in os.path.basename(p)
+    ]
+    stage_to_group: dict[int, str] = {}
+    totals: dict[str, dict[str, int]] = {}
+    for path in sorted(paths):
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rt") as f:
+            for line in f:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                kind = ev.get("Event")
+                if kind == "SparkListenerJobStart":
+                    group = (ev.get("Properties") or {}).get(
+                        "spark.jobGroup.id"
+                    )
+                    if not group:
+                        continue
+                    for sid in ev.get("Stage IDs", []):
+                        stage_to_group[sid] = group
+                elif kind == "SparkListenerTaskEnd":
+                    group = stage_to_group.get(ev.get("Stage ID"))
+                    if not group:
+                        continue
+                    tm = ev.get("Task Metrics") or {}
+                    sw = tm.get("Shuffle Write Metrics") or {}
+                    t = totals.setdefault(group, {"bytes": 0, "records": 0})
+                    t["bytes"] += sw.get("Shuffle Bytes Written", 0)
+                    t["records"] += sw.get("Shuffle Records Written", 0)
+    return totals
+
+
+def main() -> None:
+    log_dir = tempfile.mkdtemp(prefix="spark-events-")
+    spark = build_session(
+        "shuffle-audit",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=32,
+        extra_confs={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+            "spark.eventLog.dir": log_dir,
+            "spark.ui.enabled": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    counts = {}
+    for name in QUERIES:
+        spark.sparkContext.setJobGroup(name, name)
+        df = queries[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        counts[name] = plan_counts(df)
+        spark.sparkContext.setJobGroup("idle", "idle")
+    spark.stop()  # flushes the event log
+
+    totals = parse_event_log(log_dir)
+    lines = [
+        "# SHUFFLE_AUDIT — measured shuffle volumes (sf0.1, task metrics"
+        " from the event log)",
+        "",
+        "Generated by `python tools/shuffle_audit.py`. Every query runs"
+        " end-to-end through the noop sink in its own job group; shuffle"
+        " bytes/records are summed from SparkListenerTaskEnd task metrics"
+        " (what the Spark UI shows), exchange counts from the executed"
+        " post-AQE plan. Shuffle bytes are the real cluster currency at"
+        " 100 TB -- a query whose docstring claims 'one shuffle of"
+        " partial aggregates' is held to that here.",
+        "",
+        "| query | shuffle exchanges | broadcast exchanges |"
+        " shuffle MB written | shuffle rows |",
+        "|---|---|---|---|---|",
+    ]
+    for name in QUERIES:
+        t = totals.get(name, {"bytes": 0, "records": 0})
+        sh, bc = counts[name]
+        lines.append(
+            f"| {name} | {sh} | {bc} | {t['bytes'] / 1e6:.3f}"
+            f" | {t['records']} |"
+        )
+        print(lines[-1], flush=True)
+    lines += [
+        "",
+        "Reading guide: the sf0.1 fact tables are ~600k rows / ~80 MB of"
+        " parquet. Narrow per-doc/per-row signals"
+        " (`ref_project_rename_cast`, `text_entropy`, `sample_weighted`)"
+        " shuffle ~nothing; sketches (`dedup_minhash_lsh`,"
+        " `agg_count_min`) shuffle fixed-size partial state, orders of"
+        " magnitude below corpus volume; joins move only their partial"
+        " aggregates or key+payload columns, with every dimension side"
+        " broadcast. `dedup_containment`/`text_tfidf` re-derive exploded"
+        " token tables by declared design (df-capped posting lists), so"
+        " they sit at the top -- still bounded well under one corpus"
+        " width.",
+    ]
+    with open(os.path.join(ROOT, "SHUFFLE_AUDIT.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote SHUFFLE_AUDIT.md")
+
+
+if __name__ == "__main__":
+    main()
