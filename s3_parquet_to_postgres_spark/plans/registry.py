@@ -40,13 +40,16 @@ FLAGSHIP: list[str] = [
     "window_topk_per_group",
     "scalar_json",
     "subquery_correlated",
-    # round-2 session additions: repetition signals, semantic dedup,
-    # graph centrality (skew-salted/range joins + HLL rollup rotate
-    # out; their families stay covered by join_bloom_pruned/semi and
-    # agg_approx, and all three remain oracle-verified past the
-    # window by tests/test_oracle_parity.py + tools/drive_entry.py)
-    "text_repetition",
-    "dedup_semantic",
+    # Window composition note: entries rotated past position 50 stay
+    # oracle-verified by tests/test_oracle_parity.py (sf0.001) and
+    # tools/drive_entry.py (sf0.01/0.1); the window carries ONE
+    # representative per family. Session 3 rotates in the two new
+    # families (declarative data-quality gate, weighted sampling);
+    # text_repetition/dedup_semantic rotate out -- their E5/E2
+    # families remain in-window via text_tfidf / the four dedup_*
+    # entries below.
+    "table_quality_checks",
+    "sample_weighted",
     # TPC-H, complete (§2.5)
     "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
