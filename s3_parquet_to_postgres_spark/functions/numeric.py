@@ -56,11 +56,16 @@ def md5_unit(col: Column | str) -> Column:
     string-bucket splits, for operators that need an arithmetic
     uniform (weighted sampling keys, acceptance-rate thresholds).
     """
+    # Fold over the SPLIT char array, not over sequence(1,8) with
+    # substring(md5(...), i, 1) in the lambda: a lambda body re-evaluates
+    # per element, so the sequence form computes md5 8x per row (hot:
+    # ml_linear_score calls this per TOKEN). split() materializes the
+    # digest chars once.
     return (
         F.expr(
-            "aggregate(sequence(1, 8), cast(0 as double), (acc, i) -> "
-            f"acc * 16D + cast(instr('{_HEX}', "
-            "substring(md5(cast(__MD5SRC__ as string)), i, 1)) - 1 as double))"
+            "aggregate(split(substring(md5(cast(__MD5SRC__ as string))"
+            ", 1, 8), ''), cast(0 as double), (acc, c) -> "
+            f"acc * 16D + cast(instr('{_HEX}', c) - 1 as double))"
             .replace("__MD5SRC__", _expr_sql(col))
         )
         + F.lit(0.5)
