@@ -54,7 +54,7 @@ HEADLINE = [
     "corpus_curation_pipeline",
 ]
 
-# Round-2 additions: timed and recorded per-query, excluded from the
+# Round-2+ additions: timed and recorded per-query, excluded from the
 # baseline-comparable headline total.
 EXTRA = [
     "text_repetition",
@@ -63,6 +63,21 @@ EXTRA = [
     "dedup_semantic",
     "graph_pagerank",
     "similarity_ann_pq",
+    # session-3 curation/retrieval additions
+    "sample_weighted",
+    "sample_mixture",
+    "sample_token_budget",
+    "text_entropy",
+    "text_perplexity_buckets",
+    "ml_linear_score",
+    "agg_count_min",
+    "dedup_containment",
+    "similarity_mips",
+    "event_ewma",
+    "scd2_user_state",
+    "event_rollup_incremental",
+    "table_quality_checks",
+    "join_point_in_time",
 ]
 
 

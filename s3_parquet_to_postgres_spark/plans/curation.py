@@ -487,7 +487,7 @@ def similarity_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity as S
 
     e = t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") >= 495).select(
+    q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         S.as_double("embedding").alias("q_vec"),
     )
@@ -519,7 +519,7 @@ def similarity_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIMILARITY_MIPS_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id >= 495),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
 sims AS (
   SELECT query_id, e.vec_id AS neighbor_id,
          list_inner_product(qv, e.v) AS ip
@@ -704,11 +704,20 @@ _CMS_WIDTH = 256
 
 
 def _cms_bucket(key, j: int):
-    """Row j's CMS bucket for a key: content-stable md5 uniform over
-    the salted key, scaled to the table width. Exact integer result,
-    replayed verbatim by the oracle."""
-    salted = F.concat(F.lit(f"{j}:"), key.cast("string"))
-    return F.floor(md5_unit(salted) * _CMS_WIDTH).cast("int")
+    """Row j's CMS bucket for a key: two hex digits sliced from ONE
+    md5 digest of the key (digits [2j, 2j+1] -> 0..255). One digest
+    serves all four rows -- 4x cheaper than re-hashing a salted key
+    per depth, and the slices are as independent as salted hashes for
+    bucketing purposes. Exact integer result, replayed verbatim by
+    the oracle."""
+    h = F.md5(key.cast("string"))
+    hi = F.instr(
+        F.lit("0123456789abcdef"), F.substring(h, 2 * j + 1, 1)
+    ) - 1
+    lo = F.instr(
+        F.lit("0123456789abcdef"), F.substring(h, 2 * j + 2, 1)
+    ) - 1
+    return (hi * 16 + lo).cast("int")
 
 
 def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -777,8 +786,12 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cms_bucket_sql(key_expr: str, j: int) -> str:
-    u = sql_md5_unit(f"'{j}:' || CAST(({key_expr}) AS VARCHAR)")
-    return f"CAST(floor({u} * {_CMS_WIDTH}) AS INT)"
+    h = f"md5(CAST(({key_expr}) AS VARCHAR))"
+    d = "0123456789abcdef"
+    return (
+        f"CAST((instr('{d}', substr({h}, {2 * j + 1}, 1)) - 1) * 16"
+        f" + (instr('{d}', substr({h}, {2 * j + 2}, 1)) - 1) AS INT)"
+    )
 
 
 def _cms_oracle_sql() -> str:

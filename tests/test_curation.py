@@ -198,7 +198,7 @@ def test_mips_matches_numpy_brute_force(spark, sf_dir):
     e = C.t(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
     ids = np.array([r.vec_id for r in e])
     mat = np.array([r.embedding for r in e], dtype=np.float64)
-    for q in [r for r in e if r.vec_id >= 495]:
+    for q in [r for r in e if r.vec_id < 5]:
         ips = mat @ np.array(q.embedding, dtype=np.float64)
         order = sorted(
             [(ips[i], -ids[i]) for i in range(len(ids)) if ids[i] != q.vec_id],
