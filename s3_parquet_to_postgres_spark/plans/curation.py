@@ -1718,6 +1718,150 @@ FROM wide
 """
 
 
+# --------------------------------------------------------------------------
+# Corpus novelty signal (first-occurrence n-gram fraction)
+# --------------------------------------------------------------------------
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct trigrams
+    whose FIRST corpus occurrence (min doc_id, standing in for ingest
+    order) is this doc. High-novelty docs introduce new content;
+    near-zero novelty flags recombinations of earlier material -- the
+    ordering signal for dedup-aware curriculum sampling.
+
+    Scale shape: one shingle explode, one (shingle -> min doc_id)
+    aggregate (map-side combinable), one aggregate back to docs
+    counting owned-vs-total -- the first-occurrence table joins on
+    the SAME shingle partitioning the aggregate produced, so Catalyst
+    reuses the exchange. No self-join of the corpus.
+    """
+    from ..operators.dedup import shingles_of
+    from ..operators.textstats import ws_tokens
+
+    d = t(spark, sf_dir, "documents")
+    sh = d.withColumn("__toks", ws_tokens("text")).select(
+        F.col("doc_id"),
+        F.explode(shingles_of(F.col("__toks"), 3)).alias("shingle"),
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                (F.col("doc_id") == F.col("first_doc")).cast("long")
+            ).alias("n_novel"),
+            dround(
+                F.sum(
+                    (F.col("doc_id") == F.col("first_doc")).cast("long")
+                )
+                / F.count("*"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+TEXT_NGRAM_NOVELTY_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           [array_to_string(l[i:i+2], ' ') FOR i IN range(1, len(l) - 1)]
+         )) AS shingle
+  FROM toks
+), first AS (
+  SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+)
+SELECT sh.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN sh.doc_id = first_doc THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       (floor(sum(CASE WHEN sh.doc_id = first_doc THEN 1 ELSE 0 END)
+              / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000.0)
+         AS novelty
+FROM sh JOIN first USING (shingle)
+GROUP BY sh.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Running distinct count (first-occurrence flag + running sum)
+# --------------------------------------------------------------------------
+
+
+def event_running_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event type over time -- the
+    growth curve every funnel dashboard draws. COUNT(DISTINCT) over a
+    running frame is O(n^2) state; the linear formulation marks each
+    (type, user)'s first event with a row_number window and runs a
+    plain SUM over the flags. Daily resolution keeps the output
+    readable: one row per (event_type, day) with the cumulative
+    unique-user count.
+
+    Scale shape: two windows -- (type, user) for first-occurrence,
+    (type) ordered by day over the TINY per-day table for the running
+    sum -- plus one map-side-combinable daily rollup between them.
+    """
+    e = t(spark, sf_dir, "events")
+    w_first = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    flagged = e.withColumn(
+        "is_first", (F.row_number().over(w_first) == 1).cast("long")
+    ).select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+        .alias("day"),
+        "is_first",
+    )
+    daily = flagged.groupBy("event_type", "day").agg(
+        F.sum("is_first").alias("new_users"),
+        F.count("*").alias("n_events"),
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w_run).cast("long").alias(
+            "cumulative_unique_users"
+        ),
+    )
+
+
+EVENT_RUNNING_UNIQUE_SQL = """
+WITH flagged AS (
+  SELECT event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CASE WHEN row_number() OVER (PARTITION BY event_type, user_id
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS is_first
+  FROM events
+), daily AS (
+  SELECT event_type, day,
+         sum(is_first) AS new_users,
+         count(*) AS n_events
+  FROM flagged GROUP BY event_type, day
+)
+SELECT event_type, day,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cumulative_unique_users
+FROM daily
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("sample_weighted", sample_weighted, SAMPLE_WEIGHTED_SQL,
               "Efraimidis-Spirakis A-ES weighted sample without "
@@ -1795,4 +1939,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec("ml_ab_test", ml_ab_test, ML_AB_TEST_SQL,
               "two-proportion z-test readout: one aggregate over the "
               "log, constant-size everything after"),
+    QuerySpec("text_ngram_novelty", text_ngram_novelty,
+              TEXT_NGRAM_NOVELTY_SQL,
+              "first-occurrence trigram fraction per doc: one explode, "
+              "exchange-reusing min-agg + join, no corpus self-join"),
+    QuerySpec("event_running_unique", event_running_unique,
+              EVENT_RUNNING_UNIQUE_SQL,
+              "cumulative distinct users via first-occurrence flags + "
+              "running sum: linear state, never a running COUNT(DISTINCT)"),
 ]

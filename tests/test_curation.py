@@ -507,3 +507,38 @@ def test_ab_test_readout_consistency(spark, sf_dir):
         assert r.z_score > 0
     elif r.treatment_rate < r.control_rate:
         assert r.z_score < 0
+
+
+def test_novelty_bounds_and_first_doc_is_fully_novel(spark, sf_dir):
+    rows = C.text_ngram_novelty(spark, sf_dir).collect()
+    by_id = {r.doc_id: r for r in rows}
+    for r in rows:
+        assert 0.0 <= r.novelty <= 1.0
+        assert r.n_novel <= r.n_shingles
+    # the lowest doc_id owns every one of its shingles
+    first = by_id[min(by_id)]
+    assert first.novelty == 1.0
+
+
+def test_running_unique_matches_brute_force(spark, sf_dir):
+    rows = C.event_running_unique(spark, sf_dir).collect()
+    got = {(r.event_type, r.day): r.cumulative_unique_users for r in rows}
+    e = C.t(spark, sf_dir, "events").collect()
+    seen: dict = {}
+    days: dict = {}
+    for r in sorted(e, key=lambda r: (r.ts, r.event_id)):
+        day = r.ts.strftime("%Y-%m-%d")
+        seen.setdefault(r.event_type, set()).add(r.user_id)
+        days.setdefault(r.event_type, {})[day] = None
+    # brute force: distinct users up to and including each day
+    for et in days:
+        users = set()
+        per_day = {}
+        for r in sorted(
+            (x for x in e if x.event_type == et),
+            key=lambda r: (r.ts, r.event_id),
+        ):
+            users.add(r.user_id)
+            per_day[r.ts.strftime("%Y-%m-%d")] = len(users)
+        for day, n in per_day.items():
+            assert got[(et, day)] == n
