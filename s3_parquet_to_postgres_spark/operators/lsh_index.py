@@ -170,3 +170,67 @@ class LshIndex:
         result = result.localCheckpoint(eager=True)
         banded_new.write.mode("append").parquet(self.index_dir)
         return result
+
+
+class ExactDedupIndex:
+    """Persisted exact-dedup registry: (content sha256 -> keeper id),
+    first-ingested-wins. Each ``ingest`` annotates the batch --
+    is_duplicate + the keeper the content resolves to (an earlier
+    ingest's keeper, or the batch's min-id row for content first seen
+    now) -- and appends the newly-seen hashes. The E1 companion to
+    ``LshIndex``: at 100 TB the registry holds 32-byte keys + ids,
+    never text, and the lookup is one broadcast-able equi-join on the
+    hash. With batches arriving in id order the keeper equals the
+    global-min-id keeper of a full-corpus dedup (pinned by test);
+    out-of-order arrival keeps the production semantic of
+    first-ingested-wins.
+    """
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+
+    def _existing(self) -> DataFrame | None:
+        if not os.path.isdir(self.index_dir):
+            return None
+        return self.spark.read.parquet(self.index_dir)
+
+    def ingest(self, docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+        hashed = docs.select(
+            F.col(id_col).alias("id"),
+            F.sha2(F.col(text_col), 256).alias("content_hash"),
+        )
+        batch_keeper = hashed.groupBy("content_hash").agg(
+            F.min("id").alias("batch_keeper")
+        )
+        existing = self._existing()
+        if existing is not None:
+            prior = existing.select(
+                "content_hash", F.col("keeper").alias("prior_keeper")
+            )
+            resolved = batch_keeper.join(prior, "content_hash", "left")
+        else:
+            resolved = batch_keeper.withColumn(
+                "prior_keeper", F.lit(None).cast("long")
+            )
+        resolved = resolved.select(
+            "content_hash",
+            F.coalesce("prior_keeper", "batch_keeper").alias("keeper"),
+            F.col("prior_keeper").isNotNull().alias("seen_before"),
+        )
+        out = (
+            hashed.join(resolved, "content_hash")
+            .select(
+                "id",
+                "content_hash",
+                "keeper",
+                (F.col("id") != F.col("keeper")).alias("is_duplicate"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_hashes = resolved.filter(~F.col("seen_before")).select(
+            "content_hash", "keeper"
+        )
+        new_hashes.write.mode("append").parquet(self.index_dir)
+        return out

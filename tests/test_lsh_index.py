@@ -64,3 +64,45 @@ def test_second_ingest_finds_cross_batch_duplicates(spark, sf_dir, tmp_path):
     p2 = _pairs_set(idx.ingest(docs.filter(F.col("doc_id") >= 250)))
     cross_got = {(a, b, j) for a, b, j in p2 if (a < 250) != (b < 250)}
     assert cross_got == cross_expected
+
+
+def test_exact_index_matches_full_corpus_dedup(spark, sf_dir, tmp_path):
+    from s3_parquet_to_postgres_spark.operators.lsh_index import (
+        ExactDedupIndex,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = ExactDedupIndex(spark, str(tmp_path / "exact"))
+    out = []
+    for lo, hi in ((0, 200), (200, 400), (400, 10**9)):
+        batch = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        out.extend(idx.ingest(batch).collect())
+    got = {r.id: (r.keeper, r.is_duplicate) for r in out}
+    # full-corpus truth: keeper = min doc_id per sha256(text)
+    truth = {
+        r.doc_id: r.keeper
+        for r in docs.selectExpr(
+            "doc_id",
+            "min(doc_id) over (partition by sha2(text, 256)) as keeper",
+        ).collect()
+    }
+    assert len(got) == len(truth)
+    for doc_id, keeper in truth.items():
+        assert got[doc_id] == (keeper, doc_id != keeper)
+
+
+def test_exact_index_flags_cross_batch_duplicate(spark, tmp_path):
+    from s3_parquet_to_postgres_spark.operators.lsh_index import (
+        ExactDedupIndex,
+    )
+
+    idx = ExactDedupIndex(spark, str(tmp_path / "exact"))
+    b1 = spark.createDataFrame([(1, "same text"), (2, "other")],
+                               ["doc_id", "text"])
+    b2 = spark.createDataFrame([(3, "same text")], ["doc_id", "text"])
+    r1 = {r.id: r for r in idx.ingest(b1).collect()}
+    assert not r1[1].is_duplicate and not r1[2].is_duplicate
+    r2 = {r.id: r for r in idx.ingest(b2).collect()}
+    assert r2[3].is_duplicate and r2[3].keeper == 1
