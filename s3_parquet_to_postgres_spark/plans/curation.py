@@ -1862,6 +1862,138 @@ FROM daily
 """
 
 
+# --------------------------------------------------------------------------
+# Maximal shared token spans (ExactSubstr-style dedup, Spark-shaped)
+# --------------------------------------------------------------------------
+
+_SPAN_K = 8        # gram width in tokens
+_SPAN_MIN_GRAMS = 3  # report pairs sharing a run of >= 3 grams (>= 10 tokens)
+_SPAN_MAX_DF = 20  # hot-gram document-frequency cap (declared semantics)
+
+
+def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT substring dedup (the semantics of Lee et
+    al. 2022's suffix-array ExactSubstr, re-shaped for Spark): find
+    doc pairs sharing a verbatim token run of >= K + min_grams - 1
+    tokens by matching positioned K-token grams and merging adjacent
+    matches with a gaps-and-islands fold. A match at diagonal
+    d = pos_a - pos_b that continues at the next position extends the
+    island; the longest island gives the longest shared span.
+
+    Scale shape: one positioned-gram explode; hot grams above a
+    document-frequency cap are pruned (declared semantics, like every
+    posting-list op here -- boilerplate grams carry no span signal
+    and cause k^2 fan-out); candidate positions group per gram and
+    pair in-bucket; islands are ONE window over (pair, diagonal).
+    Never a doc x doc comparison, never a suffix array's global sort.
+    """
+    from ..operators.textstats import ws_tokens
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", ws_tokens("text").alias("w"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(w) >= {_SPAN_K} THEN"
+                f" transform(sequence(1, size(w) - {_SPAN_K} + 1),"
+                f" i -> concat_ws(' ', slice(w, i, {_SPAN_K})))"
+                " ELSE array() END"
+            )
+        ).alias("pos", "gram"),
+    ).withColumn("gh", F.md5("gram")).drop("gram")
+    keep = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("gdf"))
+        .filter(F.col("gdf") <= _SPAN_MAX_DF)
+        .select("gh")
+    )
+    pruned = grams.join(keep, "gh", "left_semi")
+    buckets = pruned.groupBy("gh").agg(
+        F.collect_list(F.struct("doc_id", "pos")).alias("ms")
+    ).filter(F.size("ms") >= 2)
+    pair_expr = F.expr(
+        "flatten(transform(ms, (x, i) ->"
+        " transform(filter(slice(ms, i + 2, size(ms)),"
+        "                  y -> y.doc_id != x.doc_id), y ->"
+        " named_struct("
+        "   'da', least(x.doc_id, y.doc_id),"
+        "   'db', greatest(x.doc_id, y.doc_id),"
+        "   'pa', CASE WHEN x.doc_id < y.doc_id THEN x.pos ELSE y.pos END,"
+        "   'pb', CASE WHEN x.doc_id < y.doc_id THEN y.pos ELSE x.pos END"
+        "))))"
+    )
+    matches = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.da", "p.db", "p.pa", "p.pb")
+        .dropDuplicates(["da", "db", "pa", "pb"])
+        .withColumn("diag", F.col("pa") - F.col("pb"))
+    )
+    w = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    islands = matches.withColumn(
+        "grp", F.col("pa") - F.row_number().over(w)
+    )
+    runs = islands.groupBy("da", "db", "diag", "grp").agg(
+        F.count("*").alias("run_grams")
+    )
+    return (
+        runs.groupBy("da", "db")
+        .agg(
+            F.max("run_grams").alias("max_run"),
+            F.sum("run_grams").alias("total_matched_grams"),
+        )
+        .filter(F.col("max_run") >= _SPAN_MIN_GRAMS)
+        .select(
+            F.col("da").alias("id_a"),
+            F.col("db").alias("id_b"),
+            (F.col("max_run") + _SPAN_K - 1)
+            .cast("long")
+            .alias("longest_span_tokens"),
+            F.col("total_matched_grams").cast("long")
+            .alias("total_matched_grams"),
+        )
+    )
+
+
+DEDUP_EXACT_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), grams AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(w[i:i+{_SPAN_K - 1}], ' ')) AS gh
+  FROM toks, unnest(range(1, len(w) - {_SPAN_K} + 2)) r(i)
+  WHERE len(w) >= {_SPAN_K}
+), keep AS (
+  SELECT gh FROM grams GROUP BY gh
+  HAVING count(DISTINCT doc_id) <= {_SPAN_MAX_DF}
+), pruned AS (
+  SELECT g.* FROM grams g WHERE gh IN (SELECT gh FROM keep)
+), matches AS (
+  SELECT DISTINCT
+         least(a.doc_id, b.doc_id) AS da,
+         greatest(a.doc_id, b.doc_id) AS db,
+         CASE WHEN a.doc_id < b.doc_id THEN a.pos ELSE b.pos END AS pa,
+         CASE WHEN a.doc_id < b.doc_id THEN b.pos ELSE a.pos END AS pb
+  FROM pruned a JOIN pruned b
+    ON a.gh = b.gh AND a.doc_id < b.doc_id
+), islands AS (
+  SELECT da, db, pa - pb AS diag, pa,
+         pa - row_number() OVER (PARTITION BY da, db, pa - pb
+                                 ORDER BY pa) AS grp
+  FROM matches
+), runs AS (
+  SELECT da, db, diag, grp, count(*) AS run_grams
+  FROM islands GROUP BY da, db, diag, grp
+)
+SELECT da AS id_a, db AS id_b,
+       CAST(max(run_grams) + {_SPAN_K - 1} AS BIGINT)
+         AS longest_span_tokens,
+       CAST(sum(run_grams) AS BIGINT) AS total_matched_grams
+FROM runs GROUP BY da, db
+HAVING max(run_grams) >= {_SPAN_MIN_GRAMS}
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("sample_weighted", sample_weighted, SAMPLE_WEIGHTED_SQL,
               "Efraimidis-Spirakis A-ES weighted sample without "
@@ -1947,4 +2079,9 @@ SPECS: list[QuerySpec] = [
               EVENT_RUNNING_UNIQUE_SQL,
               "cumulative distinct users via first-occurrence flags + "
               "running sum: linear state, never a running COUNT(DISTINCT)"),
+    QuerySpec("dedup_exact_spans", dedup_exact_spans,
+              DEDUP_EXACT_SPANS_SQL,
+              "ExactSubstr-style maximal shared token spans: "
+              "positioned k-gram buckets + gaps-and-islands over "
+              "(pair, diagonal); df-capped, no suffix-array global sort"),
 ]

@@ -542,3 +542,52 @@ def test_running_unique_matches_brute_force(spark, sf_dir):
             per_day[r.ts.strftime("%Y-%m-%d")] = len(users)
         for day, n in per_day.items():
             assert got[(et, day)] == n
+
+
+def test_exact_spans_match_true_common_substrings(spark, sf_dir):
+    out = C.dedup_exact_spans(spark, sf_dir).collect()
+    assert out
+    docs = {
+        r.doc_id: r.text.strip().split()
+        for r in C.t(spark, sf_dir, "documents").collect()
+    }
+
+    def longest_common_run(a, b):
+        # token-level longest common substring, O(len_a * len_b) on
+        # the few reported pairs only
+        best = 0
+        prev = [0] * (len(b) + 1)
+        for i in range(1, len(a) + 1):
+            cur = [0] * (len(b) + 1)
+            for j in range(1, len(b) + 1):
+                if a[i - 1] == b[j - 1]:
+                    cur[j] = prev[j - 1] + 1
+                    best = max(best, cur[j])
+            prev = cur
+        return best
+
+    for r in out:
+        true_run = longest_common_run(docs[r.id_a], docs[r.id_b])
+        # df-pruning can only shorten the detected span, never invent one
+        assert r.longest_span_tokens >= C._SPAN_K + C._SPAN_MIN_GRAMS - 1
+        assert true_run >= r.longest_span_tokens
+
+
+def test_exact_spans_on_synthetic_known_span(spark):
+    shared = " ".join(f"s{i}" for i in range(20))  # 20-token span
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb " + shared + " cc dd"),
+            (2, "xx yy zz " + shared + " qq"),
+            (3, " ".join(f"u{i}" for i in range(40))),
+        ],
+        ["doc_id", "text"],
+    )
+    import s3_parquet_to_postgres_spark.plans.curation as CC
+    from unittest import mock
+
+    with mock.patch.object(CC, "t", lambda spark, sf, name: df):
+        rows = {(r.id_a, r.id_b): r
+                for r in CC.dedup_exact_spans(spark, "ignored").collect()}
+    assert set(rows) == {(1, 2)}
+    assert rows[(1, 2)].longest_span_tokens == 20
