@@ -1994,6 +1994,75 @@ HAVING max(run_grams) >= {_SPAN_MIN_GRAMS}
 """
 
 
+# --------------------------------------------------------------------------
+# Corpus card (per source x lang accounting report)
+# --------------------------------------------------------------------------
+
+
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus card a dataset release ships: per (source, lang)
+    stratum -- docs, token/char volume, exact-duplicate rate, and
+    share of corpus tokens -- in ONE pass over the corpus plus one
+    content-hash window (the same partitioning dedup uses). Every
+    number is exact; the token share divides by a broadcast one-row
+    total. This is the accounting join of the curation funnel's
+    outputs, kept independent so it can run on raw ingest before any
+    gate fires.
+    """
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2("text", 256))
+    toks = F.size(F.split(F.trim("text"), "\\s+")).cast("long")
+    base = d.select(
+        "source",
+        "lang",
+        toks.alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        (F.col("doc_id") > F.min("doc_id").over(w)).alias("is_copy"),
+    )
+    strata = base.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum(F.col("is_copy").cast("long")).alias("n_dup_copies"),
+    )
+    total = base.agg(F.sum("n_tokens").alias("corpus_tokens"))
+    return strata.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_dup_copies").cast("long").alias("n_dup_copies"),
+        dround(
+            F.col("n_tokens") / F.col("corpus_tokens"), 6
+        ).alias("token_share"),
+    )
+
+
+CORPUS_REPORT_SQL = """
+WITH base AS (
+  SELECT source, lang,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         doc_id > min(doc_id) OVER (PARTITION BY sha256(text)) AS is_copy
+  FROM documents
+), total AS (
+  SELECT sum(n_tokens) AS corpus_tokens FROM base
+)
+SELECT source, lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(CASE WHEN is_copy THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_copies,
+       (floor(sum(n_tokens) / CAST(corpus_tokens AS DOUBLE)
+              * 1000000 + 0.5) / 1000000.0) AS token_share
+FROM base, total
+GROUP BY source, lang, corpus_tokens
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("sample_weighted", sample_weighted, SAMPLE_WEIGHTED_SQL,
               "Efraimidis-Spirakis A-ES weighted sample without "
@@ -2084,4 +2153,7 @@ SPECS: list[QuerySpec] = [
               "ExactSubstr-style maximal shared token spans: "
               "positioned k-gram buckets + gaps-and-islands over "
               "(pair, diagonal); df-capped, no suffix-array global sort"),
+    QuerySpec("corpus_report", corpus_report, CORPUS_REPORT_SQL,
+              "dataset-release corpus card: one corpus pass + one "
+              "content-hash window, exact per-stratum accounting"),
 ]

@@ -591,3 +591,13 @@ def test_exact_spans_on_synthetic_known_span(spark):
                 for r in CC.dedup_exact_spans(spark, "ignored").collect()}
     assert set(rows) == {(1, 2)}
     assert rows[(1, 2)].longest_span_tokens == 20
+
+
+def test_corpus_report_accounting_closes(spark, sf_dir):
+    rows = C.corpus_report(spark, sf_dir).collect()
+    d = C.t(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-3
+    # dup copies across strata equal the global dedup delta
+    keepers = d.groupBy(F.sha2("text", 256)).count().count()
+    assert sum(r.n_dup_copies for r in rows) == d.count() - keepers
