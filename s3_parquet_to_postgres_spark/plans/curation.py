@@ -1869,6 +1869,7 @@ FROM daily
 _SPAN_K = 8        # gram width in tokens
 _SPAN_MIN_GRAMS = 3  # report pairs sharing a run of >= 3 grams (>= 10 tokens)
 _SPAN_MAX_DF = 20  # hot-gram document-frequency cap (declared semantics)
+_SPAN_MAX_BUCKET = 64  # total occurrence cap per gram (declared)
 
 
 def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1909,9 +1910,16 @@ def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gh")
     )
     pruned = grams.join(keep, "gh", "left_semi")
+    # The df cap bounds DOCUMENTS per gram; a gram repeated many
+    # times INSIDE one doc (degenerate "a a a ..." text) still makes a
+    # quadratic bucket, so total occurrences are capped too (declared
+    # semantics, mirrored by the oracle, same stance as
+    # max_bucket_size in the LSH ops).
     buckets = pruned.groupBy("gh").agg(
         F.collect_list(F.struct("doc_id", "pos")).alias("ms")
-    ).filter(F.size("ms") >= 2)
+    ).filter(
+        (F.size("ms") >= 2) & (F.size("ms") <= _SPAN_MAX_BUCKET)
+    )
     pair_expr = F.expr(
         "flatten(transform(ms, (x, i) ->"
         " transform(filter(slice(ms, i + 2, size(ms)),"
@@ -1968,6 +1976,8 @@ WITH toks AS (
   HAVING count(DISTINCT doc_id) <= {_SPAN_MAX_DF}
 ), pruned AS (
   SELECT g.* FROM grams g WHERE gh IN (SELECT gh FROM keep)
+    AND gh IN (SELECT gh FROM grams GROUP BY gh
+               HAVING count(*) BETWEEN 2 AND 64)
 ), matches AS (
   SELECT DISTINCT
          least(a.doc_id, b.doc_id) AS da,
