@@ -216,22 +216,27 @@ def pagerank(
         F.col("src").alias("deg_id"), "outdeg"
     )
     verts = e.select(F.col("src").alias("id")).distinct()
-    msg_edges = e.select(
-        F.col("src").alias("m_src"), F.col("dst").alias("m_dst")
+    # Degrees join the edge list ONCE (checkpointed): the per-iteration
+    # message step is then a single equi-join instead of two, and the
+    # c = r/outdeg float op is unchanged (same per-edge operands).
+    edeg = (
+        e.join(deg, F.col("src") == F.col("deg_id"))
+        .select(
+            F.col("src").alias("m_src"),
+            F.col("dst").alias("m_dst"),
+            "outdeg",
+        )
+        .localCheckpoint(eager=True)
     )
     n = verts.agg(F.count("*").cast("double").alias("__n"))
     ranks = verts.crossJoin(F.broadcast(n)).select(
         "id", (F.lit(1.0) / F.col("__n")).alias("r")
     )
     base, d = F.lit(1.0 - damping), F.lit(damping)
-    for _ in range(iters):
-        msgs = (
-            ranks.join(deg, F.col("id") == F.col("deg_id"))
-            .join(msg_edges, F.col("id") == F.col("m_src"))
-            .select(
-                F.col("m_dst").alias("to"),
-                (F.col("r") / F.col("outdeg")).alias("c"),
-            )
+    for i in range(iters):
+        msgs = ranks.join(edeg, F.col("id") == F.col("m_src")).select(
+            F.col("m_dst").alias("to"),
+            (F.col("r") / F.col("outdeg")).alias("c"),
         )
         inbox = msgs.groupBy("to").agg(F.sum("c").alias("s"))
         ranks = (
@@ -245,6 +250,12 @@ def pagerank(
                 ).alias("r"),
             )
         )
+        # Truncate lineage every few rounds: a 10-iteration lazy plan
+        # is ~40 operators deep and Catalyst analysis cost grows with
+        # depth; the rank table is V rows, so materializing is cheap
+        # and value-neutral.
+        if (i + 1) % 3 == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     from ..functions import dround
 
     return ranks.select("id", dround("r", 6).alias("pagerank"))
