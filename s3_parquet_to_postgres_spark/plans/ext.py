@@ -1248,15 +1248,20 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges).select(F.col("id").alias("doc_id"), "pagerank")
 
 
-def _pagerank_oracle_sql(damping: float = 0.85, iters: int = 10) -> str:
-    # Replays pagerank()'s power iteration as chained CTEs; float
-    # literals are repr()'d so both engines parse the identical
-    # double (1 - 0.85 is NOT 0.15 in binary).
+def pagerank_oracle_sql(
+    edges_sql: str,
+    damping: float = 0.85,
+    iters: int = 10,
+    id_alias: str = "doc_id",
+) -> str:
+    """Replays pagerank()'s power iteration as chained CTEs over any
+    symmetric (src, dst) edge query; float literals are repr()'d so
+    both engines parse the identical double (1 - 0.85 is NOT 0.15 in
+    binary). Shared by graph_pagerank (passage-overlap edges) and
+    text_textrank (token co-occurrence edges)."""
     base, d = repr(1.0 - damping), repr(damping)
     ctes = [
-        f"pairs AS ({DEDUP_PASSAGE_PAIRS_SQL})",
-        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs"
-        " UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs)",
+        f"edges AS ({edges_sql})",
         "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
         "v AS (SELECT DISTINCT src AS id FROM edges)",
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v)",
@@ -1276,12 +1281,18 @@ def _pagerank_oracle_sql(damping: float = 0.85, iters: int = 10) -> str:
     joined = ",\n".join(ctes)
     return (
         f"WITH {joined}\n"
-        f"SELECT id AS doc_id, {sql_dround('r', 6)} AS pagerank"
+        f"SELECT id AS {id_alias}, {sql_dround('r', 6)} AS pagerank"
         f" FROM r{iters}"
     )
 
 
-GRAPH_PAGERANK_SQL = _pagerank_oracle_sql()
+_PASSAGE_EDGES_SQL = (
+    f"WITH pairs AS ({DEDUP_PASSAGE_PAIRS_SQL})"
+    " SELECT id_a AS src, id_b AS dst FROM pairs"
+    " UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs"
+)
+
+GRAPH_PAGERANK_SQL = pagerank_oracle_sql(_PASSAGE_EDGES_SQL)
 
 
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
