@@ -78,6 +78,11 @@ EXTRA = [
     "event_rollup_incremental",
     "table_quality_checks",
     "join_point_in_time",
+    # session-4 spatial / mining additions
+    "join_spatial_grid",
+    "text_textrank",
+    "ml_naive_bayes",
+    "ml_logreg_train",
 ]
 
 

@@ -235,7 +235,293 @@ SELECT actual, predicted, count(*) AS n FROM pred GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Logistic regression trained by batch gradient descent — iterative
+# in-engine model fitting with bit-stable cross-engine arithmetic
+# --------------------------------------------------------------------------
+
+_LR_BUCKETS = 16
+_LR_ITERS = 3
+# Raw-count features make per-doc margins ~150x the per-bucket weight,
+# so the stable full-batch step is small; 0.005 descends monotonically
+# (pinned by test_spatial_mining.test_logreg_training_descends).
+_LR_RATE = 0.005
+# Sigmoid/weight quantum 1e-6: coarse enough that a 1-ulp libm exp()
+# disagreement cannot flip a floor() boundary in practice, fine
+# enough that the fitted weights are meaningful.
+_SIG_Q = 1000000.0
+
+
+def ml_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a binary logistic-regression classifier (label:
+    lang == 'en') on hashed bag-of-words counts with full-batch
+    gradient descent, entirely in the engine; returns the fitted
+    per-bucket weights.
+
+    Every step is bit-stable cross-engine: feature counts are exact
+    integers; the per-row sigmoid (the only transcendental) is
+    quantized to a scaled BIGINT (1e-6) so gradient sums are exact
+    integer arithmetic in any order; weights live as scaled BIGINTs
+    and margins are exact integer dot products. Defined over docs
+    with >= 1 whitespace token.
+
+    Scale shape (per iteration): the (doc, bucket, cnt) feature table
+    is built ONCE and localCheckpoint'ed; the weight vector is 16
+    rows and broadcast, so each round is one broadcast join + one
+    map-side-combinable per-doc sum + one per-bucket sum — the
+    classic "model fits in a broadcast, data never moves" pattern.
+    Gradient shuffle volume per round = |docs| longs, independent of
+    corpus width.
+    """
+    from ..functions import md5_unit
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.expr(_WS_TOKS_SPARK).alias("w")
+    )
+    x = (
+        d.select("doc_id", F.explode("w").alias("tok"))
+        .withColumn(
+            "bucket",
+            F.floor(md5_unit("tok") * _LR_BUCKETS).cast("long"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    y = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("y"),
+    )
+    n = x.select("doc_id").distinct().agg(
+        F.count("*").cast("double").alias("__n")
+    )
+    w = spark.range(_LR_BUCKETS).select(
+        F.col("id").alias("bucket"), F.lit(0).cast("long").alias("wq")
+    )
+    sq, lr = F.lit(_SIG_Q), F.lit(_LR_RATE)
+    for _ in range(_LR_ITERS):
+        m = (
+            x.join(F.broadcast(w), "bucket")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("cnt") * F.col("wq")).alias("m_int"))
+        )
+        r = m.join(y, "doc_id").select(
+            "doc_id",
+            (
+                F.floor(
+                    sq / (F.lit(1.0)
+                          + F.exp(-(F.col("m_int").cast("double") / sq)))
+                    + F.lit(0.5)
+                ).cast("long")
+                - F.col("y") * F.lit(int(_SIG_Q))
+            ).alias("r_int"),
+        )
+        g = (
+            x.join(r, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("r_int") * F.col("cnt")).alias("g"))
+        )
+        w = (
+            w.join(g, "bucket", "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "bucket",
+                (
+                    F.col("wq")
+                    - F.floor(
+                        lr
+                        * (F.coalesce(F.col("g"), F.lit(0)).cast("double")
+                           / F.col("__n"))
+                        + F.lit(0.5)
+                    ).cast("long")
+                ).alias("wq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return w.select(
+        "bucket", (F.col("wq").cast("double") / sq).alias("weight")
+    )
+
+
+def _logreg_oracle_sql() -> str:
+    b, it, lr = _LR_BUCKETS, _LR_ITERS, repr(_LR_RATE)
+    q = f"{_SIG_Q:.1f}"
+    from ..functions.numeric import sql_md5_unit as smu
+
+    ctes = [
+        f"""d AS (
+  SELECT doc_id, lang, {_WS_TOKS_SQL} AS w FROM documents
+)""",
+        f"""x AS (
+  SELECT doc_id,
+         CAST(floor({smu('tok')} * {b}) AS BIGINT) AS bucket,
+         count(*) AS cnt
+  FROM (SELECT doc_id, unnest(w) AS tok FROM d)
+  GROUP BY 1, 2
+)""",
+        "y AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END"
+        " AS y FROM d)",
+        "nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM x)",
+        f"w0 AS (SELECT CAST(i AS BIGINT) AS bucket,"
+        f" CAST(0 AS BIGINT) AS wq FROM range({b}) r(i))",
+    ]
+    for k in range(it):
+        ctes.append(
+            f"m{k} AS (SELECT x.doc_id,"
+            f" SUM(x.cnt * w{k}.wq) AS m_int"
+            f" FROM x JOIN w{k} USING (bucket) GROUP BY 1)"
+        )
+        ctes.append(
+            f"s{k} AS (SELECT m.doc_id,"
+            f" CAST(floor({q} / (1.0 + exp(-(CAST(m.m_int AS DOUBLE)"
+            f" / {q}))) + 0.5) AS BIGINT)"
+            f" - y.y * CAST({q} AS BIGINT) AS r_int"
+            f" FROM m{k} m JOIN y USING (doc_id))"
+        )
+        ctes.append(
+            f"g{k} AS (SELECT x.bucket, SUM(s.r_int * x.cnt) AS g"
+            f" FROM x JOIN s{k} s USING (doc_id) GROUP BY 1)"
+        )
+        ctes.append(
+            f"w{k + 1} AS (SELECT w.bucket,"
+            f" w.wq - CAST(floor({lr}"
+            f" * (CAST(coalesce(g.g, 0) AS DOUBLE) / nn.n) + 0.5)"
+            f" AS BIGINT) AS wq"
+            f" FROM w{k} w LEFT JOIN g{k} g USING (bucket)"
+            f" CROSS JOIN nn)"
+        )
+    joined = ",\n".join(ctes)
+    return (
+        f"WITH {joined}\n"
+        f"SELECT bucket, CAST(wq AS DOUBLE) / {q} AS weight FROM w{it}"
+    )
+
+
+ML_LOGREG_TRAIN_SQL = _logreg_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# Decision-stump training: best threshold split by information gain,
+# computed with ONE pass + a window cumulative sum (no threshold x
+# data join)
+# --------------------------------------------------------------------------
+
+_STUMP_ENT_Q = 1000000000.0
+
+
+def ml_tree_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a depth-1 decision tree: the best `n_chars <= t` split
+    for predicting lang == 'en', scored by information gain. Returns
+    the top-5 candidate thresholds by quantized gain.
+
+    The classic CART/C4.5 split search is expressed without enumerating
+    (threshold x row) pairs: rows collapse to per-distinct-value
+    (count, positives) in one hash agg, a window cumulative sum over
+    the value order yields every prefix's class histogram in linear
+    state, and gain falls out per candidate row. Entropies (the only
+    transcendentals) are quantized to scaled BIGINT; counts and the
+    n*H products' inputs are exact, so the top-5 order is bit-stable.
+
+    Scale shape: one partial-aggregated groupBy (output bounded by
+    distinct feature values, not rows), one window over a SINGLE
+    ordered partition of that already-tiny table, one top-k. The
+    corpus is scanned once.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "n_chars",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+        .alias("y"),
+    )
+    per_val = d.groupBy("n_chars").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos")
+    )
+    w = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_val.select(
+        F.col("n_chars").alias("threshold"),
+        F.sum("n").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("pl"),
+        F.sum("n").over(tot).alias("nt"),
+        F.sum("pos").over(tot).alias("pt"),
+    ).filter(F.col("nl") < F.col("nt"))  # right side must be non-empty
+
+    def _h(pos, n):
+        # entropy in nats of a (pos, n-pos) split; 0 log 0 := 0
+        p = pos.cast("double") / n
+        q = (n - pos).cast("double") / n
+        term = (
+            F.when(pos > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+            + F.when(n - pos > 0, -q * F.log(q)).otherwise(F.lit(0.0))
+        )
+        return F.floor(term * F.lit(_STUMP_ENT_Q) + F.lit(0.5)).cast("long")
+
+    nl, pl = F.col("nl"), F.col("pl")
+    nr, pr = F.col("nt") - F.col("nl"), F.col("pt") - F.col("pl")
+    # gain * nt, in entropy quanta: nt*H(parent) - nl*H(l) - nr*H(r);
+    # products of exact BIGINT counts with quantized entropies stay
+    # exact, so no float summation order can flip the ranking.
+    gain_q = (
+        F.col("nt") * _h(F.col("pt"), F.col("nt"))
+        - nl * _h(pl, nl)
+        - nr * _h(pr, nr)
+    )
+    scored = cum.select(
+        "threshold",
+        F.col("nl").cast("long").alias("n_left"),
+        F.col("pl").cast("long").alias("pos_left"),
+        gain_q.alias("gain_q"),
+    )
+    return scored.orderBy(F.desc("gain_q"), F.asc("threshold")).limit(5)
+
+
+_STUMP_H = (
+    "CAST(floor((CASE WHEN {p} > 0 THEN -({p} / CAST({n} AS DOUBLE))"
+    " * ln({p} / CAST({n} AS DOUBLE)) ELSE 0.0 END"
+    " + CASE WHEN {n} - {p} > 0 THEN"
+    " -(({n} - {p}) / CAST({n} AS DOUBLE))"
+    " * ln(({n} - {p}) / CAST({n} AS DOUBLE)) ELSE 0.0 END)"
+    f" * {_STUMP_ENT_Q:.1f} + 0.5) AS BIGINT)"
+)
+
+ML_TREE_STUMP_SQL = f"""
+WITH d AS (
+  SELECT n_chars, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+), per_val AS (
+  SELECT n_chars, count(*) AS n, sum(y) AS pos FROM d GROUP BY 1
+), cum AS (
+  SELECT n_chars AS threshold,
+         sum(n) OVER (ORDER BY n_chars
+                      ROWS UNBOUNDED PRECEDING) AS nl,
+         sum(pos) OVER (ORDER BY n_chars
+                        ROWS UNBOUNDED PRECEDING) AS pl,
+         sum(n) OVER () AS nt,
+         sum(pos) OVER () AS pt
+  FROM per_val
+), gains AS (
+  SELECT threshold,
+         CAST(nl AS BIGINT) AS n_left,
+         CAST(pl AS BIGINT) AS pos_left,
+         nt * {_STUMP_H.format(p='pt', n='nt')}
+           - nl * {_STUMP_H.format(p='pl', n='nl')}
+           - (nt - nl) * {_STUMP_H.format(p='(pt - pl)', n='(nt - nl)')}
+           AS gain_q
+  FROM cum WHERE nl < nt
+)
+SELECT threshold, n_left, pos_left, CAST(gain_q AS BIGINT) AS gain_q
+FROM gains
+ORDER BY gain_q DESC, threshold ASC LIMIT 5
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("text_textrank", text_textrank, TEXT_TEXTRANK_SQL),
     QuerySpec("ml_naive_bayes", ml_naive_bayes, ML_NAIVE_BAYES_SQL),
+    QuerySpec("ml_logreg_train", ml_logreg_train, ML_LOGREG_TRAIN_SQL),
+    QuerySpec("ml_tree_stump", ml_tree_stump, ML_TREE_STUMP_SQL),
 ]

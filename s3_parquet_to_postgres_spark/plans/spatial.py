@@ -257,10 +257,209 @@ SELECT id_a, id_b, dist_km FROM cand WHERE dist_km <= {_RADIUS_KM}
 """
 
 
+# --------------------------------------------------------------------------
+# ml_grid_cluster: DBSCAN-style density clustering = dense grid cells
+# + connected components over the 8-neighborhood adjacency graph
+# --------------------------------------------------------------------------
+
+_MIN_PTS = 2  # a cell is "dense" with >= this many points
+
+
+def ml_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN (the CLIQUE/grid flavor of density clustering):
+    cells holding >= _MIN_PTS points are dense; dense cells touching
+    in the 8-neighborhood merge into one cluster via the shared
+    hash-min connected-components operator. Returns one row per
+    cluster: its label (smallest member cell id), cell count, and
+    point count.
+
+    Scale shape: the corpus reduces to per-cell counts in ONE
+    partial-aggregated groupBy (output is grid-bounded, not
+    corpus-bounded); adjacency is the same narrow 9x offset explode +
+    hash equi-join as join_spatial_grid, over the already-tiny dense
+    set. Components use the large-star/small-star algorithm, NOT
+    hash-min propagation: at high point density nearly every cell is
+    dense and the component spans the whole grid, so convergence must
+    be O(log^2 n) rounds, independent of the grid diameter (hash-min
+    would need ~grid-width iterations). The corpus itself is scanned
+    once and never joined.
+    """
+    from ..operators.components import connected_components_star
+
+    p = _points(spark, sf_dir)
+    cells = p.groupBy(
+        F.floor(F.col("lat") * F.lit(_LAT_CELL_INV)).cast("long").alias("cy"),
+        F.floor(F.col("lon") * F.lit(_LON_CELL_INV)).cast("long").alias("cx"),
+    ).agg(F.count("*").alias("n_points"))
+    dense = cells.filter(F.col("n_points") >= _MIN_PTS).withColumn(
+        "cid", (F.col("cy") + 64) * 4096 + (F.col("cx") + 64)
+    )
+    offsets = F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        if not (dy == 0 and dx == 0)
+    ])
+    a = dense.select(
+        F.col("cid").alias("id_a"),
+        F.explode(offsets).alias("o"),
+        F.col("cy"), F.col("cx"),
+    ).select(
+        "id_a",
+        (F.col("cy") + F.col("o.dy")).alias("jy"),
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+    )
+    b = dense.select(
+        F.col("cid").alias("id_b"),
+        F.col("cy").alias("jy"), F.col("cx").alias("jx"),
+    )
+    edges = a.join(b, ["jy", "jx"]).filter(
+        F.col("id_a") < F.col("id_b")
+    ).select("id_a", "id_b")
+    labels = connected_components_star(edges)
+    labeled = dense.join(
+        labels, dense["cid"] == labels["id"], "left"
+    ).select(
+        F.coalesce(F.col("comp"), F.col("cid")).alias("cluster"),
+        "n_points",
+    )
+    return labeled.groupBy("cluster").agg(
+        F.count("*").alias("n_cells"),
+        F.sum("n_points").cast("long").alias("n_points"),
+    )
+
+
+ML_GRID_CLUSTER_SQL = f"""
+WITH RECURSIVE p0 AS ({_POINTS_SQL}),
+cells AS (
+  SELECT CAST(floor(lat * {_LAT_CELL_INV}) AS BIGINT) AS cy,
+         CAST(floor(lon * {_LON_CELL_INV}) AS BIGINT) AS cx,
+         count(*) AS n_points
+  FROM p0 GROUP BY 1, 2
+), dense AS (
+  SELECT cy, cx, n_points, (cy + 64) * 4096 + (cx + 64) AS cid
+  FROM cells WHERE n_points >= {_MIN_PTS}
+), offs AS (
+  SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                        (1,-1),(1,0),(1,1)) o(dy, dx)
+), pairs AS (
+  SELECT a.cid AS id_a, b.cid AS id_b
+  FROM dense a
+  JOIN offs o ON TRUE
+  JOIN dense b ON b.cy = a.cy + o.dy AND b.cx = a.cx + o.dx
+  WHERE a.cid < b.cid
+), e AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s
+), comp AS (
+  SELECT n.s AS id, least(n.s, min(r.d)) AS comp
+  FROM (SELECT DISTINCT s FROM e) n
+  LEFT JOIN reach r ON r.s = n.s
+  GROUP BY n.s
+)
+SELECT coalesce(c.comp, d.cid) AS cluster,
+       count(*) AS n_cells,
+       CAST(sum(d.n_points) AS BIGINT) AS n_points
+FROM dense d LEFT JOIN comp c ON c.id = d.cid
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# scalar_geohash: standard base-32 geohash encoding (6 chars = 30
+# bits, lon-first bit interleave) as pure integer arithmetic
+# --------------------------------------------------------------------------
+
+_GH_BITS = 15  # bits per axis; 2 * 15 = 30 bits = 6 base-32 chars
+_GH_ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _gh_interleave(shift_fmt: str) -> str:
+    """Sum-of-terms bit interleave (lon bit k -> weight 2^(2k+1), lat
+    bit k -> 2^(2k)); ``shift_fmt`` renders one right-shift-and-mask
+    term in the target engine's syntax."""
+    terms = []
+    for k in range(_GH_BITS):
+        terms.append(f"{shift_fmt.format(col='lon_n', k=k)} * {1 << (2 * k + 1)}")
+        terms.append(f"{shift_fmt.format(col='lat_n', k=k)} * {1 << (2 * k)}")
+    return " + ".join(terms)
+
+
+_GH_SPARK_G = _gh_interleave("(shiftright({col}, {k}) & 1)")
+_GH_DUCK_G = _gh_interleave("(({col} >> {k}) & 1)")
+_GH_MAX = (1 << _GH_BITS) - 1
+
+
+def _gh_chars(g_col: str) -> str:
+    """Six base-32 chars from the 30-bit interleaved integer; same
+    syntax works on both engines (1-based substr, || concat is DuckDB
+    — Spark side uses concat())."""
+    return [
+        f"substr('{_GH_ALPHA}', cast((({g_col}) >> {25 - 5 * i}) & 31 as int) + 1, 1)"
+        for i in range(6)
+    ]
+
+
+def scalar_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard geohash6 per point: quantize each axis to 15 bits,
+    interleave lon-first, emit base-32 chars. Every step is exact
+    integer arithmetic (the axis quantization is one floor of a
+    deterministic IEEE expression), so the string is bit-stable
+    cross-engine — usable as a join/cluster key at any scale.
+    Narrow map, zero shuffle. Verified against an independent Python
+    geohash implementation in tests/test_spatial_mining.py.
+    """
+    p = _points(spark, sf_dir)
+    q = p.select(
+        "c_custkey", "lat", "lon",
+        F.least(
+            F.floor((F.col("lon") + F.lit(180.0)) / F.lit(360.0)
+                    * F.lit(float(1 << _GH_BITS))).cast("long"),
+            F.lit(_GH_MAX),
+        ).alias("lon_n"),
+        F.least(
+            F.floor((F.col("lat") + F.lit(90.0)) / F.lit(180.0)
+                    * F.lit(float(1 << _GH_BITS))).cast("long"),
+            F.lit(_GH_MAX),
+        ).alias("lat_n"),
+    )
+    g = q.withColumn("g", F.expr(_GH_SPARK_G))
+    chars = [F.expr(c) for c in _gh_chars("g")]
+    return g.select(
+        "c_custkey",
+        F.col("g").alias("gh_int"),
+        F.concat(*chars).alias("geohash6"),
+    )
+
+
+SCALAR_GEOHASH_SQL = f"""
+WITH p AS ({_POINTS_SQL}),
+q AS (
+  SELECT c_custkey,
+         least(CAST(floor((lon + 180.0) / 360.0 * {1 << _GH_BITS}.0)
+                    AS BIGINT), {_GH_MAX}) AS lon_n,
+         least(CAST(floor((lat + 90.0) / 180.0 * {1 << _GH_BITS}.0)
+                    AS BIGINT), {_GH_MAX}) AS lat_n
+  FROM p
+), g AS (
+  SELECT c_custkey, {_GH_DUCK_G} AS g FROM q
+)
+SELECT c_custkey, g AS gh_int,
+       {' || '.join(_gh_chars('g'))} AS geohash6
+FROM g
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("scalar_geo", scalar_geo, SCALAR_GEO_SQL),
+    QuerySpec("scalar_geohash", scalar_geohash, SCALAR_GEOHASH_SQL),
     QuerySpec("agg_spatial_density", agg_spatial_density,
               AGG_SPATIAL_DENSITY_SQL),
     QuerySpec("join_spatial_grid", join_spatial_grid,
               JOIN_SPATIAL_GRID_SQL),
+    QuerySpec("ml_grid_cluster", ml_grid_cluster, ML_GRID_CLUSTER_SQL),
 ]

@@ -128,6 +128,24 @@ SECTIONS = [
         "partition top-k heaps, only k rows per partition reach the"
         " driver-side merge; the corpus never shuffles.",
     ),
+    (
+        "join_spatial_grid",
+        "Grid-bucketed spatial radius join (the geohash pattern): points"
+        " bucket to cells sized >= the radius, one side takes a narrow 9x"
+        " neighborhood explode (a Generate, not a join), candidates meet"
+        " in a single hash equi-join on cell id with the per-cell cap"
+        " bounding any hot cell -- never an all-pairs cross product, and"
+        " the haversine refine runs post-join in whole-stage codegen.",
+    ),
+    (
+        "ml_logreg_train",
+        "In-engine model training: the (doc, bucket, cnt) feature table is"
+        " built once and checkpointed; each gradient-descent round joins"
+        " the BROADCAST 16-row weight vector, partial/final-aggregates"
+        " per-doc margins and per-bucket gradients -- per-round shuffle"
+        " volume is |docs| longs regardless of corpus width, the"
+        " model-fits-in-a-broadcast pattern.",
+    ),
 ]
 
 

@@ -56,6 +56,10 @@ QUERIES = [
     "sample_token_budget",
     "event_ewma",
     "dedup_containment",
+    "join_spatial_grid",
+    "ml_naive_bayes",
+    "ml_logreg_train",
+    "text_textrank",
 ]
 
 
