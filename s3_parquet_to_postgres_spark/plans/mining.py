@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions import dround
 from .base import QuerySpec, t
 from .ext import pagerank_oracle_sql
 
@@ -519,9 +520,233 @@ ORDER BY gain_q DESC, threshold ASC LIMIT 5
 """
 
 
+# --------------------------------------------------------------------------
+# U-shaped (position-based) multi-touch attribution — journeys carved
+# by reverse-cumulative purchase counts, no self-join over the log
+# --------------------------------------------------------------------------
+
+_TOUCH_TYPES = "('view', 'click', 'signup')"
+
+
+def event_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (40/20/40) multi-touch attribution: each
+    purchase's journey is every touch (view/click/signup) by the same
+    user since the previous purchase; first and last touch get 400
+    milli-credits each, middles split 200 (floor(200/(n-2)) each —
+    declared integer semantics; n=1 gets 1000, n=2 gets 500/500).
+    Output: total credit and touch count per channel.
+
+    Journeys are carved WITHOUT a purchases-to-touches self-join: a
+    reverse-ordered cumulative purchase count over the user partition
+    stamps every event with the id of its next purchase (one window),
+    then position/size come from windows over the SAME (user, journey)
+    partitioning. Credits are exact BIGINT milli-units, so the
+    per-channel sums are order-independent.
+
+    Scale shape: ONE shuffle on user_id shared by the journey stamp
+    and the position windows (same partition prefix), then one
+    partial-aggregated groupBy on channel. No event-log self-join, no
+    row explosion.
+    """
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w_rev = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stamped = e.withColumn(
+        "journey",
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).over(w_rev),
+    )
+    touches = stamped.filter(
+        F.expr(f"event_type IN {_TOUCH_TYPES}") & (F.col("journey") > 0)
+    )
+    w_pos = Window.partitionBy("user_id", "journey").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    w_grp = Window.partitionBy("user_id", "journey")
+    pos = touches.select(
+        "event_type",
+        F.row_number().over(w_pos).alias("pos"),
+        F.count("*").over(w_grp).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1000))
+        .when(F.col("n") == 2, F.lit(500))
+        .when(F.col("pos") == 1, F.lit(400))
+        .when(F.col("pos") == F.col("n"), F.lit(400))
+        .otherwise(
+            F.floor(F.lit(200.0) / (F.col("n") - 2)).cast("long")
+        )
+    )
+    return (
+        pos.select(F.col("event_type").alias("channel"),
+                   credit.cast("long").alias("c"))
+        .groupBy("channel")
+        .agg(
+            F.sum("c").alias("credit_milli"),
+            F.count("*").alias("touches"),
+        )
+    )
+
+
+EVENT_ATTRIBUTION_USHAPE_SQL = f"""
+WITH stamped AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                 ROWS UNBOUNDED PRECEDING) AS journey
+  FROM events
+), touches AS (
+  SELECT user_id, journey, event_type,
+         row_number() OVER (PARTITION BY user_id, journey
+                            ORDER BY ts ASC, event_id ASC) AS pos,
+         count(*) OVER (PARTITION BY user_id, journey) AS n
+  FROM stamped
+  WHERE event_type IN {_TOUCH_TYPES} AND journey > 0
+)
+SELECT event_type AS channel,
+       CAST(sum(CASE WHEN n = 1 THEN 1000
+                     WHEN n = 2 THEN 500
+                     WHEN pos = 1 THEN 400
+                     WHEN pos = n THEN 400
+                     ELSE CAST(floor(200.0 / (n - 2)) AS BIGINT)
+                END) AS BIGINT) AS credit_milli,
+       count(*) AS touches
+FROM touches GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Bot/automation signals from inter-event timing — the traffic-quality
+# filter a training-data event pipeline runs before trusting a user
+# --------------------------------------------------------------------------
+
+
+def event_bot_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user automation signals: inter-event gap statistics (exact
+    integer second sums), the user's busiest minute, and burstiness
+    (sigma - mu)/(sigma + mu) — regular timers score near -1, human
+    bursts near +1 (Goh & Barabasi 2008). Users with < 3 gaps are
+    excluded (variance undefined at n<2, noisy below 3).
+
+    Scale shape: ONE shuffle on user_id serves the lag window and the
+    per-user aggregate (same key); the busiest-minute signal is a
+    separate (user, minute) partial agg that reduces before its
+    shuffle. Gap moments are exact BIGINTs (seconds; squares bounded
+    far under 2^63), so only the final burstiness is quantized.
+    """
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
+    gaps = e.withColumn(
+        "gap_s",
+        F.floor((F.col("us") - F.lag("us").over(w))
+                / F.lit(1000000.0)).cast("long"),
+    ).filter(F.col("gap_s").isNotNull())
+    stats = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("gap_s").alias("sum_gap_s"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("sum_gap2"),
+        F.min("gap_s").alias("min_gap_s"),
+    )
+    per_min = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                / F.lit(60000000.0)
+            ).cast("long").alias("minute"),
+        )
+        .agg(F.count("*").alias("m"))
+        .groupBy("user_id")
+        .agg(F.max("m").alias("max_per_minute"))
+    )
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("sum_gap_s").cast("double") / n
+    var = (
+        (F.col("sum_gap2").cast("double")
+         - F.col("sum_gap_s").cast("double")
+         * F.col("sum_gap_s").cast("double") / n)
+        / (n - 1)
+    )
+    sigma = F.sqrt(var)
+    return (
+        stats.filter(F.col("n_gaps") >= 3)
+        .join(per_min, "user_id")
+        .select(
+            "user_id", "n_gaps", "sum_gap_s", "min_gap_s",
+            F.col("max_per_minute").cast("long").alias("max_per_minute"),
+            dround((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+        )
+    )
+
+
+EVENT_BOT_SIGNALS_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+  FROM events
+), g AS (
+  SELECT user_id,
+         CAST(floor((us - lag(us) OVER (PARTITION BY user_id
+                                        ORDER BY us ASC, event_id ASC))
+                    / 1000000.0) AS BIGINT) AS gap_s
+  FROM e
+), stats AS (
+  SELECT user_id, count(*) AS n_gaps,
+         CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
+         CAST(sum(gap_s * gap_s) AS BIGINT) AS sum_gap2,
+         min(gap_s) AS min_gap_s
+  FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+), pm AS (
+  SELECT user_id, CAST(max(m) AS BIGINT) AS max_per_minute FROM (
+    SELECT user_id,
+           CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 60000000.0)
+                AS BIGINT) AS minute,
+           count(*) AS m
+    FROM events GROUP BY 1, 2
+  ) GROUP BY user_id
+)
+SELECT s.user_id, s.n_gaps, s.sum_gap_s, s.min_gap_s, pm.max_per_minute,
+       {BURST} AS burstiness
+FROM stats s JOIN pm USING (user_id)
+WHERE s.n_gaps >= 3
+"""
+
+
+def _burst_sql() -> str:
+    n = "CAST(s.n_gaps AS DOUBLE)"
+    mu = f"(CAST(s.sum_gap_s AS DOUBLE) / {n})"
+    var = (
+        f"((CAST(s.sum_gap2 AS DOUBLE)"
+        f" - CAST(s.sum_gap_s AS DOUBLE)"
+        f" * CAST(s.sum_gap_s AS DOUBLE) / {n}) / ({n} - 1))"
+    )
+    from ..functions import sql_dround
+
+    return sql_dround(
+        f"((sqrt({var}) - {mu}) / (sqrt({var}) + {mu}))", 6
+    )
+
+
+EVENT_BOT_SIGNALS_SQL = EVENT_BOT_SIGNALS_SQL.replace("{BURST}", _burst_sql())
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("text_textrank", text_textrank, TEXT_TEXTRANK_SQL),
     QuerySpec("ml_naive_bayes", ml_naive_bayes, ML_NAIVE_BAYES_SQL),
     QuerySpec("ml_logreg_train", ml_logreg_train, ML_LOGREG_TRAIN_SQL),
     QuerySpec("ml_tree_stump", ml_tree_stump, ML_TREE_STUMP_SQL),
+    QuerySpec("event_attribution_ushape", event_attribution_ushape,
+              EVENT_ATTRIBUTION_USHAPE_SQL),
+    QuerySpec("event_bot_signals", event_bot_signals,
+              EVENT_BOT_SIGNALS_SQL),
 ]
