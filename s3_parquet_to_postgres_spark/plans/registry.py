@@ -9,7 +9,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import curation, ext, mining, relational, spatial, tpch
+from . import curation, ext, mining, relational, retrieval, spatial, tpch
 from .base import QuerySpec
 
 # The driver verifies a fixed-size prefix of the registry (observed:
@@ -93,7 +93,8 @@ FLAGSHIP: list[str] = [
 def get_registry() -> dict[str, QuerySpec]:
     by_name: dict[str, QuerySpec] = {}
     for module_specs in (relational.SPECS, tpch.SPECS, ext.SPECS,
-                         curation.SPECS, spatial.SPECS, mining.SPECS):
+                         curation.SPECS, spatial.SPECS, mining.SPECS,
+                         retrieval.SPECS):
         for spec in module_specs:
             if spec.name in by_name:
                 raise ValueError(f"duplicate query name: {spec.name}")

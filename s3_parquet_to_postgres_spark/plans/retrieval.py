@@ -1,0 +1,280 @@
+"""Retrieval catalog: BM25 ranking, RAG-style document chunking, and
+item-item collaborative filtering — the search/recommendation side of
+a training-data platform (what feeds retrieval-augmented pipelines).
+
+Determinism follows the catalog conventions (plans/base.py): term/
+co-occurrence counts are exact integers, transcendental idf and the
+per-(doc, term) BM25 products are quantized to scaled BIGINT before
+any summation, cosine outputs go through dround, and every LIMIT has
+a total order.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import dround, sql_dround
+from .base import QuerySpec, t
+
+_WS_TOKS_SQL = (
+    "list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+    " tk -> tk != '')"
+)
+_WS_TOKS_SPARK = (
+    "filter(split(trim(lower(text)), '\\\\s+'), tk -> tk != '')"
+)
+
+
+# --------------------------------------------------------------------------
+# BM25 (Robertson; the Lucene idf variant) for a fixed query
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "filter", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_Q = 1000000.0  # scaled-BIGINT quantum for per-term scores
+
+
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 for the fixed query {join, filter,
+    window}: idf = ln(1 + (N - df + 0.5)/(df + 0.5)), tf saturation
+    k1=1.2, length normalization b=0.75.
+
+    Per-(doc, term) scores — idf times the tf/(tf + k1(1-b+b*dl/avgdl))
+    saturation — are quantized to scaled BIGINT and summed exactly, so
+    the ranking is bit-stable cross-engine. Scale shape: term stats
+    (df per query term, avgdl) are two tiny aggregates broadcast back;
+    the corpus contributes one filtered tf aggregation over only the
+    query terms (predicate pushed into the explode), one per-doc sum,
+    one top-k. The corpus never self-joins.
+    """
+    terms_lit = ", ".join(f"'{x}'" for x in _BM25_TERMS)
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_WS_TOKS_SPARK).alias("w")
+    )
+    dl = d.select("doc_id", F.size("w").alias("dl")).filter(F.col("dl") > 0)
+    occ = d.select(
+        "doc_id", F.explode("w").alias("term")
+    ).filter(F.expr(f"term IN ({terms_lit})"))
+    tf = occ.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = df_.crossJoin(F.broadcast(stats)).select(
+        "term", "n_docs", "sum_dl",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ).alias("idf"),
+    )
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "term")
+        .select(
+            "doc_id",
+            F.floor(
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (F.lit(1.0) - b
+                            + b * F.col("dl")
+                            / (F.col("sum_dl") / F.col("n_docs")))
+                )
+                * F.lit(_BM25_Q) + F.lit(0.5)
+            ).cast("long").alias("sq"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("sq").alias("score_q"))
+    )
+    return scored.select(
+        "doc_id",
+        (F.col("score_q").cast("double") / F.lit(_BM25_Q)).alias("bm25"),
+    ).orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{x}'" for x in _BM25_TERMS)
+
+TEXT_BM25_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_WS_TOKS_SQL} AS w FROM documents
+), dl AS (
+  SELECT doc_id, len(w) AS dl FROM d WHERE len(w) > 0
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS term FROM d)
+  WHERE term IN ({_BM25_TERMS_SQL})
+  GROUP BY 1, 2
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) AS sum_dl
+  FROM dl
+), idf AS (
+  SELECT term, n_docs, sum_dl,
+         ln(1.0 + (n_docs - CAST(count(*) AS DOUBLE) + 0.5)
+                  / (CAST(count(*) AS DOUBLE) + 0.5)) AS idf
+  FROM tf, stats GROUP BY term, n_docs, sum_dl
+), scored AS (
+  SELECT tf.doc_id,
+         sum(CAST(floor(
+           idf.idf * (tf.tf * ({_BM25_K1!r} + 1))
+           / (tf.tf + {_BM25_K1!r} * (1.0 - {_BM25_B!r}
+              + {_BM25_B!r} * dl.dl / (idf.sum_dl / idf.n_docs)))
+           * {_BM25_Q:.1f} + 0.5) AS BIGINT)) AS score_q
+  FROM tf JOIN dl USING (doc_id) JOIN idf USING (term)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(score_q AS DOUBLE) / {_BM25_Q:.1f} AS bm25
+FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# RAG chunking: fixed-size overlapping token windows with stable ids
+# --------------------------------------------------------------------------
+
+_CHUNK_SIZE, _CHUNK_OVERLAP = 50, 10
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
+def text_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into 50-token chunks overlapping by 10
+    (stride 40) — the standard RAG indexing unit — with
+    content-addressed chunk hashes. A start position is emitted while
+    it has more than `overlap` tokens left (the final short chunk is
+    kept; a tail fully contained in the previous chunk is not).
+    Narrow map + explode: zero shuffle, perfectly parallel.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_WS_TOKS_SPARK).alias("w")
+    ).filter(F.size("w") > 0)
+    starts = F.expr(
+        f"sequence(1, greatest(size(w) - {_CHUNK_OVERLAP}, 1),"
+        f" {_CHUNK_STRIDE})"
+    )
+    chunks = d.select(
+        "doc_id", "w", F.posexplode(starts).alias("chunk_no", "s")
+    )
+    piece = F.expr(f"slice(w, s, {_CHUNK_SIZE})")
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
+    )
+
+
+TEXT_CHUNK_SPLIT_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_WS_TOKS_SQL} AS w FROM documents
+), starts AS (
+  SELECT doc_id, w,
+         unnest(range(1, greatest(len(w) - {_CHUNK_OVERLAP}, 1) + 1,
+                      {_CHUNK_STRIDE})) AS s
+  FROM d WHERE len(w) > 0
+)
+SELECT doc_id,
+       CAST((s - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_no,
+       CAST(len(w[s:s + {_CHUNK_SIZE} - 1]) AS BIGINT) AS n_tokens,
+       md5(array_to_string(w[s:s + {_CHUNK_SIZE} - 1], ' ')) AS chunk_md5
+FROM starts
+"""
+
+
+# --------------------------------------------------------------------------
+# Item-item collaborative filtering over TPC-H order baskets
+# --------------------------------------------------------------------------
+
+_CF_MAX_BASKET = 64
+_CF_MIN_CO = 2
+
+
+def ml_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (Sarwar et al. 2001): parts
+    co-ordered in the same order vote for similarity; cosine over
+    co-occurrence counts, top-20 pairs. Declared semantics: baskets
+    capped at {cap} distinct parts (first by partkey — the standard
+    guard against a degenerate mega-basket exploding the pair join),
+    pairs kept at co-occurrence >= {min}.
+
+    Scale shape: baskets reduce to distinct (order, part) first; the
+    pair generation is a self-equi-join on orderkey whose fan-out is
+    sum(basket^2) bounded by the cap — the classic bounded item-pair
+    pattern, never |items|^2. Count tables are exact; only the final
+    cosine is quantized.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    w = Window.partitionBy("ok").orderBy("pk")
+    li = li.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= _CF_MAX_BASKET
+    ).drop("__rn")
+    na = li.groupBy("pk").agg(F.count("*").alias("n"))
+    a = li.select("ok", F.col("pk").alias("pa"))
+    b = li.select("ok", F.col("pk").alias("pb"))
+    co = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= _CF_MIN_CO)
+    )
+    scored = (
+        co.join(na.select(F.col("pk").alias("pa"),
+                          F.col("n").alias("na")), "pa")
+        .join(na.select(F.col("pk").alias("pb"),
+                        F.col("n").alias("nb")), "pb")
+        .select(
+            "pa", "pb", "c",
+            dround(
+                F.col("c").cast("double")
+                / F.sqrt(F.col("na").cast("double")
+                         * F.col("nb").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return scored.select(
+        F.col("pa").alias("part_a"), F.col("pb").alias("part_b"),
+        F.col("c").cast("long").alias("co_orders"), "cosine",
+    ).orderBy(F.desc("cosine"), F.asc("part_a"), F.asc("part_b")).limit(20)
+
+
+ML_ITEM_CF_SQL = f"""
+WITH li0 AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), li AS (
+  SELECT ok, pk FROM (
+    SELECT ok, pk, row_number() OVER (PARTITION BY ok ORDER BY pk) AS rn
+    FROM li0
+  ) WHERE rn <= {_CF_MAX_BASKET}
+), na AS (
+  SELECT pk, count(*) AS n FROM li GROUP BY 1
+), co AS (
+  SELECT a.pk AS pa, b.pk AS pb, count(*) AS c
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING count(*) >= {_CF_MIN_CO}
+)
+SELECT co.pa AS part_a, co.pb AS part_b,
+       CAST(co.c AS BIGINT) AS co_orders,
+       {sql_dround(
+           'CAST(co.c AS DOUBLE) / sqrt(CAST(x.n AS DOUBLE)'
+           ' * CAST(y.n AS DOUBLE))', 6)} AS cosine
+FROM co JOIN na x ON x.pk = co.pa JOIN na y ON y.pk = co.pb
+ORDER BY cosine DESC, part_a ASC, part_b ASC LIMIT 20
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("text_bm25", text_bm25, TEXT_BM25_SQL),
+    QuerySpec("text_chunk_split", text_chunk_split, TEXT_CHUNK_SPLIT_SQL),
+    QuerySpec("ml_item_cf", ml_item_cf, ML_ITEM_CF_SQL),
+]
