@@ -740,6 +740,47 @@ def _burst_sql() -> str:
 EVENT_BOT_SIGNALS_SQL = EVENT_BOT_SIGNALS_SQL.replace("{BURST}", _burst_sql())
 
 
+# --------------------------------------------------------------------------
+# k-anonymity audit — the privacy gate a dataset release runs over its
+# quasi-identifier columns (Sweeney 2002)
+# --------------------------------------------------------------------------
+
+_KANON_K = 10
+
+
+def table_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of customer over the quasi-identifier pair
+    (c_nationkey, c_mktsegment): every equivalence class with its
+    size, whether it meets k=10, and the rows that would need
+    suppression or generalization to publish. One partial-aggregated
+    groupBy — output is bounded by the quasi-identifier domain, not
+    the table; the canonical release-gate shape at any scale.
+    """
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("class_size"))
+        .select(
+            "c_nationkey", "c_mktsegment",
+            F.col("class_size").cast("long").alias("class_size"),
+            (F.col("class_size") >= _KANON_K).alias("k_anonymous"),
+            F.when(F.col("class_size") >= _KANON_K, F.lit(0))
+            .otherwise(F.col("class_size")).cast("long")
+            .alias("rows_at_risk"),
+        )
+    )
+
+
+TABLE_K_ANONYMITY_SQL = f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS class_size,
+       count(*) >= {_KANON_K} AS k_anonymous,
+       CAST(CASE WHEN count(*) >= {_KANON_K} THEN 0
+                 ELSE count(*) END AS BIGINT) AS rows_at_risk
+FROM customer GROUP BY 1, 2
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("text_textrank", text_textrank, TEXT_TEXTRANK_SQL),
     QuerySpec("ml_naive_bayes", ml_naive_bayes, ML_NAIVE_BAYES_SQL),
@@ -749,4 +790,6 @@ SPECS: list[QuerySpec] = [
               EVENT_ATTRIBUTION_USHAPE_SQL),
     QuerySpec("event_bot_signals", event_bot_signals,
               EVENT_BOT_SIGNALS_SQL),
+    QuerySpec("table_k_anonymity", table_k_anonymity,
+              TABLE_K_ANONYMITY_SQL),
 ]

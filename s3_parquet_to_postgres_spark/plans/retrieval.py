@@ -38,19 +38,9 @@ _BM25_K1, _BM25_B = 1.2, 0.75
 _BM25_Q = 1000000.0  # scaled-BIGINT quantum for per-term scores
 
 
-def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 documents by BM25 for the fixed query {join, filter,
-    window}: idf = ln(1 + (N - df + 0.5)/(df + 0.5)), tf saturation
-    k1=1.2, length normalization b=0.75.
-
-    Per-(doc, term) scores — idf times the tf/(tf + k1(1-b+b*dl/avgdl))
-    saturation — are quantized to scaled BIGINT and summed exactly, so
-    the ranking is bit-stable cross-engine. Scale shape: term stats
-    (df per query term, avgdl) are two tiny aggregates broadcast back;
-    the corpus contributes one filtered tf aggregation over only the
-    query terms (predicate pushed into the explode), one per-doc sum,
-    one top-k. The corpus never self-joins.
-    """
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for every document matching the fixed query —
+    shared by text_bm25 (top-20) and similarity_rrf (top-100 fused)."""
     terms_lit = ", ".join(f"'{x}'" for x in _BM25_TERMS)
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_WS_TOKS_SPARK).alias("w")
@@ -97,7 +87,27 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id",
         (F.col("score_q").cast("double") / F.lit(_BM25_Q)).alias("bm25"),
-    ).orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
+    )
+
+
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 for the fixed query {join, filter,
+    window}: idf = ln(1 + (N - df + 0.5)/(df + 0.5)), tf saturation
+    k1=1.2, length normalization b=0.75.
+
+    Per-(doc, term) scores — idf times the tf/(tf + k1(1-b+b*dl/avgdl))
+    saturation — are quantized to scaled BIGINT and summed exactly, so
+    the ranking is bit-stable cross-engine. Scale shape: term stats
+    (df per query term, avgdl) are two tiny aggregates broadcast back;
+    the corpus contributes one filtered tf aggregation over only the
+    query terms (predicate pushed into the explode), one per-doc sum,
+    one top-k. The corpus never self-joins.
+    """
+    return (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
 
 
 _BM25_TERMS_SQL = ", ".join(f"'{x}'" for x in _BM25_TERMS)
@@ -273,8 +283,119 @@ ORDER BY cosine DESC, part_a ASC, part_b ASC LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# Hybrid search: reciprocal-rank fusion of the lexical (BM25) and
+# dense (embedding cosine) rankings
+# --------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_Q = 1000000  # scaled-BIGINT quantum for 1/(k + rank)
+_RRF_DEPTH = 100  # fuse the top-N of each ranking
+
+
+def similarity_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 ranking (fixed lexical query,
+    text_bm25's scorer) with the dense ranking (cosine against the
+    vec_id-0 embedding; doc ids align with vec ids) by reciprocal-rank
+    fusion (Cormack et al. 2009): score = sum over lists of
+    1/(60 + rank), each contribution quantized to an exact BIGINT so
+    the fused order is bit-stable. Top-20 docs.
+
+    Scale shape: each ranking is its own top-N (per-partition heaps /
+    one small sort of scored candidates), the fusion is a full outer
+    join of two N-row tables — negligible next to the scans. Ranks,
+    not raw scores, cross the fusion boundary, which is what makes
+    mixing heterogeneous scorers legitimate.
+    """
+    lex = _bm25_scored(spark, sf_dir)
+    w_lex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex_r = lex.select(
+        "doc_id", F.row_number().over(w_lex).alias("r_lex")
+    ).filter(F.col("r_lex") <= _RRF_DEPTH)
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dot = F.expr(
+        "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D,"
+        " (acc, x) -> acc + x)"
+    )
+    nrm = "aggregate({c}, 0D, (acc, x) -> acc + x * x)"
+    sims = (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            dround(
+                dot
+                / F.sqrt(F.expr(nrm.format(c="v"))
+                         * F.expr(nrm.format(c="qv"))),
+                6,
+            ).alias("sim"),
+        )
+    )
+    w_den = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    den_r = sims.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w_den).alias("r_den"),
+    ).filter(F.col("r_den") <= _RRF_DEPTH)
+
+    def _contrib(rank_col):
+        return F.when(
+            rank_col.isNotNull(),
+            F.floor(F.lit(float(_RRF_Q)) / (F.lit(_RRF_K) + rank_col)
+                    + F.lit(0.5)).cast("long"),
+        ).otherwise(F.lit(0))
+
+    fused = lex_r.join(den_r, "doc_id", "full_outer").select(
+        "doc_id",
+        (_contrib(F.col("r_lex")) + _contrib(F.col("r_den")))
+        .alias("rrf_q"),
+        F.coalesce("r_lex", F.lit(0)).cast("long").alias("rank_lexical"),
+        F.coalesce("r_den", F.lit(0)).cast("long").alias("rank_dense"),
+    )
+    return fused.orderBy(F.desc("rrf_q"), F.asc("doc_id")).limit(20)
+
+
+SIMILARITY_RRF_SQL = f"""
+WITH lex0 AS ({TEXT_BM25_SQL.replace('LIMIT 20', f'LIMIT {_RRF_DEPTH}')}),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+           AS r_lex
+  FROM lex0
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT v AS qv FROM e WHERE vec_id = 0
+), sims AS (
+  SELECT vec_id,
+         {sql_dround(
+             'list_dot_product(v, qv)'
+             ' / sqrt(list_dot_product(v, v)'
+             ' * list_dot_product(qv, qv))', 6)} AS sim
+  FROM e, q
+), den AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS r_den
+  FROM sims QUALIFY r_den <= {_RRF_DEPTH}
+), fused AS (
+  SELECT coalesce(lex.doc_id, den.doc_id) AS doc_id,
+         coalesce(CAST(floor({_RRF_Q}.0 / ({_RRF_K} + lex.r_lex) + 0.5)
+                       AS BIGINT), 0)
+         + coalesce(CAST(floor({_RRF_Q}.0 / ({_RRF_K} + den.r_den) + 0.5)
+                         AS BIGINT), 0) AS rrf_q,
+         CAST(coalesce(lex.r_lex, 0) AS BIGINT) AS rank_lexical,
+         CAST(coalesce(den.r_den, 0) AS BIGINT) AS rank_dense
+  FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id
+)
+SELECT doc_id, rrf_q, rank_lexical, rank_dense
+FROM fused ORDER BY rrf_q DESC, doc_id ASC LIMIT 20
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("text_bm25", text_bm25, TEXT_BM25_SQL),
+    QuerySpec("similarity_rrf", similarity_rrf, SIMILARITY_RRF_SQL),
     QuerySpec("text_chunk_split", text_chunk_split, TEXT_CHUNK_SPLIT_SQL),
     QuerySpec("ml_item_cf", ml_item_cf, ML_ITEM_CF_SQL),
 ]
