@@ -12,6 +12,8 @@ order.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -741,6 +743,82 @@ EVENT_BOT_SIGNALS_SQL = EVENT_BOT_SIGNALS_SQL.replace("{BURST}", _burst_sql())
 
 
 # --------------------------------------------------------------------------
+# Benford's-law first-digit audit — the classic numeric-integrity
+# screen over financial columns
+# --------------------------------------------------------------------------
+
+
+def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of o_totalprice vs the
+    Benford expectation log10(1 + 1/d), with each digit's quantized
+    squared relative deviation (the chi-square contribution). Counts
+    are exact; expected shares are fixed literals repr()'d so both
+    engines parse identical doubles. One partial-aggregated groupBy
+    on a 9-value key — nothing here grows with the table.
+    """
+    exp_shares = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+    c = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = c.select(
+        F.substring(
+            F.regexp_replace(
+                F.format_number(F.col("o_totalprice"), 10), "[0.,]", ""
+            ), 1, 1
+        ).cast("int").alias("digit")
+    )
+    n_tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    counted = digits.groupBy("digit").agg(
+        F.count("*").alias("n")
+    ).withColumn("n_total", F.sum("n").over(n_tot))
+    expected = F.create_map(*[
+        F.lit(x) for kv in exp_shares.items()
+        for x in (kv[0], float(repr(kv[1])))
+    ])
+    obs = F.col("n").cast("double") / F.col("n_total")
+    exp = expected[F.col("digit")]
+    return counted.select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        dround(obs, 6).alias("observed_share"),
+        dround(exp, 6).alias("benford_share"),
+        dround((obs - exp) * (obs - exp) / exp, 8).alias("chi2_term"),
+    )
+
+
+def _benford_sql() -> str:
+    from ..functions import sql_dround
+
+    cases = " ".join(
+        f"WHEN {d} THEN {math.log10(1 + 1 / d)!r}" for d in range(1, 10)
+    )
+    # CAST to DOUBLE: DuckDB parses the bare literals as DECIMAL and
+    # overflows inside sql_dround's scaled multiply.
+    exp = f"CAST((CASE digit {cases} END) AS DOUBLE)"
+    obs = "(CAST(n AS DOUBLE) / n_total)"
+    return f"""
+WITH digits AS (
+  SELECT CAST(substr(regexp_replace(format('{{:.10f}}', o_totalprice),
+                                    '[0.,]', '', 'g'), 1, 1) AS INT)
+           AS digit
+  FROM orders WHERE o_totalprice > 0
+), counted AS (
+  SELECT digit, count(*) AS n, sum(count(*)) OVER () AS n_total
+  FROM digits GROUP BY digit
+)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       {sql_dround(obs, 6)} AS observed_share,
+       {sql_dround(exp, 6)} AS benford_share,
+       {sql_dround(f'({obs} - {exp}) * ({obs} - {exp}) / {exp}', 8)}
+         AS chi2_term
+FROM counted
+"""
+
+
+AGG_BENFORD_SQL = _benford_sql()
+
+
+# --------------------------------------------------------------------------
 # k-anonymity audit — the privacy gate a dataset release runs over its
 # quasi-identifier columns (Sweeney 2002)
 # --------------------------------------------------------------------------
@@ -781,6 +859,75 @@ FROM customer GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Flesch-Kincaid readability — per-doc quality signal from exact
+# word/sentence/syllable-proxy counts
+# --------------------------------------------------------------------------
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease 206.835 - 1.015*(words/sentences) -
+    84.6*(syllables/words), with the standard automatable proxies:
+    sentences = punctuation runs [.!?]+ (min 1), syllables = vowel
+    groups [aeiouy]+. All three counts are exact integers from one
+    narrow regex pass (zero shuffle, zero explode); only the final
+    score is quantized. Constant literals are parsed identically by
+    both engines. Defined over docs with >= 1 word.
+    """
+    d = t(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    words = F.size(F.expr(
+        "regexp_extract_all(lower(text), '[a-z]+', 0)"
+    )).cast("long")
+    sents = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)"))
+        .cast("long"),
+        F.lit(1).cast("long"),
+    )
+    sylls = F.size(F.expr(
+        "regexp_extract_all(lower(text), '[aeiouy]+', 0)"
+    )).cast("long")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sents.cast("double"))
+        - F.lit(84.6) * (sylls.cast("double") / words.cast("double"))
+    )
+    return d.select(
+        "doc_id",
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        sylls.alias("n_syllables"),
+        dround(score, 4).alias("flesch_ease"),
+    ).filter(F.col("n_words") > 0)
+
+
+def _readability_sql() -> str:
+    from ..functions import sql_dround
+
+    words = "CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)"
+    sents = ("greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))"
+             " AS BIGINT), 1)")
+    sylls = ("CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))"
+             " AS BIGINT)")
+    score = (
+        f"(206.835 - 1.015 * (CAST({words} AS DOUBLE)"
+        f" / CAST({sents} AS DOUBLE))"
+        f" - 84.6 * (CAST({sylls} AS DOUBLE) / CAST({words} AS DOUBLE)))"
+    )
+    return f"""
+SELECT doc_id,
+       {words} AS n_words,
+       {sents} AS n_sentences,
+       {sylls} AS n_syllables,
+       {sql_dround(score, 4)} AS flesch_ease
+FROM documents
+WHERE {words} > 0
+"""
+
+
+TEXT_READABILITY_SQL = _readability_sql()
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("text_textrank", text_textrank, TEXT_TEXTRANK_SQL),
     QuerySpec("ml_naive_bayes", ml_naive_bayes, ML_NAIVE_BAYES_SQL),
@@ -792,4 +939,6 @@ SPECS: list[QuerySpec] = [
               EVENT_BOT_SIGNALS_SQL),
     QuerySpec("table_k_anonymity", table_k_anonymity,
               TABLE_K_ANONYMITY_SQL),
+    QuerySpec("agg_benford", agg_benford, AGG_BENFORD_SQL),
+    QuerySpec("text_readability", text_readability, TEXT_READABILITY_SQL),
 ]
