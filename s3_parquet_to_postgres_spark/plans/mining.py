@@ -860,6 +860,163 @@ FROM customer GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# Gini coefficient per segment — inequality/concentration metric via
+# the rank formula, exact scaled-integer sums
+# --------------------------------------------------------------------------
+
+
+def agg_gini_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of positive account balances per market
+    segment, by the rank formula G = (2*sum(i*x_i) - (n+1)*sum(x))
+    / (n*sum(x)) over ascending-sorted x. Balances become exact cent
+    BIGINTs, ranks come from one window that shares the segment
+    partitioning with the final aggregate (ONE shuffle), and every
+    sum is exact integer arithmetic — only the final ratio is
+    quantized. Tied balances break by c_custkey; tie permutations
+    cannot change sum(i*x_i) because tied x are equal.
+    """
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    xq = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    ranked = c.select(
+        "c_mktsegment", xq.alias("xq"),
+        F.row_number().over(w).alias("i"),
+    )
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum(F.col("i") * F.col("xq")).alias("six"),
+    )
+    gini = (
+        (F.lit(2.0) * F.col("six").cast("double")
+         - (F.col("n") + 1).cast("double") * F.col("sx").cast("double"))
+        / (F.col("n").cast("double") * F.col("sx").cast("double"))
+    )
+    return agg.select(
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n"),
+        F.col("sx").cast("long").alias("total_cents"),
+        dround(gini, 6).alias("gini"),
+    )
+
+
+def _gini_sql() -> str:
+    from ..functions import sql_dround
+
+    g = ("((2.0 * CAST(six AS DOUBLE)"
+         " - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))"
+         " / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)))")
+    return f"""
+WITH ranked AS (
+  SELECT c_mktsegment,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS xq,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal ASC, c_custkey ASC) AS i
+  FROM customer WHERE c_acctbal > 0
+), agg AS (
+  SELECT c_mktsegment, count(*) AS n,
+         CAST(sum(xq) AS BIGINT) AS sx,
+         CAST(sum(i * xq) AS BIGINT) AS six
+  FROM ranked GROUP BY 1
+)
+SELECT c_mktsegment, CAST(n AS BIGINT) AS n, sx AS total_cents,
+       {sql_dround(g, 6)} AS gini
+FROM agg
+"""
+
+
+AGG_GINI_SEGMENT_SQL = _gini_sql()
+
+
+# --------------------------------------------------------------------------
+# Per-user linear trend forecast — OLS slope/intercept from exact
+# integer moments, one shuffle
+# --------------------------------------------------------------------------
+
+
+def event_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user next-day forecast by least-squares trend over
+    (day, daily value sum): slope = (n*Stv - St*Sv)/(n*Stt - St^2)
+    with every moment an exact BIGINT (days as integers, values as
+    exact cents), evaluated at max(day) + 1. Users need >= 2 distinct
+    days (the denominator is positive iff so). ONE shuffle: the daily
+    rollup and the moment aggregate share the user partitioning; the
+    per-user model is closed-form — no iteration, no join.
+    """
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            / F.lit(86400000000.0)
+        ).cast("long").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vq"),
+    )
+    daily = e.groupBy("user_id", "day").agg(F.sum("vq").alias("v"))
+    m = daily.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("day").alias("st"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("day") * F.col("day")).alias("stt"),
+        F.sum(F.col("day") * F.col("v")).alias("stv"),
+        F.max("day").alias("tmax"),
+    )
+    den = (F.col("n") * F.col("stt") - F.col("st") * F.col("st"))
+    num = (F.col("n") * F.col("stv") - F.col("st") * F.col("sv"))
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        F.col("sv").cast("double") - slope * F.col("st").cast("double")
+    ) / F.col("n").cast("double")
+    forecast = intercept + slope * (F.col("tmax") + 1).cast("double")
+    return m.filter(den > 0).select(
+        "user_id",
+        F.col("n").cast("long").alias("n_days"),
+        dround(slope / 100, 6).alias("slope_per_day"),
+        dround(forecast / 100, 4).alias("next_day_forecast"),
+    )
+
+
+def _forecast_sql() -> str:
+    from ..functions import sql_dround
+
+    den = "(n * stt - st * st)"
+    slope = f"(CAST((n * stv - st * sv) AS DOUBLE) / CAST({den} AS DOUBLE))"
+    intercept = (
+        f"((CAST(sv AS DOUBLE) - {slope} * CAST(st AS DOUBLE))"
+        " / CAST(n AS DOUBLE))"
+    )
+    forecast = f"({intercept} + {slope} * CAST(tmax + 1 AS DOUBLE))"
+    return f"""
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000.0)
+              AS BIGINT) AS day,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq
+  FROM events
+), daily AS (
+  SELECT user_id, day, CAST(sum(vq) AS BIGINT) AS v
+  FROM e GROUP BY 1, 2
+), m AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(day) AS BIGINT) AS st,
+         CAST(sum(v) AS BIGINT) AS sv,
+         CAST(sum(day * day) AS BIGINT) AS stt,
+         CAST(sum(day * v) AS BIGINT) AS stv,
+         max(day) AS tmax
+  FROM daily GROUP BY 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_days,
+       {sql_dround(f'({slope} / 100)', 6)} AS slope_per_day,
+       {sql_dround(f'({forecast} / 100)', 4)} AS next_day_forecast
+FROM m WHERE {den} > 0
+"""
+
+
+EVENT_FORECAST_LINEAR_SQL = _forecast_sql()
+
+
+# --------------------------------------------------------------------------
 # Flesch-Kincaid readability — per-doc quality signal from exact
 # word/sentence/syllable-proxy counts
 # --------------------------------------------------------------------------
@@ -941,4 +1098,7 @@ SPECS: list[QuerySpec] = [
               TABLE_K_ANONYMITY_SQL),
     QuerySpec("agg_benford", agg_benford, AGG_BENFORD_SQL),
     QuerySpec("text_readability", text_readability, TEXT_READABILITY_SQL),
+    QuerySpec("agg_gini_segment", agg_gini_segment, AGG_GINI_SEGMENT_SQL),
+    QuerySpec("event_forecast_linear", event_forecast_linear,
+              EVENT_FORECAST_LINEAR_SQL),
 ]

@@ -32,11 +32,17 @@ FLAGSHIP: list[str] = [
     # relational family representatives (§2.5)
     "filter_predicates",
     "join_inner_broadcast",
-    "join_semi",
+    # Session 4 rotates the window's 3rd join rep and 3rd agg rep to
+    # the two new families: join_spatial_grid (geo/spatial grid-bucket
+    # radius join) and ml_logreg_train (in-engine model training).
+    # join_semi / agg_grouping_sets stay oracle-verified by
+    # tests/test_oracle_parity.py and the dual-scale drive_entry
+    # sweeps recorded in CAPABILITIES.md.
+    "join_spatial_grid",
     "join_bloom_pruned",
     "agg_pricing_summary",
     "agg_approx",
-    "agg_grouping_sets",
+    "ml_logreg_train",
     "window_topk_per_group",
     "scalar_json",
     "subquery_correlated",
