@@ -253,8 +253,10 @@ def pagerank(
         # Truncate lineage every few rounds: a 10-iteration lazy plan
         # is ~40 operators deep and Catalyst analysis cost grows with
         # depth; the rank table is V rows, so materializing is cheap
-        # and value-neutral.
-        if (i + 1) % 3 == 0 and i + 1 < iters:
+        # and value-neutral. Cadence 5 measured best at sf0.1 (one
+        # mid-loop materialization): every-3 pays an extra job,
+        # never-checkpointing pays deep-plan analysis.
+        if (i + 1) % 5 == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
     from ..functions import dround
 
