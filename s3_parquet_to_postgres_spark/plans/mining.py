@@ -743,6 +743,251 @@ EVENT_BOT_SIGNALS_SQL = EVENT_BOT_SIGNALS_SQL.replace("{BURST}", _burst_sql())
 
 
 # --------------------------------------------------------------------------
+# Population Stability Index — distribution drift between the older
+# and newer half of the event stream (the ML-ops retraining trigger)
+# --------------------------------------------------------------------------
+
+_PSI_BINS = 10
+_PSI_LO, _PSI_HI = 0.0, 100.0  # fixed bin range; top/bottom clamp
+
+
+def table_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI between the event-stream halves: rows split at the
+    midpoint day floor((min+max)/2) (exact integer arithmetic), value
+    binned into 10 fixed-width clamped buckets, shares Laplace-
+    smoothed (n+1)/(N+bins) so empty bins stay defined, per-bin term
+    (p - q) * ln(p / q) quantized to scaled BIGINT. PSI > 0.2 is the
+    classic retrain trigger; the total is the exact sum of the
+    emitted terms.
+
+    Scale shape: one narrow pass stamps (half, bin); one
+    partial-aggregated groupBy on a 20-value key; the min/max day
+    split is a broadcast single-row aggregate. Nothing grows with the
+    stream.
+    """
+    e = t(spark, sf_dir, "events").select(
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            / F.lit(86400000000.0)
+        ).cast("long").alias("day"),
+        F.least(
+            F.greatest(
+                F.floor((F.col("value") - F.lit(_PSI_LO))
+                        / F.lit((_PSI_HI - _PSI_LO) / _PSI_BINS))
+                .cast("long"),
+                F.lit(0),
+            ),
+            F.lit(_PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    split = e.agg(
+        F.floor((F.min("day") + F.max("day")) / F.lit(2.0))
+        .cast("long").alias("mid")
+    )
+    halves = e.crossJoin(F.broadcast(split)).select(
+        "bin",
+        F.when(F.col("day") <= F.col("mid"), F.lit("old"))
+        .otherwise(F.lit("new")).alias("half"),
+    )
+    counts = halves.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == "old", 1).otherwise(0))
+        .alias("n_old"),
+        F.sum(F.when(F.col("half") == "new", 1).otherwise(0))
+        .alias("n_new"),
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    shared = counts.select(
+        "bin", "n_old", "n_new",
+        F.sum("n_old").over(tot).alias("t_old"),
+        F.sum("n_new").over(tot).alias("t_new"),
+    )
+    p = (F.col("n_old") + 1).cast("double") / (
+        F.col("t_old") + _PSI_BINS
+    ).cast("double")
+    q = (F.col("n_new") + 1).cast("double") / (
+        F.col("t_new") + _PSI_BINS
+    ).cast("double")
+    term_q = F.floor(
+        (p - q) * F.log(p / q) * F.lit(1.0e9) + F.lit(0.5)
+    ).cast("long")
+    return shared.select(
+        "bin",
+        F.col("n_old").cast("long").alias("n_old"),
+        F.col("n_new").cast("long").alias("n_new"),
+        term_q.alias("psi_term_q"),
+    )
+
+
+def _psi_sql() -> str:
+    width = (_PSI_HI - _PSI_LO) / _PSI_BINS
+    p = f"(CAST(n_old + 1 AS DOUBLE) / CAST(t_old + {_PSI_BINS} AS DOUBLE))"
+    q = f"(CAST(n_new + 1 AS DOUBLE) / CAST(t_new + {_PSI_BINS} AS DOUBLE))"
+    return f"""
+WITH e AS (
+  SELECT CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000.0)
+              AS BIGINT) AS day,
+         least(greatest(CAST(floor((value - {_PSI_LO!r}) / {width!r})
+                             AS BIGINT), 0), {_PSI_BINS - 1}) AS bin
+  FROM events
+), split AS (
+  SELECT CAST(floor((min(day) + max(day)) / 2.0) AS BIGINT) AS mid FROM e
+), counts AS (
+  SELECT bin,
+         sum(CASE WHEN day <= mid THEN 1 ELSE 0 END) AS n_old,
+         sum(CASE WHEN day > mid THEN 1 ELSE 0 END) AS n_new
+  FROM e, split GROUP BY bin
+), shared AS (
+  SELECT bin, n_old, n_new,
+         sum(n_old) OVER () AS t_old, sum(n_new) OVER () AS t_new
+  FROM counts
+)
+SELECT bin, CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+       CAST(floor(({p} - {q}) * ln({p} / {q}) * 1000000000.0 + 0.5)
+            AS BIGINT) AS psi_term_q
+FROM shared
+"""
+
+
+TABLE_DRIFT_PSI_SQL = _psi_sql()
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation — recency/frequency/monetary quintiles
+# --------------------------------------------------------------------------
+
+
+def ml_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of the event stream: per user, recency = days
+    since last event (vs the corpus max day, exact integers),
+    frequency = event count, monetary = exact cent sum; each scored
+    into quintiles by ntile(5) over a total order (metric, user_id),
+    recency inverted so 5 = best. Segment = r*100 + f*10 + m.
+
+    Scale shape: ONE shuffle builds the per-user rollup; the three
+    ntile windows run over the per-user table (users, not events) with
+    identical-definition ntile on both engines given the total order.
+    """
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            / F.lit(86400000000.0)
+        ).cast("long").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vq"),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.max("day").alias("last_day"),
+        F.count("*").alias("freq"),
+        F.sum("vq").alias("money_q"),
+    )
+    corpus_max = per_user.agg(F.max("last_day").alias("maxd"))
+    base = per_user.crossJoin(F.broadcast(corpus_max)).select(
+        "user_id",
+        (F.col("maxd") - F.col("last_day")).alias("recency_days"),
+        "freq", "money_q",
+    )
+    w_r = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
+    w_f = Window.orderBy(F.desc("freq"), F.asc("user_id"))
+    w_m = Window.orderBy(F.desc("money_q"), F.asc("user_id"))
+    scored = base.select(
+        "user_id",
+        F.col("recency_days").cast("long").alias("recency_days"),
+        F.col("freq").cast("long").alias("freq"),
+        F.col("money_q").cast("long").alias("money_cents"),
+        (F.lit(6) - F.ntile(5).over(w_r)).cast("long").alias("r"),
+        (F.lit(6) - F.ntile(5).over(w_f)).cast("long").alias("f"),
+        (F.lit(6) - F.ntile(5).over(w_m)).cast("long").alias("m"),
+    )
+    return scored.withColumn(
+        "segment",
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("long"),
+    )
+
+
+ML_RFM_SEGMENTS_SQL = """
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000.0)
+              AS BIGINT) AS day,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq
+  FROM events
+), per_user AS (
+  SELECT user_id, max(day) AS last_day, count(*) AS freq,
+         CAST(sum(vq) AS BIGINT) AS money_q
+  FROM e GROUP BY 1
+), base AS (
+  SELECT user_id,
+         (SELECT max(last_day) FROM per_user) - last_day AS recency_days,
+         freq, money_q
+  FROM per_user
+), scored AS (
+  SELECT user_id,
+         CAST(recency_days AS BIGINT) AS recency_days,
+         CAST(freq AS BIGINT) AS freq,
+         money_q AS money_cents,
+         6 - ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC) AS r,
+         6 - ntile(5) OVER (ORDER BY freq DESC, user_id ASC) AS f,
+         6 - ntile(5) OVER (ORDER BY money_q DESC, user_id ASC) AS m
+  FROM base
+)
+SELECT user_id, recency_days, freq, money_cents,
+       CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+       CAST(m AS BIGINT) AS m,
+       CAST(r * 100 + f * 10 + m AS BIGINT) AS segment
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
+# Shannon entropy of a categorical distribution — the drift/balance
+# one-number summary
+# --------------------------------------------------------------------------
+
+
+def agg_entropy_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of the event_type distribution, with
+    per-category shares: exact counts, per-category -p*ln(p) terms
+    quantized to scaled BIGINT (summable exactly downstream). Output
+    is one row per category plus exact totals — the class-balance
+    check run before training on labeled events.
+    """
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .withColumn("n_total", F.sum("n").over(tot))
+    )
+    p = F.col("n").cast("double") / F.col("n_total").cast("double")
+    return c.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        dround(p, 6).alias("share"),
+        F.floor(-p * F.log(p) * F.lit(1.0e9) + F.lit(0.5)).cast("long")
+        .alias("entropy_term_q"),
+    )
+
+
+AGG_ENTROPY_CATEGORICAL_SQL = """
+WITH c AS (
+  SELECT event_type, count(*) AS n, sum(count(*)) OVER () AS n_total
+  FROM events GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       floor((CAST(n AS DOUBLE) / n_total) * 1000000.0 + 0.5)
+         / 1000000.0 AS share,
+       CAST(floor(-(CAST(n AS DOUBLE) / n_total)
+                  * ln(CAST(n AS DOUBLE) / n_total)
+                  * 1000000000.0 + 0.5) AS BIGINT) AS entropy_term_q
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
 # Benford's-law first-digit audit — the classic numeric-integrity
 # screen over financial columns
 # --------------------------------------------------------------------------
@@ -1101,4 +1346,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("agg_gini_segment", agg_gini_segment, AGG_GINI_SEGMENT_SQL),
     QuerySpec("event_forecast_linear", event_forecast_linear,
               EVENT_FORECAST_LINEAR_SQL),
+    QuerySpec("table_drift_psi", table_drift_psi, TABLE_DRIFT_PSI_SQL),
+    QuerySpec("ml_rfm_segments", ml_rfm_segments, ML_RFM_SEGMENTS_SQL),
+    QuerySpec("agg_entropy_categorical", agg_entropy_categorical,
+              AGG_ENTROPY_CATEGORICAL_SQL),
 ]
