@@ -78,11 +78,16 @@ EXTRA = [
     "event_rollup_incremental",
     "table_quality_checks",
     "join_point_in_time",
-    # session-4 spatial / mining additions
+    # session-4 spatial / mining / retrieval additions
     "join_spatial_grid",
     "text_textrank",
     "ml_naive_bayes",
     "ml_logreg_train",
+    "text_bm25",
+    "similarity_rrf",
+    "ml_item_cf",
+    "ml_rfm_segments",
+    "event_attribution_ushape",
 ]
 
 
