@@ -941,6 +941,186 @@ FROM scored
 
 
 # --------------------------------------------------------------------------
+# Cluster-purity evaluation — how well unsupervised clusters align
+# with labels (the clustering-quality eval every embedding pipeline
+# runs)
+# --------------------------------------------------------------------------
+
+
+def ml_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purity of the coarse embedding clustering against the label
+    column: vectors assign to 16 md5-hash-sampled centroids with the
+    shared ``nearest_centroid`` broadcast fold (the corpus never
+    shuffles for assignment — same machinery as dedup_semantic), then
+    per cluster the majority label and its share. Counts exact; only
+    the final share is quantized; majority ties break to the smaller
+    label.
+
+    Scale shape: one narrow assignment pass + one (cluster, label)
+    partial agg + one tiny per-cluster argmax window.
+    """
+    from ..operators.similarity import as_double, nearest_centroid
+
+    e = t(spark, sf_dir, "embeddings")
+    cent = (
+        e.select(
+            F.col("vec_id").alias("centroid_id"),
+            as_double("embedding").alias("cent_vec"),
+        )
+        .withColumn(
+            "__h",
+            F.conv(
+                F.substring(F.md5(F.col("centroid_id").cast("string")),
+                            1, 8), 16, 10,
+            ).cast("long"),
+        )
+        .orderBy("__h", "centroid_id")
+        .limit(16)
+        .drop("__h")
+    )
+    cent_arr = cent.agg(
+        F.array_sort(
+            F.collect_list(F.struct("centroid_id", "cent_vec"))
+        ).alias("cents")
+    )
+    assigned = (
+        e.select("vec_id", "label", as_double("embedding").alias("__v"))
+        .join(F.broadcast(cent_arr))
+        .select(
+            nearest_centroid(F.col("cents"), F.col("__v"))
+            .alias("cluster_id"),
+            "label",
+        )
+    )
+    cl = assigned.groupBy("cluster_id", "label").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n"), F.asc("label")
+    )
+    wn = Window.partitionBy("cluster_id")
+    return (
+        cl.withColumn("rn", F.row_number().over(w))
+        .withColumn("size", F.sum("n").over(wn))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("size").cast("long").alias("size"),
+            F.col("label").cast("long").alias("majority_label"),
+            F.col("n").cast("long").alias("majority_n"),
+            dround(
+                F.col("n").cast("double") / F.col("size").cast("double"),
+                6,
+            ).alias("purity"),
+        )
+    )
+
+
+ML_CLUSTER_PURITY_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+           FROM embeddings),
+cent AS (
+  SELECT vec_id AS centroid_id, v AS cent_vec FROM e
+  ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                AS BIGINT) ASC, vec_id ASC
+  LIMIT 16
+), assigned AS (
+  SELECT vec_id, label, centroid_id AS cluster_id FROM (
+    SELECT e.vec_id, e.label, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.v, c.cent_vec) DESC,
+                        c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN cent c) WHERE rn = 1
+), cl AS (
+  SELECT cluster_id, label, count(*) AS n
+  FROM assigned GROUP BY 1, 2
+), ranked AS (
+  SELECT cluster_id, label, n,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n DESC, label ASC) AS rn,
+         sum(n) OVER (PARTITION BY cluster_id) AS size
+  FROM cl
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(size AS BIGINT) AS size,
+       CAST(label AS BIGINT) AS majority_label,
+       CAST(n AS BIGINT) AS majority_n,
+       floor(CAST(n AS DOUBLE) / CAST(size AS DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS purity
+FROM ranked WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Day-of-week seasonality profile — the load-shape check before any
+# time-based sampling or capacity decision
+# --------------------------------------------------------------------------
+
+
+def event_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week activity profile: exact counts and exact value
+    sums (cents) per weekday, plus each weekday's quantized share and
+    chi-square term against the uniform expectation — the seasonality
+    screen run before time-based sampling. Day-of-week comes from the
+    epoch-day integer ((day + 4) mod 7: 1970-01-01 was a Thursday), so
+    both engines derive it with pure integer arithmetic — no calendar
+    functions with engine-specific week conventions.
+    """
+    e = t(spark, sf_dir, "events").select(
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            / F.lit(86400000000.0)
+        ).cast("long").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vq"),
+    )
+    c = e.groupBy(((F.col("day") + 4) % 7).alias("dow")).agg(
+        F.count("*").alias("n"), F.sum("vq").alias("sum_cents")
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    shared = c.withColumn("n_total", F.sum("n").over(tot))
+    p = F.col("n").cast("double") / F.col("n_total").cast("double")
+    exp = F.lit(1.0 / 7.0)
+    return shared.select(
+        F.col("dow").cast("long").alias("dow"),
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+        dround(p, 6).alias("share"),
+        dround((p - exp) * (p - exp) / exp, 8).alias("chi2_term"),
+    )
+
+
+def _seasonality_sql() -> str:
+    from ..functions import sql_dround
+
+    p = "(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE))"
+    exp = repr(1.0 / 7.0)
+    return f"""
+WITH e AS (
+  SELECT CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000.0)
+              AS BIGINT) AS day,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq
+  FROM events
+), c AS (
+  SELECT (day + 4) % 7 AS dow, count(*) AS n,
+         CAST(sum(vq) AS BIGINT) AS sum_cents
+  FROM e GROUP BY 1
+), shared AS (
+  SELECT dow, n, sum_cents, sum(n) OVER () AS n_total FROM c
+)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(n AS BIGINT) AS n, sum_cents,
+       {sql_dround(p, 6)} AS share,
+       {sql_dround(f'({p} - {exp}) * ({p} - {exp}) / {exp}', 8)}
+         AS chi2_term
+FROM shared
+"""
+
+
+EVENT_SEASONALITY_SQL = _seasonality_sql()
+
+
+# --------------------------------------------------------------------------
 # Shannon entropy of a categorical distribution — the drift/balance
 # one-number summary
 # --------------------------------------------------------------------------
@@ -1350,4 +1530,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("ml_rfm_segments", ml_rfm_segments, ML_RFM_SEGMENTS_SQL),
     QuerySpec("agg_entropy_categorical", agg_entropy_categorical,
               AGG_ENTROPY_CATEGORICAL_SQL),
+    QuerySpec("ml_cluster_purity", ml_cluster_purity,
+              ML_CLUSTER_PURITY_SQL),
+    QuerySpec("event_seasonality", event_seasonality,
+              EVENT_SEASONALITY_SQL),
 ]
