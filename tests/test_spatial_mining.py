@@ -140,6 +140,52 @@ def test_geohash_matches_reference_encoder(spark):
         )
 
 
+def test_geohash_interleave_hypothesis():
+    # Engine-independent check of the bit-interleave + base-32 SQL on
+    # arbitrary quantized cells: DuckDB evaluates the same generated
+    # expression Spark runs, compared against a direct Python
+    # interleave. (The fixture-point test above ties the arithmetic to
+    # the textbook bisection encoder; random *continuous* coords can
+    # legitimately differ from bisection within one float ulp of a
+    # cell boundary, so here we drive the integer cells directly.)
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    from s3_parquet_to_postgres_spark.plans.spatial import (
+        _GH_ALPHA, _GH_DUCK_G, _GH_MAX, _gh_chars,
+    )
+
+    con = duckdb.connect()
+    chars = " || ".join(_gh_chars("g"))
+
+    def ref(lon_n: int, lat_n: int) -> str:
+        g = 0
+        for k in range(15):
+            g |= ((lon_n >> k) & 1) << (2 * k + 1)
+            g |= ((lat_n >> k) & 1) << (2 * k)
+        return "".join(
+            _GH_ALPHA[(g >> (25 - 5 * i)) & 31] for i in range(6)
+        )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        lon_n=st.integers(min_value=0, max_value=_GH_MAX),
+        lat_n=st.integers(min_value=0, max_value=_GH_MAX),
+    )
+    def check(lon_n, lat_n):
+        row = con.execute(
+            f"""
+            WITH q AS (SELECT CAST({lon_n} AS BIGINT) AS lon_n,
+                              CAST({lat_n} AS BIGINT) AS lat_n),
+            g AS (SELECT {_GH_DUCK_G} AS g FROM q)
+            SELECT {chars} FROM g
+            """
+        ).fetchone()
+        assert row[0] == ref(lon_n, lat_n), (lon_n, lat_n, row[0])
+
+    check()
+
+
 def test_textrank_mass_conservation(spark):
     rows = text_textrank(spark, SF).collect()
     assert 0 < len(rows) <= 25
