@@ -22,12 +22,57 @@ from pyspark.sql.window import Window
 
 
 def _quantized_rank(col: str, bits: int) -> Column:
-    """Percent-rank of the column quantized to 2^bits buckets."""
+    """Percent-rank of the column quantized to 2^bits buckets.
+
+    CAVEAT: percent_rank over an unpartitioned window funnels every
+    row through ONE task — exact and skew-proof, but only acceptable
+    for frames that fit a single executor (dimension tables, samples).
+    For fact-scale clustering use ``zorder_key_by_range`` below, whose
+    quantizer is a pure per-row expression fed by broadcast min/max.
+    """
     pr = F.percent_rank().over(Window.orderBy(F.col(col)))
     levels = (1 << bits) - 1
     return F.least(
         F.lit(levels), F.floor(pr * F.lit(float(1 << bits))).cast("long")
     )
+
+
+def zorder_key_by_range(
+    cols: list[str],
+    bounds: dict[str, tuple[int, int]],
+    bits: int = 16,
+) -> Column:
+    """Morton key from value-range quantization: per column,
+    ``q = (v - lo) * 2^bits div (hi - lo + 1)`` (exact integer
+    arithmetic over broadcastable (lo, hi) stats — ONE tiny aggregate
+    to compute, no global-window rank), then bit interleave. This is
+    the 100 TB path: every step is a narrow per-row expression.
+    Rank-based quantization (``zorder_key``) equalizes bucket
+    populations under skew; range-based assumes roughly uniform key
+    ranges (true for surrogate keys). ``plans/spatial.py``'s
+    ``layout_zorder_stats`` measures the file-skipping this layout
+    buys and is oracle-verified against DuckDB.
+    """
+    if not cols:
+        raise ValueError("zorder needs at least one column")
+    if bits * len(cols) > 63:
+        raise ValueError(f"bits*cols must fit a long: {bits}*{len(cols)} > 63")
+    lvl = 1 << bits
+    qs = []
+    for c in cols:
+        lo, hi = bounds[c]
+        qs.append(F.expr(
+            f"(({c} - {lo}L) * {lvl}L) div ({hi - lo + 1}L)"
+        ))
+    key = F.lit(0).cast("long")
+    for bit in range(bits):
+        for i in range(len(cols)):
+            out_pos = bit * len(cols) + i
+            key = key + (
+                F.shiftright(qs[i], bit).bitwiseAND(F.lit(1))
+                * F.lit(1 << out_pos)
+            ).cast("long")
+    return key
 
 
 def zorder_key(cols: list[str], bits: int = 16) -> "tuple[list[Column], Column]":

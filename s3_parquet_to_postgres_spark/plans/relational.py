@@ -1130,6 +1130,71 @@ FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
 """
 
 
+def scalar_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full native timestamp surface over the event stream: micro
+    rendering, epoch extraction + exact make_timestamp round-trip,
+    hour/week truncation, interval shift, day-of-week semantics.
+
+    Reference parity note: the reference writes NULL for every INT64
+    TIMESTAMP_MILLIS/MICROS column (src/converters.rs:258-261,
+    README.md:53-54, TODO.md:5 — its own golden test expects an empty
+    timestamp at src/runner.rs:326-330). This entry pins the complete
+    semantics we implement INSTEAD of that stub. All columns are
+    strings/BIGINTs/booleans per the catalog's render rules; epoch
+    math is exact integer microseconds (session TZ = UTC on both
+    engines). Narrow map, zero shuffle.
+    """
+    e = t(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    # events.ts reads as TIMESTAMP_NTZ; with the session TZ pinned to
+    # UTC (session.py) the NTZ->LTZ cast is wall-clock identity, so
+    # unix_micros is the naive epoch both engines agree on.
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    return e.select(
+        "event_id",
+        F.date_format("ts", fmt).alias("ts_str"),
+        micros.alias("epoch_micros"),
+        (micros - F.pmod(micros, F.lit(1_000_000)))
+        .alias("epoch_s_micros"),
+        F.date_format(F.date_trunc("hour", "ts"), fmt).alias("hour_start"),
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd")
+        .alias("week_start"),
+        F.date_format("ts", "EEEE").alias("day_name"),
+        F.date_format(
+            F.col("ts") + F.expr("INTERVAL 5 HOURS 30 MINUTES"), fmt
+        ).alias("ts_plus_530"),
+        (
+            F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
+        ).cast("long").alias("secs_since_midnight"),
+        F.dayofweek("ts").isin(1, 7).alias("is_weekend"),
+        F.quarter("ts").cast("long").alias("qtr"),
+        (
+            F.timestamp_micros(micros).cast("timestamp_ntz") == F.col("ts")
+        ).alias("roundtrip_ok"),
+    )
+
+
+SCALAR_TIMESTAMP_SQL = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       epoch_us(ts) AS epoch_micros,
+       epoch_us(ts) - (epoch_us(ts) % 1000000) AS epoch_s_micros,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f')
+         AS hour_start,
+       strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+       dayname(ts) AS day_name,
+       strftime(ts + INTERVAL '5 hours 30 minutes',
+                '%Y-%m-%d %H:%M:%S.%f') AS ts_plus_530,
+       CAST(hour(ts) * 3600 + minute(ts) * 60
+            + CAST(floor(second(ts)) AS BIGINT) AS BIGINT)
+         AS secs_since_midnight,
+       isodow(ts) IN (6, 7) AS is_weekend,
+       CAST(quarter(ts) AS BIGINT) AS qtr,
+       make_timestamp(epoch_us(ts)) = ts AS roundtrip_ok
+FROM events
+"""
+
+
 def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
     return li.select(
@@ -1449,6 +1514,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("set_distinct", set_distinct, SET_DISTINCT_SQL),
     QuerySpec("scalar_string", scalar_string, SCALAR_STRING_SQL),
     QuerySpec("scalar_date", scalar_date, SCALAR_DATE_SQL),
+    QuerySpec("scalar_timestamp", scalar_timestamp, SCALAR_TIMESTAMP_SQL),
     QuerySpec("scalar_math", scalar_math, SCALAR_MATH_SQL),
     QuerySpec("scalar_array", scalar_array, SCALAR_ARRAY_SQL),
     QuerySpec("scalar_explode", scalar_explode, SCALAR_EXPLODE_SQL),

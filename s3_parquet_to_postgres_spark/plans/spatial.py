@@ -454,6 +454,157 @@ FROM g
 """
 
 
+# --------------------------------------------------------------------------
+# layout_zorder_stats: Z-order vs linear clustering — data-skipping
+# accounting for the multi-column layout the 100 TB scan depends on
+# --------------------------------------------------------------------------
+
+_Z_BITS = 8          # quantization bits per clustering column
+_Z_FILES_SHIFT = 12  # zkey >> 12 -> top-4 interleaved bits = 16 files
+_Z_PROBE_LO, _Z_PROBE_HI = 64, 95  # probe range in quantized units (1/8 slice)
+
+
+def _z_interleave(shift_fmt: str) -> str:
+    """Sum-of-terms Morton interleave over quantized columns q_pk /
+    q_sk (pk bit k -> weight 2^(2k+1), sk bit k -> 2^(2k)); same
+    construction as the geohash encoder above."""
+    terms = []
+    for k in range(_Z_BITS):
+        terms.append(f"{shift_fmt.format(col='q_pk', k=k)} * {1 << (2 * k + 1)}")
+        terms.append(f"{shift_fmt.format(col='q_sk', k=k)} * {1 << (2 * k)}")
+    return " + ".join(terms)
+
+
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout planner readout: cluster lineitem into 16 files by
+    (a) the Z-order (Morton) key over (l_partkey, l_suppkey) and (b) a
+    linear sort on l_partkey alone, then report — from per-file
+    min/max stats, exactly what a parquet footer stores — how many
+    files a range probe on EACH column would scan. This is the
+    row-group-skipping arithmetic behind ``operators/zorder.py``'s
+    ``cluster_by_zorder``: linear layout prunes perfectly on its sort
+    column and not at all on the second; Z-order prunes well on both.
+
+    Determinism/scale shape: per-column quantization uses the global
+    min/max (ONE tiny aggregate, broadcast back — no global-window
+    rank), the Morton key is exact integer bit interleaving, and the
+    per-(layout, file) stats are a map-side-combinable aggregate to 32
+    rows. At 100 TB the same expressions feed
+    ``repartitionByRange(zkey)`` + per-file writes; here the footer
+    min/max accounting is computed instead of written.
+
+    reference: no analogue — the reference scans every file it is
+    given (src/runner.rs:32 decodes all columns, no skipping); this
+    entry is the layout half of making a 100 TB scan NOT do that.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    )
+    st = li.agg(
+        F.min("pk").alias("pk_min"), F.max("pk").alias("pk_max"),
+        F.min("sk").alias("sk_min"), F.max("sk").alias("sk_max"),
+    )
+    lvl = 1 << _Z_BITS
+    q = li.crossJoin(F.broadcast(st)).select(
+        F.expr(f"((pk - pk_min) * {lvl}) div (pk_max - pk_min + 1)")
+        .alias("q_pk"),
+        F.expr(f"((sk - sk_min) * {lvl}) div (sk_max - sk_min + 1)")
+        .alias("q_sk"),
+    )
+    z = q.withColumn(
+        "zkey", F.expr(_z_interleave("(shiftright({col}, {k}) & 1)"))
+    )
+    tagged = z.select(
+        "q_pk",
+        "q_sk",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.shiftright("zkey", _Z_FILES_SHIFT).alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.shiftright("q_pk", _Z_BITS - 4).alias("file_id"),
+                ),
+            )
+        ).alias("f"),
+    ).select("q_pk", "q_sk", "f.layout", "f.file_id")
+    footer = tagged.groupBy("layout", "file_id").agg(
+        F.min("q_pk").alias("min_pk"), F.max("q_pk").alias("max_pk"),
+        F.min("q_sk").alias("min_sk"), F.max("q_sk").alias("max_sk"),
+        F.count("*").alias("cnt"),
+    )
+    lo, hi = _Z_PROBE_LO, _Z_PROBE_HI
+    probes = footer.select(
+        "layout",
+        "cnt",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("l_partkey").alias("probe_col"),
+                    (~((F.col("max_pk") < lo) | (F.col("min_pk") > hi)))
+                    .cast("long").alias("scan"),
+                ),
+                F.struct(
+                    F.lit("l_suppkey").alias("probe_col"),
+                    (~((F.col("max_sk") < lo) | (F.col("min_sk") > hi)))
+                    .cast("long").alias("scan"),
+                ),
+            )
+        ).alias("p"),
+    ).select("layout", "cnt", "p.probe_col", "p.scan")
+    return probes.groupBy("layout", "probe_col").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("scan").cast("long").alias("files_scanned"),
+        F.sum(F.col("scan") * F.col("cnt")).cast("long")
+        .alias("rows_scanned"),
+    )
+
+
+LAYOUT_ZORDER_STATS_SQL = f"""
+WITH src AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+), st AS (
+  SELECT min(pk) AS pk_min, max(pk) AS pk_max,
+         min(sk) AS sk_min, max(sk) AS sk_max
+  FROM src
+), q AS (
+  SELECT ((pk - pk_min) * {1 << _Z_BITS}) // (pk_max - pk_min + 1) AS q_pk,
+         ((sk - sk_min) * {1 << _Z_BITS}) // (sk_max - sk_min + 1) AS q_sk
+  FROM src, st
+), z AS (
+  SELECT q_pk, q_sk, {_z_interleave("(({col} >> {k}) & 1)")} AS zkey FROM q
+), tagged AS (
+  SELECT 'zorder' AS layout, zkey >> {_Z_FILES_SHIFT} AS file_id, q_pk, q_sk
+  FROM z
+  UNION ALL
+  SELECT 'linear', q_pk >> {_Z_BITS - 4}, q_pk, q_sk FROM z
+), footer AS (
+  SELECT layout, file_id,
+         min(q_pk) AS min_pk, max(q_pk) AS max_pk,
+         min(q_sk) AS min_sk, max(q_sk) AS max_sk,
+         count(*) AS cnt
+  FROM tagged GROUP BY layout, file_id
+), probes AS (
+  SELECT layout, cnt, 'l_partkey' AS probe_col,
+         CASE WHEN max_pk < {_Z_PROBE_LO} OR min_pk > {_Z_PROBE_HI}
+              THEN 0 ELSE 1 END AS scan
+  FROM footer
+  UNION ALL
+  SELECT layout, cnt, 'l_suppkey',
+         CASE WHEN max_sk < {_Z_PROBE_LO} OR min_sk > {_Z_PROBE_HI}
+              THEN 0 ELSE 1 END
+  FROM footer
+)
+SELECT layout, probe_col,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(scan) AS BIGINT) AS files_scanned,
+       CAST(sum(scan * cnt) AS BIGINT) AS rows_scanned
+FROM probes GROUP BY layout, probe_col
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("scalar_geo", scalar_geo, SCALAR_GEO_SQL),
     QuerySpec("scalar_geohash", scalar_geohash, SCALAR_GEOHASH_SQL),
@@ -462,4 +613,6 @@ SPECS: list[QuerySpec] = [
     QuerySpec("join_spatial_grid", join_spatial_grid,
               JOIN_SPATIAL_GRID_SQL),
     QuerySpec("ml_grid_cluster", ml_grid_cluster, ML_GRID_CLUSTER_SQL),
+    QuerySpec("layout_zorder_stats", layout_zorder_stats,
+              LAYOUT_ZORDER_STATS_SQL),
 ]

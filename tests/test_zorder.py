@@ -14,6 +14,7 @@ from s3_parquet_to_postgres_spark.catalog import read_table
 from s3_parquet_to_postgres_spark.operators.zorder import (
     cluster_by_zorder,
     zorder_key,
+    zorder_key_by_range,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -82,3 +83,38 @@ def test_zorder_key_validation():
         zorder_key([])
     with pytest.raises(ValueError, match="fit a long"):
         zorder_key(["a", "b", "c", "d"], bits=16)
+
+
+def test_zorder_key_by_range_matches_reference_interleave(spark):
+    """The pure-expression range quantizer must produce the textbook
+    Morton code: independently recompute q/interleave in Python for
+    every row of a small grid and compare bit-for-bit."""
+    rows = [(a, b) for a in range(0, 40, 3) for b in range(5, 45, 3)]
+    df = spark.createDataFrame(rows, "x: long, y: long")
+    bounds = {"x": (0, 39), "y": (5, 44)}
+    bits = 6
+    out = df.withColumn(
+        "z", zorder_key_by_range(["x", "y"], bounds, bits=bits)
+    ).collect()
+
+    def q(v, lo, hi):
+        return ((v - lo) * (1 << bits)) // (hi - lo + 1)
+
+    for r in out:
+        qx, qy = q(r.x, 0, 39), q(r.y, 5, 44)
+        want = 0
+        for bit in range(bits):
+            want |= ((qx >> bit) & 1) << (2 * bit)
+            want |= ((qy >> bit) & 1) << (2 * bit + 1)
+        assert r.z == want, (r.x, r.y, r.z, want)
+
+
+def test_zorder_key_by_range_validation():
+    with pytest.raises(ValueError, match="at least one column"):
+        zorder_key_by_range([], {})
+    with pytest.raises(ValueError, match="fit a long"):
+        zorder_key_by_range(
+            ["a", "b", "c", "d"],
+            {c: (0, 1) for c in "abcd"},
+            bits=16,
+        )
