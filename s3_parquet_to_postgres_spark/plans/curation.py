@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import dround, dsum, md5_unit, sql_dround, sql_dsum
-from ..functions.numeric import sql_md5_unit
+from ..functions.numeric import sint, sql_md5_unit
 from .base import QuerySpec, t
 
 # --------------------------------------------------------------------------
@@ -231,6 +231,39 @@ TEXT_ENTROPY_SQL = _entropy_oracle_sql()
 _LINEAR_BUCKETS = 64
 
 
+def _linear_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared hashed-BoW linear scorer: (doc_id, lang, n_tokens,
+    raw_score) per document. See ml_linear_score for the model and
+    plan shape; lang rides along as a group key (free -- doc_id is
+    already unique) so downstream entries can evaluate against it."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower("text")), "\\s+"),
+                lambda x: x != "",
+            )
+        ).alias("tok"),
+    ).withColumn(
+        "bucket",
+        F.floor(md5_unit("tok") * _LINEAR_BUCKETS).cast("int"),
+    )
+    weights = spark.range(_LINEAR_BUCKETS).select(
+        F.col("id").cast("int").alias("bucket"),
+        (F.col("id") % 7 - 3).cast("long").alias("w"),
+    )
+    return (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("w").alias("raw_score"),
+        )
+    )
+
+
 def ml_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score every document with a hashed bag-of-words linear model
     (the fastText-style quality-classifier shape used for pretraining
@@ -246,31 +279,7 @@ def ml_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries (doc_id, partial sums). Integer weight sums are
     order-independent; only the final sigmoid is quantized.
     """
-    d = t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.filter(
-                F.split(F.trim(F.lower("text")), "\\s+"),
-                lambda x: x != "",
-            )
-        ).alias("tok"),
-    ).withColumn(
-        "bucket",
-        F.floor(md5_unit("tok") * _LINEAR_BUCKETS).cast("int"),
-    )
-    weights = spark.range(_LINEAR_BUCKETS).select(
-        F.col("id").cast("int").alias("bucket"),
-        (F.col("id") % 7 - 3).cast("long").alias("w"),
-    )
-    scored = (
-        toks.join(F.broadcast(weights), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.sum("w").alias("raw_score"),
-        )
-    )
+    scored = _linear_scored(spark, sf_dir)
     logit = F.col("raw_score").cast("double") / F.col("n_tokens")
     return scored.select(
         "doc_id",
@@ -279,6 +288,52 @@ def ml_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias(
             "quality_prob"
         ),
+    )
+
+
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability (calibration) readout for the linear classifier:
+    decile-bin the predicted probability and compare the bin's mean
+    prediction against the empirical rate of the evaluation label
+    (lang = 'en') -- the standard eval before trusting a quality
+    score as a sampling weight at corpus scale.
+
+    Determinism: the sigmoid is quantized ONCE to a scaled BIGINT
+    (prob_q6); the bin id is integer division of prob_q6, and every
+    per-bin statistic (mean prediction, positive rate, |gap|) is
+    derived from exact integer sums -- no float aggregation anywhere,
+    so results are partition-layout-independent. Scale shape: the
+    scorer's one shuffle plus a 10-row aggregate.
+    """
+    scored = _linear_scored(spark, sf_dir)
+    logit = F.col("raw_score").cast("double") / F.col("n_tokens")
+    prob_q6 = sint(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    binned = scored.select(
+        prob_q6.alias("prob_q6"),
+        (F.col("lang") == "en").cast("long").alias("is_en"),
+    ).select(
+        F.least(F.expr("prob_q6 div 100000"), F.lit(9)).alias("bin"),
+        "prob_q6",
+        "is_en",
+    )
+    g = binned.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("is_en").alias("n_pos"),
+        F.sum("prob_q6").alias("sum_prob_q6"),
+    )
+    pos_q6 = F.floor(
+        F.col("n_pos") * F.lit(1_000_000.0) / F.col("n_docs") + F.lit(0.5)
+    ).cast("long")
+    mean_q6 = F.floor(
+        F.col("sum_prob_q6") / F.col("n_docs") + F.lit(0.5)
+    ).cast("long")
+    return g.select(
+        "bin",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        pos_q6.alias("pos_rate_q6"),
+        mean_q6.alias("mean_pred_q6"),
+        F.abs(pos_q6 - mean_q6).alias("calibration_gap_q6"),
     )
 
 
@@ -310,6 +365,48 @@ SELECT doc_id,
            '1.0 / (1.0 + exp(-(CAST(raw_score AS DOUBLE) / n_tokens)))',
            6)} AS quality_prob
 FROM scored
+"""
+
+
+ML_CALIBRATION_BINS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({_CURATION_CLEAN_TOKS_SQL}) AS tok
+  FROM documents
+), b AS (
+  SELECT doc_id, lang,
+         CAST(floor({sql_md5_unit('tok')} * {_LINEAR_BUCKETS}) AS INT)
+           AS bucket
+  FROM toks
+), w AS (
+  SELECT CAST(i AS INT) AS bucket, CAST(i % 7 - 3 AS BIGINT) AS w
+  FROM range({_LINEAR_BUCKETS}) r(i)
+), scored AS (
+  SELECT doc_id, lang, count(*) AS n_tokens, sum(w.w) AS raw_score
+  FROM b JOIN w ON b.bucket = w.bucket
+  GROUP BY doc_id, lang
+), q AS (
+  SELECT CAST(floor(
+           1.0 / (1.0 + exp(-(CAST(raw_score AS DOUBLE) / n_tokens)))
+           * 1000000 + 0.5) AS BIGINT) AS prob_q6,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+  FROM scored
+), g AS (
+  SELECT least(prob_q6 // 100000, 9) AS bin,
+         count(*) AS n_docs,
+         sum(is_en) AS n_pos,
+         sum(prob_q6) AS sum_prob_q6
+  FROM q GROUP BY 1
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(floor(n_pos * 1000000.0 / n_docs + 0.5) AS BIGINT)
+         AS pos_rate_q6,
+       CAST(floor(sum_prob_q6 / n_docs + 0.5) AS BIGINT) AS mean_pred_q6,
+       abs(CAST(floor(n_pos * 1000000.0 / n_docs + 0.5) AS BIGINT)
+           - CAST(floor(sum_prob_q6 / n_docs + 0.5) AS BIGINT))
+         AS calibration_gap_q6
+FROM g
 """
 
 
@@ -2087,6 +2184,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("ml_linear_score", ml_linear_score, ML_LINEAR_SCORE_SQL,
               "hashed BoW linear quality classifier: broadcast "
               "weight table, exact integer weight sums"),
+    QuerySpec("ml_calibration_bins", ml_calibration_bins,
+              ML_CALIBRATION_BINS_SQL,
+              "reliability bins for the linear classifier: one-shot "
+              "scaled-int quantized probs, 10-row exact-integer agg"),
     QuerySpec("scd2_user_state", scd2_user_state, SCD2_USER_STATE_SQL,
               "SCD2 interval build from the event log: single "
               "user_id shuffle, shared window spec, output ~ changes"),

@@ -2313,6 +2313,56 @@ FROM pairs
 """
 
 
+def event_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step navigation paths (the clickstream path-mining
+    readout behind funnel design): per-user event trigrams from TWO
+    lags over ONE (user_id, ts) window pass — no self-join of the log
+    against itself, which is the naive k-gram path query's scale
+    killer. The path table the aggregate shuffles is bounded by
+    |event_type|^3, not by log size; top-k carries a total order
+    (count desc, path asc).
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        e.select("user_id", "ts", "event_id",
+                 F.col("event_type").alias("e3"))
+        .withColumn("e2", F.lag("e3", 1).over(w))
+        .withColumn("e1", F.lag("e3", 2).over(w))
+        .filter(F.col("e1").isNotNull())
+    )
+    paths = seq.select(
+        "user_id", F.concat_ws(" > ", "e1", "e2", "e3").alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count("*").alias("n_walks"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_walks"), "path")
+        .limit(15)
+    )
+
+
+EVENT_TOP_PATHS_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         lag(event_type, 2) OVER w AS e1,
+         lag(event_type, 1) OVER w AS e2,
+         event_type AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), paths AS (
+  SELECT user_id, e1 || ' > ' || e2 || ' > ' || e3 AS path
+  FROM seq WHERE e1 IS NOT NULL
+)
+SELECT path, count(*) AS n_walks, count(DISTINCT user_id) AS n_users
+FROM paths GROUP BY path
+ORDER BY n_walks DESC, path LIMIT 15
+"""
+
+
 def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fixed-width histogram of events.value: bucket arithmetic stays
     # JVM-side (floor/least, no UDF), one hash aggregate, output
@@ -2722,6 +2772,7 @@ SPECS: list[QuerySpec] = [
               "per-user z-score outliers: single-shuffle window stats "
               "+ top-1, no join-back"),
     QuerySpec("event_transitions", event_transitions, EVENT_TRANSITIONS_SQL),
+    QuerySpec("event_top_paths", event_top_paths, EVENT_TOP_PATHS_SQL),
     QuerySpec("value_histogram", value_histogram, VALUE_HISTOGRAM_SQL),
     QuerySpec("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_SQL),
     QuerySpec("sample_pack_sequences", sample_pack_sequences,
