@@ -882,6 +882,104 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HQ_BINS = 64
+_HQ_WIDTH = 1750.0  # l_extendedprice spans ~[900, 105000]; 64*1750 covers
+_HQ_PROBES = (50, 90, 95, 99)
+
+
+def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram sketch with quantile probes:
+    the bounded-state companion to exact percentiles
+    (agg_percentiles) and the count-min sketch (agg_count_min). For
+    each probe quantile q, report the bin whose cumulative count
+    first reaches ceil(q*n/100) -- the estimate is the bin's [lo, hi)
+    edge pair, so the error bound IS the bin width, and the per-bin
+    counter table from disjoint shards simply ADDS (merge == rebuild
+    is pinned by tests/test_incremental_agg.py).
+
+    Scale shape: one map-side-combinable aggregate to <=64 cells --
+    constant state per partition at any corpus size; the cumulative
+    window and probe join run on the 64-row sketch, not on data.
+    Everything is integer counts and dyadic bin edges: bit-exact
+    cross-engine.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    hist = li.groupBy(
+        F.least(
+            F.floor(F.col("l_extendedprice") / F.lit(_HQ_WIDTH)),
+            F.lit(_HQ_BINS - 1),
+        ).cast("long").alias("bin")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_total"),
+    )
+    probes = spark.createDataFrame(
+        [(q,) for q in _HQ_PROBES], "q_pct: long"
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(probes))
+        .withColumn(
+            "target_rank",
+            F.expr("(q_pct * n_total + 99) div 100"),
+        )
+        .filter(
+            (F.col("cum") - F.col("cnt") < F.col("target_rank"))
+            & (F.col("cum") >= F.col("target_rank"))
+        )
+    )
+    return hit.select(
+        "q_pct",
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("target_rank").cast("long").alias("target_rank"),
+        F.col("bin").alias("est_bin"),
+        (F.col("bin") * _HQ_WIDTH).alias("est_lo"),
+        ((F.col("bin") + 1) * _HQ_WIDTH).alias("est_hi"),
+        (F.col("cum") - F.col("cnt")).cast("long").alias("cum_below"),
+        F.col("cum").cast("long").alias("cum_at_bin"),
+    )
+
+
+AGG_HISTOGRAM_QUANTILES_SQL = f"""
+WITH hist AS (
+  SELECT least(CAST(floor(l_extendedprice / {_HQ_WIDTH}) AS BIGINT),
+               {_HQ_BINS - 1}) AS bin,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1
+), cum AS (
+  SELECT bin, cnt,
+         sum(cnt) OVER (ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER () AS n_total
+  FROM hist
+), probes AS (
+  SELECT unnest([{', '.join(str(q) for q in _HQ_PROBES)}]) AS q_pct
+), hit AS (
+  SELECT q_pct, bin, cnt, cum, n_total,
+         (q_pct * n_total + 99) // 100 AS target_rank
+  FROM cum, probes
+  WHERE cum - cnt < (q_pct * n_total + 99) // 100
+    AND cum >= (q_pct * n_total + 99) // 100
+)
+SELECT CAST(q_pct AS BIGINT) AS q_pct,
+       CAST(n_total AS BIGINT) AS n_total,
+       CAST(target_rank AS BIGINT) AS target_rank,
+       CAST(bin AS BIGINT) AS est_bin,
+       bin * {_HQ_WIDTH} AS est_lo,
+       (bin + 1) * {_HQ_WIDTH} AS est_hi,
+       CAST(cum - cnt AS BIGINT) AS cum_below,
+       CAST(cum AS BIGINT) AS cum_at_bin
+FROM hit
+"""
+
+
 def _cms_bucket_sql(key_expr: str, j: int) -> str:
     h = f"md5(CAST(({key_expr}) AS VARCHAR))"
     d = "0123456789abcdef"
@@ -2212,6 +2310,11 @@ SPECS: list[QuerySpec] = [
               "portable count-min sketch: 4x256 mergeable counter "
               "table, one map-side-combinable agg, probes vs exact "
               "with the never-underestimate guarantee oracled"),
+    QuerySpec("agg_histogram_quantiles", agg_histogram_quantiles,
+              AGG_HISTOGRAM_QUANTILES_SQL,
+              "mergeable equi-width histogram sketch: 64-cell "
+              "counter table, quantile probes with bin-width error "
+              "bound; shard merge == rebuild pinned by test"),
     QuerySpec("sample_token_budget", sample_token_budget,
               SAMPLE_TOKEN_BUDGET_SQL,
               "per-language token-budget greedy selection: "

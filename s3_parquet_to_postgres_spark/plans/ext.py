@@ -2174,6 +2174,109 @@ SELECT (SELECT count(*) FROM v WHERE t_view IS NOT NULL) AS viewed,
 """
 
 
+def event_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel with a bounded conversion window: each stage
+    counts only if its earliest qualifying event lands within 24h of
+    the previous stage (the product-analytics funnel definition --
+    unbounded funnels overcount by crediting conversions weeks
+    later). Same single-shuffle shape as event_funnel: three
+    conditional window mins over ONE user_id partitioning, then a
+    global roll-up; conversion rates are exact scaled integers.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    day = F.expr("INTERVAL 24 HOURS")
+    staged = (
+        e.withColumn(
+            "t_view",
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view"))
+                    & (F.col("ts") <= F.col("t_view") + day),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click"))
+                    & (F.col("ts") <= F.col("t_click") + day),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+    )
+    counts = per_user.agg(
+        F.count("t_view").alias("viewed"),
+        F.count("t_click").alias("clicked_24h"),
+        F.count("t_purchase").alias("purchased_24h"),
+    )
+    rate = lambda num, den: F.floor(  # noqa: E731
+        F.col(num) * F.lit(1_000_000.0) / F.col(den) + F.lit(0.5)
+    ).cast("long")
+    return counts.select(
+        F.col("viewed").cast("long").alias("viewed"),
+        F.col("clicked_24h").cast("long").alias("clicked_24h"),
+        F.col("purchased_24h").cast("long").alias("purchased_24h"),
+        rate("clicked_24h", "viewed").alias("click_rate_q6"),
+        rate("purchased_24h", "clicked_24h").alias("purchase_rate_q6"),
+    )
+
+
+EVENT_FUNNEL_WINDOWED_SQL = """
+WITH s1 AS (
+  SELECT user_id, event_type, ts,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t_view
+  FROM events
+), s2 AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'click' AND ts > t_view
+                   AND ts <= t_view + INTERVAL '24 hours' THEN ts END)
+           OVER (PARTITION BY user_id) AS t_click
+  FROM s1
+), s3 AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'purchase' AND ts > t_click
+                   AND ts <= t_click + INTERVAL '24 hours' THEN ts END)
+           OVER (PARTITION BY user_id) AS t_purchase
+  FROM s2
+), pu AS (
+  SELECT user_id, min(t_view) AS t_view, min(t_click) AS t_click,
+         min(t_purchase) AS t_purchase
+  FROM s3 GROUP BY user_id
+), c AS (
+  SELECT count(t_view) AS viewed,
+         count(t_click) AS clicked_24h,
+         count(t_purchase) AS purchased_24h
+  FROM pu
+)
+SELECT CAST(viewed AS BIGINT) AS viewed,
+       CAST(clicked_24h AS BIGINT) AS clicked_24h,
+       CAST(purchased_24h AS BIGINT) AS purchased_24h,
+       CAST(floor(clicked_24h * 1000000.0 / viewed + 0.5) AS BIGINT)
+         AS click_rate_q6,
+       CAST(floor(purchased_24h * 1000000.0 / clicked_24h + 0.5) AS BIGINT)
+         AS purchase_rate_q6
+FROM c
+"""
+
+
 def event_user_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-user outlier detection: z-score every event value against
     # its user's own distribution, report each user's most anomalous
@@ -2757,6 +2860,8 @@ ORDER BY occurrences DESC, bigram ASC LIMIT 25
 
 SPECS: list[QuerySpec] = [
     QuerySpec("event_funnel", event_funnel, EVENT_FUNNEL_SQL),
+    QuerySpec("event_funnel_windowed", event_funnel_windowed,
+              EVENT_FUNNEL_WINDOWED_SQL),
     QuerySpec("basket_part_pairs", basket_part_pairs,
               BASKET_PART_PAIRS_SQL,
               "market-basket support/confidence/lift: baskets "

@@ -126,3 +126,24 @@ def test_running_distinct_via_mergeable_hll(spark, tmp_path):
         assert g_row["distinct_user"] == d_row["est"]
         # and the estimate is a real distinct count, not a row count
         assert abs(g_row["distinct_user"] - d_row["exact"]) <= 0.05 * d_row["exact"]
+
+
+def test_histogram_sketch_merge_equals_rebuild(spark):
+    """agg_histogram_quantiles' per-bin counter table from disjoint
+    shards must ADD to the global sketch (the mergeability claim the
+    entry's docstring makes)."""
+    li = read_table(spark, SF, "lineitem")
+    bin_col = (
+        F.least(F.floor(F.col("l_extendedprice") / F.lit(1750.0)), F.lit(63))
+        .cast("long").alias("bin")
+    )
+    global_hist = {
+        r["bin"]: r["cnt"]
+        for r in li.groupBy(bin_col).agg(F.count("*").alias("cnt")).collect()
+    }
+    merged: dict = {}
+    for shard in range(3):
+        part = li.filter(F.col("l_orderkey") % 3 == shard)
+        for r in part.groupBy(bin_col).agg(F.count("*").alias("cnt")).collect():
+            merged[r["bin"]] = merged.get(r["bin"], 0) + r["cnt"]
+    assert merged == global_hist
