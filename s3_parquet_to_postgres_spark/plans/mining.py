@@ -405,6 +405,163 @@ ML_LOGREG_TRAIN_SQL = _logreg_oracle_sql()
 
 
 # --------------------------------------------------------------------------
+# ml_pca_power: dominant principal direction of the embedding corpus
+# by quantized power iteration over an exact integer Gram matrix
+# --------------------------------------------------------------------------
+
+_PCA_DIM = 64
+_PCA_Q = 10_000       # per-component quantization (4 decimals)
+_PCA_ITERS = 4
+
+
+def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top right-singular direction of the embedding matrix (the
+    dominant uncentered principal component) trained fully in-engine:
+    exact integer Gram accumulation + power iteration with quantized
+    renormalization, the PCA analogue of ml_logreg_train's
+    quantized-descent recipe. Returns the L-inf-normalized direction
+    as scaled BIGINTs plus the eigenvalue estimate.
+
+    Determinism: components quantize once to 1e-4 ints, so the 64x64
+    Gram matrix is an EXACT integer sum (order-independent); it is
+    then normalized by n and re-quantized to 1e-6, and each
+    iteration's mat-vec is exact BIGINT arithmetic with one quantized
+    L-inf renormalization. The oracle replays all 4 iterations
+    verbatim; the sign is fixed by the first nonzero component.
+
+    Scale shape: ONE corpus scan builds the Gram matrix via a per-row
+    nested transform (d^2 products exploded into a
+    map-side-combinable agg -- partial state is <= 4096 cells per
+    partition regardless of corpus size, and shard partials ADD like
+    every sketch in the catalog). Iterations touch only the 4096-row
+    normalized Gram and a 64-row broadcast vector; the corpus is
+    never rescanned. Integer headroom: |cell partial| <= Q^2 * rows,
+    inside int64 up to ~9e10 rows at Q=1e4.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    q = _PCA_Q
+    outer = F.expr(
+        "flatten(transform(embedding, (ei, i) -> "
+        "transform(embedding, (ej, j) -> struct(i AS i, j AS j, "
+        f"CAST(floor(CAST(ei AS DOUBLE) * {q} + 0.5) AS BIGINT)"
+        f" * CAST(floor(CAST(ej AS DOUBLE) * {q} + 0.5) AS BIGINT)"
+        " AS p))))"
+    )
+    cells = (
+        emb.select(F.explode(outer).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum("c.p").alias("g"))
+    )
+    n = emb.agg(F.count("*").cast("double").alias("__n"))
+    gq = (
+        cells.crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            F.floor(
+                F.col("g").cast("double") * F.lit(1_000_000.0)
+                / (F.col("__n") * F.lit(float(q) * q))
+                + F.lit(0.5)
+            ).cast("long").alias("gq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    v = spark.range(_PCA_DIM).select(
+        F.col("id").alias("dim"), F.lit(1_000_000).cast("long").alias("vq")
+    )
+    for _ in range(_PCA_ITERS):
+        u = (
+            gq.join(F.broadcast(v), gq["j"] == v["dim"])
+            .groupBy("i")
+            .agg(F.sum(F.col("gq") * F.col("vq")).alias("u"))
+        )
+        m = u.agg(F.max(F.abs(F.col("u"))).cast("double").alias("__m"))
+        v = (
+            u.crossJoin(F.broadcast(m))
+            .select(
+                F.col("i").alias("dim"),
+                F.floor(
+                    F.col("u").cast("double") * F.lit(1_000_000.0)
+                    / F.col("__m") + F.lit(0.5)
+                ).cast("long").alias("vq"),
+                F.floor(
+                    F.col("__m") / F.lit(1_000_000.0) + F.lit(0.5)
+                ).cast("long").alias("eig_q6"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    first_nz = v.filter(F.col("vq") != 0).agg(
+        F.min("dim").alias("__d0")
+    )
+    sgn = (
+        v.crossJoin(F.broadcast(first_nz))
+        .filter(F.col("dim") == F.col("__d0"))
+        .select(
+            F.when(F.col("vq") < 0, F.lit(-1)).otherwise(F.lit(1))
+            .cast("long").alias("__s")
+        )
+    )
+    return v.crossJoin(F.broadcast(sgn)).select(
+        "dim",
+        (F.col("vq") * F.col("__s")).alias("v_q6"),
+        "eig_q6",
+    )
+
+
+def _pca_oracle_sql() -> str:
+    d, q, it = _PCA_DIM, _PCA_Q, _PCA_ITERS
+    qq = f"{float(q) * q!r}"
+    ctes = [
+        f"""x AS (
+  SELECT vec_id, i - 1 AS i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {q} + 0.5) AS BIGINT)
+           AS qv
+  FROM embeddings, range(1, {d + 1}) t(i)
+)""",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings)",
+        """cells AS (
+  SELECT a.i AS i, b.i AS j, SUM(a.qv * b.qv) AS g
+  FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2
+)""",
+        f"""gq AS (
+  SELECT i, j,
+         CAST(floor(CAST(g AS DOUBLE) * 1000000.0 / (nn.n * {qq}) + 0.5)
+              AS BIGINT) AS gq
+  FROM cells, nn
+)""",
+        f"v0 AS (SELECT CAST(i AS BIGINT) AS dim,"
+        f" CAST(1000000 AS BIGINT) AS vq FROM range({d}) r(i))",
+    ]
+    for k in range(it):
+        ctes.append(
+            f"u{k} AS (SELECT g.i AS dim, SUM(g.gq * v.vq) AS u"
+            f" FROM gq g JOIN v{k} v ON g.j = v.dim GROUP BY 1)"
+        )
+        ctes.append(
+            f"m{k} AS (SELECT CAST(max(abs(u)) AS DOUBLE) AS m FROM u{k})"
+        )
+        ctes.append(
+            f"v{k + 1} AS (SELECT dim,"
+            f" CAST(floor(CAST(u AS DOUBLE) * 1000000.0 / m + 0.5)"
+            f" AS BIGINT) AS vq,"
+            f" CAST(floor(m / 1000000.0 + 0.5) AS BIGINT) AS eig_q6"
+            f" FROM u{k}, m{k})"
+        )
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined},
+sgn AS (
+  SELECT CASE WHEN (SELECT vq FROM v{it}
+                    WHERE dim = (SELECT min(dim) FROM v{it} WHERE vq != 0))
+              < 0 THEN -1 ELSE 1 END AS s
+)
+SELECT dim, vq * s AS v_q6, eig_q6 FROM v{it}, sgn
+"""
+
+
+ML_PCA_POWER_SQL = _pca_oracle_sql()
+
+
+# --------------------------------------------------------------------------
 # Decision-stump training: best threshold split by information gain,
 # computed with ONE pass + a window cumulative sum (no threshold x
 # data join)
@@ -1514,6 +1671,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("text_textrank", text_textrank, TEXT_TEXTRANK_SQL),
     QuerySpec("ml_naive_bayes", ml_naive_bayes, ML_NAIVE_BAYES_SQL),
     QuerySpec("ml_logreg_train", ml_logreg_train, ML_LOGREG_TRAIN_SQL),
+    QuerySpec("ml_pca_power", ml_pca_power, ML_PCA_POWER_SQL),
     QuerySpec("ml_tree_stump", ml_tree_stump, ML_TREE_STUMP_SQL),
     QuerySpec("event_attribution_ushape", event_attribution_ushape,
               EVENT_ATTRIBUTION_USHAPE_SQL),

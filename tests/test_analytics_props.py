@@ -156,3 +156,61 @@ def test_benford_shares_sum_to_one(spark):
     assert {r["digit"] for r in rows} <= set(range(1, 10))
     assert abs(sum(r["observed_share"] for r in rows) - 1.0) < 1e-4
     assert abs(sum(r["benford_share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_pca_power_matches_numpy_replay(spark):
+    """ml_pca_power must equal an independent numpy reimplementation
+    of the same quantized recipe bit-for-bit, and the returned
+    direction must dominate the all-ones start vector's Rayleigh
+    quotient on the true Gram matrix."""
+    import math as _math
+
+    import numpy as np
+
+    from s3_parquet_to_postgres_spark.plans.mining import (
+        _PCA_DIM,
+        _PCA_ITERS,
+        _PCA_Q,
+        ml_pca_power,
+    )
+
+    got = {
+        r["dim"]: (r["v_q6"], r["eig_q6"])
+        for r in ml_pca_power(spark, SF).collect()
+    }
+
+    emb = np.array(
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("embedding").toPandas()["embedding"].tolist(),
+        dtype=np.float64,
+    )
+    qv = np.floor(emb * _PCA_Q + 0.5).astype(np.int64)
+    g = qv.T @ qv  # exact: magnitudes << 2^53 at this scale
+    n = float(emb.shape[0])
+    gq = np.floor(
+        g.astype(np.float64) * 1_000_000.0 / (n * float(_PCA_Q) * _PCA_Q)
+        + 0.5
+    ).astype(np.int64)
+    v = np.full(_PCA_DIM, 1_000_000, dtype=np.int64)
+    eig = None
+    for _ in range(_PCA_ITERS):
+        u = gq @ v
+        m = float(np.max(np.abs(u)))
+        v = np.floor(u.astype(np.float64) * 1_000_000.0 / m + 0.5).astype(
+            np.int64
+        )
+        eig = int(_math.floor(m / 1_000_000.0 + 0.5))
+    nz = np.nonzero(v)[0]
+    if v[nz[0]] < 0:
+        v = -v
+    for d in range(_PCA_DIM):
+        assert got[d] == (int(v[d]), eig), (d, got[d], int(v[d]), eig)
+
+    # Rayleigh dominance: the fitted direction explains more of the
+    # Gram energy than the start vector.
+    gf = g.astype(np.float64)
+    vf = v.astype(np.float64)
+    ones = np.ones(_PCA_DIM)
+    r_fit = vf @ gf @ vf / (vf @ vf)
+    r_ones = ones @ gf @ ones / (ones @ ones)
+    assert r_fit > r_ones
