@@ -2416,6 +2416,81 @@ FROM pairs
 """
 
 
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern over the per-user stream --
+    the MATCH_RECOGNIZE shape Spark SQL lacks: find every ``signup``
+    followed by an ``error`` within the next 3 events of that user,
+    with NO ``purchase`` between them (onboarding-failure detection).
+
+    Bounded-lookahead patterns like this compile to lead() columns
+    over ONE (user_id, ts) window pass -- a single shuffle, no
+    self-join of the log, output one row per match. Patterns with
+    unbounded lookahead are the job of the stateful streaming
+    operator instead (streaming/stateful.py's
+    applyInPandasWithState sessionizer).
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("event_type", 3).over(w).alias("t3"),
+        F.lead("event_id", 1).over(w).alias("id1"),
+        F.lead("event_id", 2).over(w).alias("id2"),
+        F.lead("event_id", 3).over(w).alias("id3"),
+    ).filter(F.col("event_type") == "signup")
+    np1 = F.col("t1") != "purchase"
+    np2 = np1 & (F.col("t2") != "purchase")
+    matched = s.select(
+        "user_id",
+        F.col("event_id").alias("signup_event_id"),
+        F.when(F.col("t1") == "error", F.col("id1"))
+        .when(np1 & (F.col("t2") == "error"), F.col("id2"))
+        .when(np2 & (F.col("t3") == "error"), F.col("id3"))
+        .alias("error_event_id"),
+        F.when(F.col("t1") == "error", F.lit(1))
+        .when(np1 & (F.col("t2") == "error"), F.lit(2))
+        .when(np2 & (F.col("t3") == "error"), F.lit(3))
+        .cast("long").alias("steps_to_error"),
+    )
+    return matched.filter(F.col("error_event_id").isNotNull())
+
+
+EVENT_PATTERN_MATCH_SQL = """
+WITH s AS (
+  SELECT user_id, event_id, event_type,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2,
+         lead(event_type, 3) OVER w AS t3,
+         lead(event_id, 1) OVER w AS id1,
+         lead(event_id, 2) OVER w AS id2,
+         lead(event_id, 3) OVER w AS id3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       event_id AS signup_event_id,
+       CASE WHEN t1 = 'error' THEN id1
+            WHEN t1 != 'purchase' AND t2 = 'error' THEN id2
+            WHEN t1 != 'purchase' AND t2 != 'purchase' AND t3 = 'error'
+              THEN id3
+       END AS error_event_id,
+       CAST(CASE WHEN t1 = 'error' THEN 1
+                 WHEN t1 != 'purchase' AND t2 = 'error' THEN 2
+                 WHEN t1 != 'purchase' AND t2 != 'purchase'
+                      AND t3 = 'error' THEN 3
+            END AS BIGINT) AS steps_to_error
+FROM s
+WHERE event_type = 'signup'
+  AND (CASE WHEN t1 = 'error' THEN id1
+            WHEN t1 != 'purchase' AND t2 = 'error' THEN id2
+            WHEN t1 != 'purchase' AND t2 != 'purchase' AND t3 = 'error'
+              THEN id3
+       END) IS NOT NULL
+"""
+
+
 def event_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top 3-step navigation paths (the clickstream path-mining
     readout behind funnel design): per-user event trigrams from TWO
@@ -2878,6 +2953,8 @@ SPECS: list[QuerySpec] = [
               "+ top-1, no join-back"),
     QuerySpec("event_transitions", event_transitions, EVENT_TRANSITIONS_SQL),
     QuerySpec("event_top_paths", event_top_paths, EVENT_TOP_PATHS_SQL),
+    QuerySpec("event_pattern_match", event_pattern_match,
+              EVENT_PATTERN_MATCH_SQL),
     QuerySpec("value_histogram", value_histogram, VALUE_HISTOGRAM_SQL),
     QuerySpec("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_SQL),
     QuerySpec("sample_pack_sequences", sample_pack_sequences,

@@ -39,7 +39,13 @@ FLAGSHIP: list[str] = [
     # tests/test_oracle_parity.py and the dual-scale drive_entry
     # sweeps recorded in CAPABILITIES.md.
     "join_spatial_grid",
-    "join_bloom_pruned",
+    # Session 5 rotates the data-layout family into the window:
+    # layout_zorder_stats (Z-order vs linear file-skipping accounting)
+    # replaces join_bloom_pruned, whose join family keeps two in-window
+    # reps (join_inner_broadcast, join_spatial_grid); the bloom entry
+    # stays oracle-verified by tests/test_oracle_parity.py and the
+    # dual-scale drive_entry sweeps.
+    "layout_zorder_stats",
     "agg_pricing_summary",
     "agg_approx",
     "ml_logreg_train",
