@@ -562,6 +562,238 @@ ML_PCA_POWER_SQL = _pca_oracle_sql()
 
 
 # --------------------------------------------------------------------------
+# ml_adaboost_stumps: boosted decision stumps (AdaBoost.M1) trained
+# fully in-engine with quantized weights
+# --------------------------------------------------------------------------
+
+_ADA_BUCKETS = 16
+_ADA_ITERS = 3
+
+
+def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AdaBoost.M1 (Freund & Schapire 1997) over binary
+    bag-of-buckets features (doc contains >= 1 token hashing to
+    bucket b), label y = +/-1 for lang == 'en': each round fits the
+    weighted-error-minimizing stump over all 32 (bucket, polarity)
+    candidates, re-weights via exp(-alpha*y*h), and reports the
+    per-round learning curve (chosen stump, weighted error share,
+    alpha, cumulative ensemble train accuracy).
+
+    Determinism: example weights live as scaled BIGINTs (exact
+    order-independent sums -> exact weighted errors); alpha is
+    quantized once per round before it touches any weight; ensemble
+    margins are EXACT integer sums of quantized alphas, so the
+    accuracy counts cannot float-drift. The only transcendentals
+    (ln for alpha, exp for the two weight factors) are evaluated on
+    one scalar per round, not per row. Oracle replays all rounds.
+
+    Scale shape: the 16-bit feature mask is built ONCE (token
+    explode -> sum(DISTINCT 1<<b): one doc_id shuffle) and
+    checkpointed; each round is (a) a narrow 16x mask explode into a
+    map-side-combinable 16-cell error aggregate, (b) a 32-row
+    candidate frame, (c) a BROADCAST of the single best stump back
+    into a narrow weight/margin update. The corpus never reshuffles
+    after the feature build -- the same "model fits in a broadcast"
+    pattern as ml_logreg_train.
+    """
+    from ..functions import md5_unit
+
+    b_n, m = _ADA_BUCKETS, 1_000_000
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.expr(_WS_TOKS_SPARK).alias("w")
+    )
+    feats = (
+        d.select("doc_id", F.explode("w").alias("tok"))
+        .withColumn("b", F.floor(md5_unit("tok") * b_n).cast("int"))
+        .groupBy("doc_id")
+        .agg(F.sum_distinct(F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
+             .alias("mask"))
+    )
+    state = (
+        d.select(
+            "doc_id",
+            F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1))
+            .cast("long").alias("y"),
+        )
+        .join(feats, "doc_id", "left")
+        .select(
+            "doc_id", "y",
+            F.coalesce("mask", F.lit(0)).alias("mask"),
+            F.lit(m).cast("long").alias("w_q6"),
+            F.lit(0).cast("long").alias("margin_q6"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rounds = []
+    for tr in range(_ADA_ITERS):
+        cells = state.select(
+            "y", "w_q6",
+            F.explode(F.expr(
+                f"transform(sequence(0, {b_n - 1}), b -> struct(b AS b,"
+                " CAST(shiftright(mask, b) & 1 AS LONG) AS has))"
+            )).alias("c"),
+        ).groupBy(F.col("c.b").alias("b")).agg(
+            F.sum(
+                F.when(F.col("c.has") * 2 - 1 != F.col("y"), F.col("w_q6"))
+                .otherwise(F.lit(0))
+            ).alias("err_pos"),
+            F.sum("w_q6").alias("w_all"),
+        )
+        cand = cells.select(
+            "b", "w_all",
+            F.explode(F.array(
+                F.struct(F.lit(1).cast("long").alias("pol"),
+                         F.col("err_pos").alias("err")),
+                F.struct(F.lit(-1).cast("long").alias("pol"),
+                         (F.col("w_all") - F.col("err_pos")).alias("err")),
+            )).alias("p"),
+        ).select("b", "w_all", "p.pol", "p.err")
+        wb = Window.orderBy(F.col("err").asc(), F.col("b").asc(),
+                            F.col("pol").asc())
+        err_c = F.greatest(
+            F.least(F.col("err"), F.col("w_all") - 1), F.lit(1)
+        ).cast("double")
+        best = (
+            cand.withColumn("__rn", F.row_number().over(wb))
+            .filter(F.col("__rn") == 1)
+            .select(
+                F.col("b").alias("best_b"),
+                F.col("pol").alias("best_pol"),
+                F.col("err").alias("best_err"),
+                "w_all",
+                F.floor(
+                    F.lit(0.5)
+                    * F.log((F.col("w_all").cast("double") - err_c) / err_c)
+                    * F.lit(float(m)) + F.lit(0.5)
+                ).cast("long").alias("alpha_q6"),
+            )
+        )
+        st = state.crossJoin(F.broadcast(best))
+        h = F.col("best_pol") * (
+            F.expr("shiftright(mask, CAST(best_b AS INT)) & 1")
+            .cast("long") * 2 - 1
+        )
+        factor = F.exp(
+            -(F.col("alpha_q6").cast("double") / F.lit(float(m)))
+            * (F.col("y") * h).cast("double")
+        )
+        state = st.select(
+            "doc_id", "y", "mask",
+            F.floor(F.col("w_q6").cast("double") * factor + F.lit(0.5))
+            .cast("long").alias("w_q6"),
+            (F.col("margin_q6") + F.col("alpha_q6") * h).alias("margin_q6"),
+        ).localCheckpoint(eager=True)
+        acc = state.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                ((F.col("margin_q6") > 0) == (F.col("y") == 1))
+                .cast("long")
+            ).alias("n_correct"),
+        )
+        rounds.append(
+            acc.crossJoin(F.broadcast(best)).select(
+                F.lit(tr + 1).cast("long").alias("round"),
+                F.col("best_b").cast("long").alias("bucket"),
+                F.col("best_pol").alias("polarity"),
+                F.floor(
+                    F.col("best_err").cast("double") * F.lit(float(m))
+                    / F.col("w_all") + F.lit(0.5)
+                ).cast("long").alias("err_share_q6"),
+                "alpha_q6",
+                F.col("n_correct").cast("long").alias("n_correct"),
+                F.col("n_docs").cast("long").alias("n_docs"),
+            )
+        )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def _adaboost_oracle_sql() -> str:
+    b_n, it = _ADA_BUCKETS, _ADA_ITERS
+    from ..functions.numeric import sql_md5_unit as smu
+
+    ctes = [
+        f"d AS (SELECT doc_id, lang, {_WS_TOKS_SQL} AS w FROM documents)",
+        f"""feats AS (
+  SELECT doc_id,
+         sum(DISTINCT (1::BIGINT << CAST(floor({smu('tok')} * {b_n})
+                                          AS INT))) AS mask
+  FROM (SELECT doc_id, unnest(w) AS tok FROM d) GROUP BY doc_id
+)""",
+        """s0 AS (
+  SELECT d.doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+         coalesce(f.mask, 0) AS mask,
+         CAST(1000000 AS BIGINT) AS w_q6,
+         CAST(0 AS BIGINT) AS margin_q6
+  FROM d LEFT JOIN feats f USING (doc_id)
+)""",
+    ]
+    for k in range(it):
+        ctes.append(
+            f"""cells{k} AS (
+  SELECT b, sum(CASE WHEN ((mask >> b) & 1) * 2 - 1 != y
+                     THEN w_q6 ELSE 0 END) AS err_pos,
+         sum(w_q6) AS w_all
+  FROM s{k}, range({b_n}) r(b) GROUP BY b
+)"""
+        )
+        ctes.append(
+            f"""cand{k} AS (
+  SELECT b, w_all, 1 AS pol, err_pos AS err FROM cells{k}
+  UNION ALL
+  SELECT b, w_all, -1, w_all - err_pos FROM cells{k}
+)"""
+        )
+        ctes.append(
+            f"""best{k} AS (
+  SELECT b AS best_b, pol AS best_pol, err AS best_err, w_all,
+         CAST(floor(0.5 * ln((CAST(w_all AS DOUBLE)
+                  - CAST(greatest(least(err, w_all - 1), 1) AS DOUBLE))
+                 / CAST(greatest(least(err, w_all - 1), 1) AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT) AS alpha_q6
+  FROM (SELECT *, row_number() OVER (ORDER BY err ASC, b ASC, pol ASC)
+          AS rn FROM cand{k})
+  WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""s{k + 1} AS (
+  SELECT doc_id, y, mask,
+         CAST(floor(CAST(w_q6 AS DOUBLE)
+             * exp(-(CAST(alpha_q6 AS DOUBLE) / 1000000.0)
+                   * CAST(y * (best_pol * (((mask >> best_b) & 1) * 2 - 1))
+                          AS DOUBLE)) + 0.5) AS BIGINT) AS w_q6,
+         margin_q6 + alpha_q6
+           * (best_pol * (((mask >> best_b) & 1) * 2 - 1)) AS margin_q6
+  FROM s{k}, best{k}
+)"""
+        )
+        ctes.append(
+            f"""round{k} AS (
+  SELECT CAST({k + 1} AS BIGINT) AS round,
+         CAST(best_b AS BIGINT) AS bucket,
+         CAST(best_pol AS BIGINT) AS polarity,
+         CAST(floor(CAST(best_err AS DOUBLE) * 1000000.0 / w_all + 0.5)
+              AS BIGINT) AS err_share_q6,
+         alpha_q6,
+         (SELECT CAST(sum(CASE WHEN (margin_q6 > 0) = (y = 1)
+                                THEN 1 ELSE 0 END) AS BIGINT)
+          FROM s{k + 1}) AS n_correct,
+         (SELECT CAST(count(*) AS BIGINT) FROM s{k + 1}) AS n_docs
+  FROM best{k}
+)"""
+        )
+    joined = ",\n".join(ctes)
+    finals = " UNION ALL ".join(f"SELECT * FROM round{k}" for k in range(it))
+    return f"WITH {joined}\n{finals}"
+
+
+ML_ADABOOST_STUMPS_SQL = _adaboost_oracle_sql()
+
+
+# --------------------------------------------------------------------------
 # Decision-stump training: best threshold split by information gain,
 # computed with ONE pass + a window cumulative sum (no threshold x
 # data join)
@@ -1672,6 +1904,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("ml_naive_bayes", ml_naive_bayes, ML_NAIVE_BAYES_SQL),
     QuerySpec("ml_logreg_train", ml_logreg_train, ML_LOGREG_TRAIN_SQL),
     QuerySpec("ml_pca_power", ml_pca_power, ML_PCA_POWER_SQL),
+    QuerySpec("ml_adaboost_stumps", ml_adaboost_stumps,
+              ML_ADABOOST_STUMPS_SQL),
     QuerySpec("ml_tree_stump", ml_tree_stump, ML_TREE_STUMP_SQL),
     QuerySpec("event_attribution_ushape", event_attribution_ushape,
               EVENT_ATTRIBUTION_USHAPE_SQL),

@@ -214,3 +214,23 @@ def test_pca_power_matches_numpy_replay(spark):
     r_fit = vf @ gf @ vf / (vf @ vf)
     r_ones = ones @ gf @ ones / (ones @ ones)
     assert r_fit > r_ones
+
+
+def test_adaboost_invariants(spark):
+    """Chosen stumps must satisfy the weak-learner condition (weighted
+    error share < 1/2, hence alpha > 0) and alphas must be
+    non-increasing as the reweighted rounds get harder on this
+    feature family; ensemble accuracy never drops below the first
+    round's."""
+    from s3_parquet_to_postgres_spark.plans.mining import ml_adaboost_stumps
+
+    rows = sorted(
+        ml_adaboost_stumps(spark, SF).collect(), key=lambda r: r["round"]
+    )
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    for r in rows:
+        assert 0 < r["err_share_q6"] < 500_000, r
+        assert r["alpha_q6"] > 0, r
+        assert 0 <= r["n_correct"] <= r["n_docs"]
+    assert rows[0]["alpha_q6"] >= rows[1]["alpha_q6"] >= rows[2]["alpha_q6"]
+    assert rows[-1]["n_correct"] >= rows[0]["n_correct"] * 0.9
