@@ -146,6 +146,24 @@ SECTIONS = [
         " volume is |docs| longs regardless of corpus width, the"
         " model-fits-in-a-broadcast pattern.",
     ),
+    (
+        "layout_zorder_stats",
+        "Data-layout planning readout: global min/max from ONE tiny"
+        " aggregate broadcast back (no global-window rank), Morton key as"
+        " pure integer bit interleaving in a Project, per-(layout, file)"
+        " footer stats via a map-side-combinable aggregate to 32 rows --"
+        " the probe accounting then runs on the 32-row stats table, not"
+        " on data.",
+    ),
+    (
+        "ml_pca_power",
+        "Gram-matrix training in one corpus scan: the per-row nested"
+        " transform explodes d^2 quantized products into a"
+        " partial/final-aggregated 4096-cell integer matrix (constant"
+        " partial state per partition); all four power iterations run on"
+        " the normalized 4096-row Gram against a 64-row BROADCAST vector"
+        " -- the corpus is never rescanned or reshuffled.",
+    ),
 ]
 
 

@@ -60,6 +60,12 @@ QUERIES = [
     "ml_naive_bayes",
     "ml_logreg_train",
     "text_textrank",
+    "layout_zorder_stats",
+    "agg_histogram_quantiles",
+    "event_pattern_match",
+    "ml_pca_power",
+    "ml_adaboost_stumps",
+    "ml_calibration_bins",
 ]
 
 
