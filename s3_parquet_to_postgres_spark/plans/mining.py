@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import dround
+from ..functions import dround, md5_unit
+from ..functions.numeric import sql_md5_unit
 from .base import QuerySpec, t
 from .ext import pagerank_oracle_sql
 
@@ -1673,6 +1674,161 @@ FROM customer GROUP BY 1, 2
 """
 
 
+_DP_EPS = 1.0
+
+
+def table_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release over (lang, source)
+    document cells: Laplace(1/epsilon) noise via the inverse-CDF of a
+    content-stable uniform (Dwork et al. 2006; sensitivity 1 -- each
+    document lands in exactly one cell). Seeded noise makes the
+    release REPRODUCIBLE (the same privacy budget cannot be spent
+    twice on fresh randomness for the same release id), which is also
+    what lets the DuckDB oracle replay it: u = md5_unit(release id ||
+    cell key), noise = -(1/eps) * sgn(u - 1/2) * ln(1 - 2|u - 1/2|),
+    quantized once to q6 before the rounded add.
+
+    Scale shape: ONE partial-aggregated groupBy bounded by the cell
+    domain; the transcendental runs per CELL, not per row.
+    """
+    d = t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("n_true"))
+    u = md5_unit(F.concat(F.lit("dp-r1:"), F.col("lang"), F.lit(":"),
+                          F.col("source")))
+    dev = u - F.lit(0.5)
+    noise = (
+        F.lit(-1.0 / _DP_EPS)
+        * F.when(dev < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+        * F.log(F.lit(1.0) - 2 * F.abs(dev))
+    )
+    noise_q6 = F.floor(noise * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    released = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("n_true")
+        + F.floor(
+            F.col("noise_q6").cast("double") / F.lit(1_000_000.0) + F.lit(0.5)
+        ).cast("long"),
+    )
+    return (
+        cells.withColumn("noise_q6", noise_q6)
+        .select(
+            "lang", "source",
+            F.col("n_true").cast("long").alias("n_true"),
+            F.lit(float(_DP_EPS)).alias("epsilon"),
+            "noise_q6",
+            released.alias("n_released"),
+        )
+    )
+
+
+TABLE_DP_COUNTS_SQL = f"""
+WITH cells AS (
+  SELECT lang, source, count(*) AS n_true
+  FROM documents GROUP BY 1, 2
+), noised AS (
+  SELECT lang, source, n_true,
+         CAST(floor(
+           (-1.0 / {_DP_EPS!r})
+           * (CASE WHEN {sql_md5_unit("'dp-r1:' || lang || ':' || source")}
+                        - 0.5 < 0 THEN -1.0 ELSE 1.0 END)
+           * ln(1.0 - 2 * abs({sql_md5_unit(
+               "'dp-r1:' || lang || ':' || source")} - 0.5))
+           * 1000000.0 + 0.5) AS BIGINT) AS noise_q6
+  FROM cells
+)
+SELECT lang, source,
+       CAST(n_true AS BIGINT) AS n_true,
+       {_DP_EPS!r} AS epsilon,
+       noise_q6,
+       greatest(CAST(0 AS BIGINT),
+                n_true + CAST(floor(CAST(noise_q6 AS DOUBLE) / 1000000.0
+                                    + 0.5) AS BIGINT)) AS n_released
+FROM noised
+"""
+
+
+def event_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the daily event-volume
+    series (Page 1954): the split day maximizing |cumulative
+    deviation from the global mean|. To keep the argmax bit-stable,
+    the statistic is the INTEGER rescaling T_d = n_days * cum_d -
+    d * total (= n_days * classic CUSUM), so no float ever enters the
+    ranking; ties break on earlier day. The last day is excluded (a
+    change point must split the series).
+
+    Scale shape: the log collapses to one row per day in a single
+    partial-aggregated groupBy; the cumulative window and argmax run
+    on the daily series, not on events. Output: the detected day with
+    exact before/after mean rates.
+    """
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n"))
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).alias("idx"),
+        F.sum("n").over(wd).alias("cum"),
+        F.sum("n").over(wall).alias("total"),
+        F.count("*").over(wall).alias("n_days"),
+    ).filter(F.col("idx") < F.col("n_days"))
+    scored = cum.withColumn(
+        "t_stat", F.col("n_days") * F.col("cum") - F.col("idx") * F.col("total")
+    )
+    top = Window.orderBy(F.abs(F.col("t_stat")).desc(), F.col("day").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(top))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("day").alias("change_day"),
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("total").cast("long").alias("total_events"),
+            F.col("t_stat").cast("long").alias("cusum_scaled"),
+            F.floor(
+                F.col("cum") * F.lit(1_000_000.0) / F.col("idx") + F.lit(0.5)
+            ).cast("long").alias("mean_before_q6"),
+            F.floor(
+                (F.col("total") - F.col("cum")) * F.lit(1_000_000.0)
+                / (F.col("n_days") - F.col("idx")) + F.lit(0.5)
+            ).cast("long").alias("mean_after_q6"),
+        )
+    )
+
+
+EVENT_CHANGEPOINT_SQL = """
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(*) AS n
+  FROM events GROUP BY 1
+), cum AS (
+  SELECT day,
+         row_number() OVER (ORDER BY day) AS idx,
+         sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n) OVER () AS total,
+         count(*) OVER () AS n_days
+  FROM daily
+  QUALIFY idx < n_days
+), scored AS (
+  SELECT *, n_days * cum - idx * total AS t_stat FROM cum
+)
+SELECT day AS change_day,
+       CAST(n_days AS BIGINT) AS n_days,
+       CAST(total AS BIGINT) AS total_events,
+       CAST(t_stat AS BIGINT) AS cusum_scaled,
+       CAST(floor(cum * 1000000.0 / idx + 0.5) AS BIGINT)
+         AS mean_before_q6,
+       CAST(floor((total - cum) * 1000000.0 / (n_days - idx) + 0.5)
+            AS BIGINT) AS mean_after_q6
+FROM (SELECT *, row_number() OVER (ORDER BY abs(t_stat) DESC, day ASC)
+        AS rn FROM scored)
+WHERE rn = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Gini coefficient per segment — inequality/concentration metric via
 # the rank formula, exact scaled-integer sums
@@ -1906,6 +2062,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("ml_pca_power", ml_pca_power, ML_PCA_POWER_SQL),
     QuerySpec("ml_adaboost_stumps", ml_adaboost_stumps,
               ML_ADABOOST_STUMPS_SQL),
+    QuerySpec("table_dp_counts", table_dp_counts, TABLE_DP_COUNTS_SQL),
+    QuerySpec("event_changepoint", event_changepoint,
+              EVENT_CHANGEPOINT_SQL),
     QuerySpec("ml_tree_stump", ml_tree_stump, ML_TREE_STUMP_SQL),
     QuerySpec("event_attribution_ushape", event_attribution_ushape,
               EVENT_ATTRIBUTION_USHAPE_SQL),
