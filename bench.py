@@ -88,6 +88,15 @@ EXTRA = [
     "ml_item_cf",
     "ml_rfm_segments",
     "event_attribution_ushape",
+    # session-5 layout / training / analytics additions
+    "layout_zorder_stats",
+    "agg_histogram_quantiles",
+    "event_pattern_match",
+    "ml_pca_power",
+    "ml_adaboost_stumps",
+    "ml_calibration_bins",
+    "table_dp_counts",
+    "event_changepoint",
 ]
 
 

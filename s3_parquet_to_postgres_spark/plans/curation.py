@@ -978,6 +978,139 @@ FROM hit
 """
 
 
+def agg_exact_median_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median of l_extendedprice WITHOUT a global sort:
+    histogram refinement. Phase 1 bins the corpus into 64 equi-width
+    cells and locates the cell containing the target rank; phase 2
+    re-bins that one cell 64 ways; the residual (~n/4096 rows) gets a
+    row_number. This is the scalable exact-quantile pattern: each
+    refinement is a map-side-combinable 64-cell aggregate, no stage
+    ever sorts more than the residual, and at 100 TB the refine
+    scans' bin predicates prune row groups via parquet min/max stats
+    (the skipping layout_zorder_stats measures). The oracle computes
+    the same rank directly with a full-sort row_number -- the k-th
+    smallest value is plan-independent, which is exactly why the
+    Spark side is free to never materialize that sort.
+
+    Output: corpus size, target rank (lower median), the exact
+    median, and the residual row count that phase 3 actually sorted.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_extendedprice").alias("x")
+    )
+    w1, nb = _HQ_WIDTH, _HQ_BINS
+    # Phase 1: coarse histogram -> target bin + rows below it.
+    h1 = li.groupBy(
+        F.least(F.floor(F.col("x") / F.lit(w1)), F.lit(nb - 1))
+        .cast("long").alias("b1")
+    ).agg(F.count("*").alias("cnt"))
+    wc = Window.orderBy("b1").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("b1").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t1 = (
+        h1.select(
+            "b1", "cnt",
+            F.sum("cnt").over(wc).alias("cum"),
+            F.sum("cnt").over(wall).alias("n_total"),
+        )
+        .withColumn("target", F.expr("(n_total + 1) div 2"))
+        .filter(
+            (F.col("cum") - F.col("cnt") < F.col("target"))
+            & (F.col("cum") >= F.col("target"))
+        )
+        .select(
+            "b1", "n_total", "target",
+            (F.col("cum") - F.col("cnt")).alias("below1"),
+        )
+    )
+    # Phase 2: re-bin the target cell 64 ways (width w1/64).
+    w2 = w1 / nb
+    in1 = li.crossJoin(F.broadcast(t1)).filter(
+        F.least(F.floor(F.col("x") / F.lit(w1)), F.lit(nb - 1)) == F.col("b1")
+    )
+    h2 = in1.groupBy(
+        "b1", "n_total", "target", "below1",
+        F.least(
+            F.floor((F.col("x") - F.col("b1") * F.lit(w1)) / F.lit(w2)),
+            F.lit(nb - 1),
+        ).cast("long").alias("b2"),
+    ).agg(F.count("*").alias("cnt"))
+    wc2 = Window.orderBy("b2").rowsBetween(Window.unboundedPreceding, 0)
+    t2 = (
+        h2.select(
+            "b1", "b2", "cnt", "n_total", "target", "below1",
+            (F.sum("cnt").over(wc2) + F.col("below1")).alias("cum"),
+        )
+        .filter(
+            (F.col("cum") - F.col("cnt") < F.col("target"))
+            & (F.col("cum") >= F.col("target"))
+        )
+        .select(
+            "b1", "b2", "n_total", "target",
+            (F.col("cum") - F.col("cnt")).alias("below2"),
+        )
+    )
+    # Phase 3: row_number only the residual cell.
+    resid = li.crossJoin(F.broadcast(t2)).filter(
+        (F.least(F.floor(F.col("x") / F.lit(w1)), F.lit(nb - 1))
+         == F.col("b1"))
+        & (F.least(
+            F.floor((F.col("x") - F.col("b1") * F.lit(w1)) / F.lit(w2)),
+            F.lit(nb - 1),
+        ) == F.col("b2"))
+    )
+    wr = Window.partitionBy("b1", "b2").orderBy(
+        "x", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("b1", "b2")
+    return (
+        resid.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n_resid", F.count("*").over(wn))
+        .filter(F.col("rn") == F.col("target") - F.col("below2"))
+        .select(
+            F.col("n_total").cast("long").alias("n_total"),
+            F.col("target").cast("long").alias("target_rank"),
+            F.col("x").alias("median_price"),
+            F.col("n_resid").cast("long").alias("n_residual_sorted"),
+        )
+    )
+
+
+AGG_EXACT_MEDIAN_SQL = f"""
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_extendedprice AS x FROM lineitem
+), ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, l_orderkey, l_linenumber) AS rn,
+         count(*) OVER () AS n_total
+  FROM li
+), med AS (
+  SELECT n_total, (n_total + 1) // 2 AS target, x
+  FROM ranked WHERE rn = (n_total + 1) // 2
+), resid AS (
+  SELECT count(*) AS n_resid
+  FROM li, med m
+  WHERE least(CAST(floor(li.x / {_HQ_WIDTH}) AS BIGINT), {_HQ_BINS - 1})
+        = least(CAST(floor(m.x / {_HQ_WIDTH}) AS BIGINT), {_HQ_BINS - 1})
+    AND least(CAST(floor((li.x - least(CAST(floor(m.x / {_HQ_WIDTH})
+                                            AS BIGINT),
+                                    {_HQ_BINS - 1}) * {_HQ_WIDTH})
+                         / {_HQ_WIDTH / _HQ_BINS}) AS BIGINT),
+              {_HQ_BINS - 1})
+        = least(CAST(floor((m.x - least(CAST(floor(m.x / {_HQ_WIDTH})
+                                             AS BIGINT), {_HQ_BINS - 1})
+                            * {_HQ_WIDTH})
+                           / {_HQ_WIDTH / _HQ_BINS}) AS BIGINT),
+                {_HQ_BINS - 1})
+)
+SELECT CAST(n_total AS BIGINT) AS n_total,
+       CAST(target AS BIGINT) AS target_rank,
+       x AS median_price,
+       CAST((SELECT n_resid FROM resid) AS BIGINT) AS n_residual_sorted
+FROM med
+"""
+
+
 def _cms_bucket_sql(key_expr: str, j: int) -> str:
     h = f"md5(CAST(({key_expr}) AS VARCHAR))"
     d = "0123456789abcdef"
@@ -2313,6 +2446,11 @@ SPECS: list[QuerySpec] = [
               "mergeable equi-width histogram sketch: 64-cell "
               "counter table, quantile probes with bin-width error "
               "bound; shard merge == rebuild pinned by test"),
+    QuerySpec("agg_exact_median_twophase", agg_exact_median_twophase,
+              AGG_EXACT_MEDIAN_SQL,
+              "exact global median without a global sort: 64-cell "
+              "histogram refinement x2 then a ~n/4096 residual "
+              "row_number; refine scans prune via min/max stats"),
     QuerySpec("sample_token_budget", sample_token_budget,
               SAMPLE_TOKEN_BUDGET_SQL,
               "per-language token-budget greedy selection: "
