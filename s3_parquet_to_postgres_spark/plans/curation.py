@@ -1111,6 +1111,93 @@ FROM med
 """
 
 
+def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (the lakehouse upsert): apply a change
+    set of updates (repriced orders, every key % 10 == 0 at +10%) and
+    inserts (new keys offset by 10^7, every key % 97 == 0) to the
+    orders table in ONE full-outer join on the key -- matched rows
+    take the delta's values, unmatched keep the base's, insert-only
+    keys append. Returns the merge accounting plus an exact
+    order-independent cent-sum checksum of the merged table, so the
+    oracle verifies the whole merged CONTENT, not just counts.
+
+    Scale shape: one co-partitioned shuffle of base and delta on the
+    merge key (delta is usually small enough to broadcast; Spark
+    picks that automatically below the threshold). The durable-write
+    half of this pattern is sinks/staging.py's staging-table +
+    one-transaction swap; the streaming half is
+    streaming/ivm_join.py's delta-rule view maintenance.
+    """
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * F.lit(1.1)).alias("d_totalprice"),
+        F.lit("U").alias("d_status"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+        F.col("o_totalprice").alias("d_totalprice"),
+        F.lit("I").alias("d_status"),
+    )
+    delta = updates.unionAll(inserts)
+    merged = o.join(delta, "o_orderkey", "full_outer").select(
+        "o_orderkey",
+        F.coalesce("d_totalprice", "o_totalprice").alias("m_totalprice"),
+        F.coalesce("d_status", "o_orderstatus").alias("m_status"),
+        F.col("o_totalprice").isNotNull().alias("in_base"),
+        F.col("d_totalprice").isNotNull().alias("in_delta"),
+    )
+    return merged.agg(
+        F.sum(F.col("in_base").cast("long")).cast("long").alias("n_base"),
+        F.sum(F.col("in_delta").cast("long")).cast("long").alias("n_delta"),
+        F.sum((F.col("in_base") & F.col("in_delta")).cast("long"))
+        .cast("long").alias("n_updated"),
+        F.sum((~F.col("in_base")).cast("long")).cast("long")
+        .alias("n_inserted"),
+        F.count("*").cast("long").alias("n_result"),
+        F.sum(
+            F.floor(F.col("m_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).cast("long").alias("checksum_cents"),
+        F.sum(
+            F.when(F.col("m_status") == "U", 1).otherwise(0)
+        ).cast("long").alias("n_status_u"),
+    )
+
+
+TABLE_MERGE_UPSERT_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+), delta AS (
+  SELECT o_orderkey, o_totalprice * 1.1 AS d_totalprice, 'U' AS d_status
+  FROM o WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, 'I'
+  FROM o WHERE o_orderkey % 97 = 0
+), merged AS (
+  SELECT coalesce(o.o_orderkey, d.o_orderkey) AS k,
+         coalesce(d.d_totalprice, o.o_totalprice) AS m_totalprice,
+         coalesce(d.d_status, o.o_orderstatus) AS m_status,
+         o.o_totalprice IS NOT NULL AS in_base,
+         d.d_totalprice IS NOT NULL AS in_delta
+  FROM o FULL OUTER JOIN delta d ON o.o_orderkey = d.o_orderkey
+)
+SELECT CAST(sum(CASE WHEN in_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       CAST(sum(CASE WHEN in_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+       CAST(sum(CASE WHEN in_base AND in_delta THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_updated,
+       CAST(sum(CASE WHEN NOT in_base THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_inserted,
+       CAST(count(*) AS BIGINT) AS n_result,
+       CAST(sum(CAST(floor(m_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS checksum_cents,
+       CAST(sum(CASE WHEN m_status = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_status_u
+FROM merged
+"""
+
+
 def _cms_bucket_sql(key_expr: str, j: int) -> str:
     h = f"md5(CAST(({key_expr}) AS VARCHAR))"
     d = "0123456789abcdef"
@@ -2451,6 +2538,11 @@ SPECS: list[QuerySpec] = [
               "exact global median without a global sort: 64-cell "
               "histogram refinement x2 then a ~n/4096 residual "
               "row_number; refine scans prune via min/max stats"),
+    QuerySpec("table_merge_upsert", table_merge_upsert,
+              TABLE_MERGE_UPSERT_SQL,
+              "MERGE INTO semantics in one co-partitioned full-outer "
+              "join; merged content verified by exact cent-sum "
+              "checksum, durable half = sinks/staging.py"),
     QuerySpec("sample_token_budget", sample_token_budget,
               SAMPLE_TOKEN_BUDGET_SQL,
               "per-language token-budget greedy selection: "
