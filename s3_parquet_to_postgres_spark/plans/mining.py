@@ -133,10 +133,28 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode), and reduced by a map-side-combinable (doc, class) sum.
     No shuffle touches anything wider than (doc_id, class, BIGINT).
     """
+    return _nb_confusion(spark, sf_dir)
+
+
+def _nb_confusion(
+    spark: SparkSession,
+    sf_dir: str,
+    train_pred=None,
+    score_pred=None,
+) -> DataFrame:
+    """Shared NB train+score program; ``train_pred``/``score_pred``
+    are optional doc-level Column predicates selecting the training
+    and scoring subsets (both default to the whole corpus -- the
+    resubstitution entry)."""
     d = t(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.expr(_WS_TOKS_SPARK).alias("w")
     )
-    occ = d.select("doc_id", "lang", F.explode("w").alias("tok"))
+    all_occ = d.select("doc_id", "lang", F.explode("w").alias("tok"))
+    occ_train = all_occ.filter(train_pred) if train_pred is not None \
+        else all_occ
+    occ_score = all_occ.filter(score_pred) if score_pred is not None \
+        else all_occ
+    occ = occ_train
     cc = occ.groupBy(F.col("lang").alias("cls"), "tok").agg(
         F.count("*").alias("c")
     )
@@ -172,7 +190,7 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        occ.crossJoin(F.broadcast(dflt))
+        occ_score.crossJoin(F.broadcast(dflt))
         .join(F.broadcast(lik), ["cls", "tok"], "left")
         .groupBy(F.col("doc_id"), F.col("lang").alias("actual"), F.col("cls"))
         .agg(F.sum(F.coalesce(F.col("llq"), F.col("dq"))).alias("s"))
@@ -189,13 +207,20 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n"))
 
 
-ML_NAIVE_BAYES_SQL = f"""
+def _nb_oracle_sql(train_where: str = "", score_where: str = "") -> str:
+    """NB oracle with optional doc-level train/score WHERE clauses
+    (empty = whole corpus; mirrors _nb_confusion's predicates)."""
+    return f"""
 WITH d AS (
   SELECT doc_id, lang, {_WS_TOKS_SQL} AS w FROM documents
 ), occ AS (
   SELECT doc_id, lang, unnest(w) AS tok FROM d
+), occ_train AS (
+  SELECT * FROM occ {train_where}
+), occ_score AS (
+  SELECT * FROM occ {score_where}
 ), cc AS (
-  SELECT lang AS cls, tok, count(*) AS c FROM occ GROUP BY 1, 2
+  SELECT lang AS cls, tok, count(*) AS c FROM occ_train GROUP BY 1, 2
 ), ctot AS (
   SELECT cls, sum(c) AS tot FROM cc GROUP BY 1
 ), v AS (
@@ -211,7 +236,7 @@ WITH d AS (
               AS BIGINT) AS dq
   FROM ctot, v
 ), dd AS (
-  SELECT DISTINCT doc_id, lang FROM occ
+  SELECT DISTINCT doc_id, lang FROM occ_train
 ), pri AS (
   SELECT lang AS cls,
          CAST(floor(ln(CAST(count(*) AS DOUBLE)
@@ -221,7 +246,7 @@ WITH d AS (
 ), sc AS (
   SELECT o.doc_id, o.lang AS actual, f.cls,
          CAST(sum(coalesce(l.llq, f.dq)) AS BIGINT) AS s
-  FROM occ o
+  FROM occ_score o
   CROSS JOIN dflt f
   LEFT JOIN lik l ON l.cls = f.cls AND l.tok = o.tok
   GROUP BY 1, 2, 3
@@ -237,6 +262,37 @@ WITH d AS (
 )
 SELECT actual, predicted, count(*) AS n FROM pred GROUP BY 1, 2
 """
+
+
+ML_NAIVE_BAYES_SQL = _nb_oracle_sql()
+
+_NB_SPLIT_SQL = sql_md5_unit("'nbsplit:' || doc_id")
+
+
+def ml_naive_bayes_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-sample naive-Bayes evaluation: train the lang
+    classifier on the content-stable 80% split
+    (md5_unit('nbsplit:' || doc_id) < 0.8) and emit the confusion
+    matrix over the HELD-OUT 20% -- the honest generalization
+    readout the resubstitution entry (ml_naive_bayes) cannot give.
+    Unseen held-out tokens fall to the smoothed default likelihood;
+    the split is the same md5 primitive as the catalog's
+    train/val/test splits, so it is reproducible and
+    oracle-replayable. Same plan shape as ml_naive_bayes -- the model
+    is still broadcast-sized and the corpus is scanned once.
+    """
+    split = md5_unit(F.concat(F.lit("nbsplit:"), F.col("doc_id")))
+    return _nb_confusion(
+        spark, sf_dir,
+        train_pred=split < 0.8,
+        score_pred=split >= 0.8,
+    )
+
+
+ML_NAIVE_BAYES_HOLDOUT_SQL = _nb_oracle_sql(
+    train_where=f"WHERE {_NB_SPLIT_SQL} < 0.8",
+    score_where=f"WHERE {_NB_SPLIT_SQL} >= 0.8",
+)
 
 
 # --------------------------------------------------------------------------
@@ -2062,6 +2118,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("ml_pca_power", ml_pca_power, ML_PCA_POWER_SQL),
     QuerySpec("ml_adaboost_stumps", ml_adaboost_stumps,
               ML_ADABOOST_STUMPS_SQL),
+    QuerySpec("ml_naive_bayes_holdout", ml_naive_bayes_holdout,
+              ML_NAIVE_BAYES_HOLDOUT_SQL),
     QuerySpec("table_dp_counts", table_dp_counts, TABLE_DP_COUNTS_SQL),
     QuerySpec("event_changepoint", event_changepoint,
               EVENT_CHANGEPOINT_SQL),
