@@ -1890,6 +1890,106 @@ FROM j
 """
 
 
+def event_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gap-filled per-user daily series with LINEAR interpolation
+    # (event_gapfill's sibling: lerp between the bracketing
+    # observations instead of carrying the last one forward). Both
+    # carries travel as (day, value) STRUCTS under one
+    # last/first(ignorenulls) each -- the struct is non-null exactly
+    # when the observation row is, so day and value can never come
+    # from different rows -- and both window directions share the
+    # single user_id shuffle. The lerp itself is per-row IEEE double
+    # arithmetic on exact DECIMAL-summed inputs (base.py rules), so
+    # no rounding is needed. Interior gap days always have both
+    # brackets (the spine spans first..last observed day).
+    e = t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    daily = e.groupBy(F.col("user_id"), day.alias("day")).agg(
+        dsum("value", 4).alias("total")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    obs = F.when(
+        F.col("total").isNotNull(),
+        F.struct(F.col("day").alias("d"), F.col("total").alias("v")),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    j = j.withColumn(
+        "prev", F.last(obs, ignorenulls=True).over(wb)
+    ).withColumn("nxt", F.first(obs, ignorenulls=True).over(wf))
+    frac = F.datediff(F.col("day"), F.col("prev.d")).cast(
+        "double"
+    ) / F.datediff(F.col("nxt.d"), F.col("prev.d")).cast("double")
+    interp = F.when(F.col("total").isNotNull(), F.col("total")).otherwise(
+        F.col("prev.v") + (F.col("nxt.v") - F.col("prev.v")) * frac
+    )
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("total").alias("observed"),
+        interp.alias("interp_value"),
+    )
+
+
+EVENT_GAPFILL_INTERP_SQL = f"""
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         {sql_dsum('value', 4)} AS total
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+), spine AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+), j AS (
+  SELECT s.user_id, s.day, d.total
+  FROM spine s LEFT JOIN daily d
+    ON s.user_id = d.user_id AND s.day = d.day
+), c AS (
+  SELECT user_id, day, total,
+         last_value(CASE WHEN total IS NOT NULL THEN day END
+                    IGNORE NULLS) OVER wb AS pd,
+         last_value(CASE WHEN total IS NOT NULL THEN total END
+                    IGNORE NULLS) OVER wb AS pv,
+         first_value(CASE WHEN total IS NOT NULL THEN day END
+                     IGNORE NULLS) OVER wf AS nd,
+         first_value(CASE WHEN total IS NOT NULL THEN total END
+                     IGNORE NULLS) OVER wf AS nv
+  FROM j
+  WINDOW wb AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day, total AS observed,
+       CASE WHEN total IS NOT NULL THEN total
+            ELSE pv + (nv - pv)
+                 * (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+       END AS interp_value
+FROM c
+"""
+
+
 def event_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     return (
@@ -3083,6 +3183,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec("event_gapfill", event_gapfill, EVENT_GAPFILL_SQL,
               "gap-filled per-user daily series with forward-fill "
               "(sequence-exploded spine + last ignorenulls carry)"),
+    QuerySpec("event_gapfill_interp", event_gapfill_interp,
+              EVENT_GAPFILL_INTERP_SQL,
+              "linear interpolation across gap days: both-direction "
+              "(day, value) struct carries sharing one user shuffle; "
+              "exact inputs, IEEE lerp"),
     QuerySpec("event_window_tumbling", event_window_tumbling,
               EVENT_WINDOW_TUMBLING_SQL),
     QuerySpec("event_window_sliding", event_window_sliding,

@@ -2111,6 +2111,176 @@ WHERE {words} > 0
 TEXT_READABILITY_SQL = _readability_sql()
 
 
+def event_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day by distributed sweep-line.
+
+    Each event holds a resource for 5 minutes (half-open [ts, ts+5m)).
+    The classic answer sorts all endpoints globally and runs one
+    running sum -- a single-task bottleneck at 100 TB. Here every hold
+    is clipped at day boundaries (a hold crossing midnight becomes two
+    segments, each inside one day), which makes each day's sweep
+    self-contained: the running sum partitions by day, so the sort is
+    per-day and fully parallel. Shuffle volume = 2 endpoint rows per
+    event on the day key; the running-sum window, the per-day max and
+    the final aggregate all share that one partitioning.
+
+    Determinism: endpoints order by (t, delta) with the -1 end sorting
+    before the +1 start at an exact boundary, so back-to-back holds
+    never double-count; ties among equal (t, delta) rows all carry
+    delta of the same sign, so the multiset of prefix values -- and
+    hence the peak and its first instant -- is order-independent.
+    """
+    e = t(spark, sf_dir, "events").select("ts")
+    day0 = F.date_trunc("day", F.col("ts"))
+    day_end = day0 + F.expr("INTERVAL 1 DAY")
+    hold_end = F.col("ts") + F.expr("INTERVAL 5 MINUTES")
+    seg1 = e.select(
+        day0.alias("day"),
+        F.col("ts").alias("t0"),
+        F.least(hold_end, day_end).alias("t1"),
+    )
+    seg2 = e.filter(hold_end > day_end).select(
+        day_end.alias("day"),
+        day_end.alias("t0"),
+        hold_end.alias("t1"),
+    )
+    segs = seg1.unionAll(seg2)
+    pts = segs.select(
+        "day", F.col("t0").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        segs.select("day", F.col("t1").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w_run = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = pts.withColumn("running", F.sum("delta").over(w_run))
+    r = r.withColumn("peak", F.max("running").over(Window.partitionBy("day")))
+    return (
+        r.filter(F.col("running") == F.col("peak"))
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.max("peak").cast("long").alias("peak_concurrency"),
+            F.date_format(
+                F.min("t"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("first_peak_at"),
+        )
+    )
+
+
+EVENT_CONCURRENCY_SQL = """
+WITH seg1 AS (
+  SELECT date_trunc('day', ts) AS day, ts AS t0,
+         least(ts + INTERVAL 5 MINUTE,
+               date_trunc('day', ts) + INTERVAL 1 DAY) AS t1
+  FROM events
+), seg2 AS (
+  SELECT date_trunc('day', ts) + INTERVAL 1 DAY AS day,
+         date_trunc('day', ts) + INTERVAL 1 DAY AS t0,
+         ts + INTERVAL 5 MINUTE AS t1
+  FROM events
+  WHERE ts + INTERVAL 5 MINUTE > date_trunc('day', ts) + INTERVAL 1 DAY
+), segs AS (
+  SELECT * FROM seg1 UNION ALL SELECT * FROM seg2
+), pts AS (
+  SELECT day, t0 AS t, 1 AS delta FROM segs
+  UNION ALL
+  SELECT day, t1 AS t, -1 AS delta FROM segs
+), r AS (
+  SELECT day, t, delta,
+         sum(delta) OVER (
+           PARTITION BY day ORDER BY t, delta
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+  FROM pts
+), p AS (
+  SELECT *, max(running) OVER (PARTITION BY day) AS peak FROM r
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(max(peak) AS BIGINT) AS peak_concurrency,
+       strftime(min(t), '%Y-%m-%d %H:%M:%S.%f') AS first_peak_at
+FROM p
+WHERE running = peak
+GROUP BY 1
+"""
+
+
+def agg_contingency_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence audit of (lang x source).
+
+    The dataset-bias question "does source predict language?" as a
+    contingency table: ONE hash aggregate over the corpus builds the
+    observed cells; row/column marginals and the grand total are
+    derived from that cell table (bounded by the label domains, never
+    a second corpus scan) and broadcast back. expected = row*col/n
+    and the cell contribution (o-e)^2/e are per-row IEEE arithmetic
+    on exact integer-valued doubles, quantized (dround) so the
+    judge-side chi-square sum is bit-stable. Output is |lang| x
+    |source| rows regardless of corpus size.
+    """
+    d = t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("observed"))
+    rowm = cells.groupBy("lang").agg(F.sum("observed").alias("row_n"))
+    colm = cells.groupBy("source").agg(F.sum("observed").alias("col_n"))
+    tot = rowm.agg(F.sum("row_n").alias("n"))
+    j = (
+        cells.join(F.broadcast(rowm), "lang")
+        .join(F.broadcast(colm), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    expected = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("n").cast("double")
+    )
+    j = j.withColumn("expected", expected).withColumn(
+        "diff", F.col("observed").cast("double") - F.col("expected")
+    )
+    return j.select(
+        "lang",
+        "source",
+        F.col("observed").cast("long").alias("observed"),
+        dround(F.col("expected"), 4).alias("expected_q"),
+        dround(
+            F.col("diff") * F.col("diff") / F.col("expected"), 6
+        ).alias("chi2_term_q"),
+    )
+
+
+def _contingency_sql() -> str:
+    from ..functions import sql_dround
+
+    return f"""
+WITH cells AS (
+  SELECT lang, source, count(*) AS observed
+  FROM documents GROUP BY 1, 2
+), rowm AS (
+  SELECT lang, sum(observed) AS row_n FROM cells GROUP BY 1
+), colm AS (
+  SELECT source, sum(observed) AS col_n FROM cells GROUP BY 1
+), tot AS (
+  SELECT sum(row_n) AS n FROM rowm
+), j AS (
+  SELECT c.lang, c.source, c.observed,
+         CAST(r.row_n AS DOUBLE) * CAST(co.col_n AS DOUBLE)
+           / CAST(t.n AS DOUBLE) AS expected
+  FROM cells c
+  JOIN rowm r USING (lang)
+  JOIN colm co USING (source)
+  CROSS JOIN tot t
+), d AS (
+  SELECT *, CAST(observed AS DOUBLE) - expected AS diff FROM j
+)
+SELECT lang, source, CAST(observed AS BIGINT) AS observed,
+       {sql_dround('expected', 4)} AS expected_q,
+       {sql_dround('diff * diff / expected', 6)} AS chi2_term_q
+FROM d
+"""
+
+
+AGG_CONTINGENCY_CHI2_SQL = _contingency_sql()
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("text_textrank", text_textrank, TEXT_TEXTRANK_SQL),
     QuerySpec("ml_naive_bayes", ml_naive_bayes, ML_NAIVE_BAYES_SQL),
@@ -2143,4 +2313,14 @@ SPECS: list[QuerySpec] = [
               ML_CLUSTER_PURITY_SQL),
     QuerySpec("event_seasonality", event_seasonality,
               EVENT_SEASONALITY_SQL),
+    QuerySpec("event_concurrency", event_concurrency,
+              EVENT_CONCURRENCY_SQL,
+              "per-day distributed sweep-line peak concurrency: "
+              "holds clipped at midnight so the running sum "
+              "partitions by day, no global sort"),
+    QuerySpec("agg_contingency_chi2", agg_contingency_chi2,
+              AGG_CONTINGENCY_CHI2_SQL,
+              "lang x source independence audit: one corpus agg, "
+              "broadcast marginals, quantized per-cell chi-square "
+              "terms"),
 ]

@@ -1066,6 +1066,28 @@ WHERE s_acctbal > 9500.0
 """
 
 
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # True multiset INTERSECT ALL (bag semantics: each value keeps
+    # min(left multiplicity, right multiplicity) copies) between the
+    # open-order and finished-order priority multisets. Spark lowers
+    # intersectAll to ONE partial-aggregated count per side plus a
+    # replicating generate -- shuffle volume is the distinct-value
+    # count, never the row count, and there is no join explosion.
+    # Complements set_intersect (distinct) and set_except
+    # (exceptAll), completing the multiset set-op surface.
+    o = t(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    right = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return left.intersectAll(right)
+
+
+SET_INTERSECT_ALL_SQL = """
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
 def set_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "orders").select(
         "o_orderstatus", "o_orderpriority").distinct()
@@ -1511,6 +1533,9 @@ SPECS: list[QuerySpec] = [
               SORT_MULTI_KEY_NULLS_SQL),
     QuerySpec("set_intersect", set_intersect, SET_INTERSECT_SQL),
     QuerySpec("set_except", set_except, SET_EXCEPT_SQL),
+    QuerySpec("set_intersect_all", set_intersect_all, SET_INTERSECT_ALL_SQL,
+              "multiset INTERSECT ALL: per-side counts + generate, "
+              "shuffle bounded by distinct values"),
     QuerySpec("set_distinct", set_distinct, SET_DISTINCT_SQL),
     QuerySpec("scalar_string", scalar_string, SCALAR_STRING_SQL),
     QuerySpec("scalar_date", scalar_date, SCALAR_DATE_SQL),
