@@ -2281,6 +2281,138 @@ FROM d
 AGG_CONTINGENCY_CHI2_SQL = _contingency_sql()
 
 
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1/k! for k=0..5,
+# repr()'d so both engines compare against bit-identical doubles); a
+# draw above the last threshold is weight 6 -- the truncated tail
+# carries ~6e-4 of the mass and is part of the declared semantics.
+_POISSON_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+)
+_BOOT_R = 16  # bootstrap replicates
+
+
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean order value.
+
+    The published answer to "error bars over a dataset too large to
+    resample" (Chamandy et al., 'Estimating Uncertainty for Massive
+    Data Streams', Google 2012): instead of materializing B
+    resamples, each row draws an independent Poisson(1) replication
+    weight per replicate, so every replicate's weighted sum is a
+    map-side-combinable aggregate of the SINGLE pass. Here the 16
+    replicates are 33 aggregate expressions (sum w*x, sum w per
+    replicate, plus the point estimate) over ONE corpus scan --
+    per-partition state is 33 numbers, and the row-level fan-out the
+    naive bootstrap needs never happens (the oracle, at test scale,
+    does exactly that naive 16x fan-out and must agree).
+
+    Determinism: the uniform draw is content-stable md5_unit on
+    (orderkey, replicate) -- no RNG state; the inverse-CDF ladder
+    compares against repr()'d double constants; weights and cents are
+    exact BIGINTs, so replicate sums are order-independent; the final
+    means and the rank-picked percentile bounds (ranks 1/8/16 of the
+    16 means, ordered with the replicate id as tiebreak) are the only
+    float steps and go through dround.
+    """
+    o = t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+
+    def weight(r: int):
+        u = md5_unit(F.concat(F.col("k").cast("string"), F.lit(f":{r}")))
+        w = F.lit(0)
+        for thr in _POISSON_CDF:
+            w = w + (u > F.lit(float(thr))).cast("int")
+        return w
+
+    aggs = [F.sum("c").alias("sc"), F.count("*").alias("n")]
+    for r in range(_BOOT_R):
+        w = weight(r)
+        aggs.append(F.sum(w * F.col("c")).alias(f"swc{r}"))
+        aggs.append(F.sum(w).alias(f"sw{r}"))
+    row = base.agg(*aggs)
+
+    means = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (
+                    F.col(f"swc{r}").cast("double")
+                    / F.col(f"sw{r}").cast("double")
+                ).alias("m"),
+            )
+            for r in range(_BOOT_R)
+        ]
+    )
+    m = row.select(
+        (F.col("sc").cast("double") / F.col("n").cast("double")).alias(
+            "point"
+        ),
+        F.explode(means).alias("p"),
+    ).select("point", F.col("p.r").alias("r"), F.col("p.m").alias("m"))
+    # 16-row table; the unpartitioned window is bounded by _BOOT_R.
+    rk = m.withColumn("rk", F.row_number().over(Window.orderBy("m", "r")))
+    return rk.agg(
+        dround(F.max("point"), 4).alias("point_mean_q"),
+        dround(F.max(F.when(F.col("rk") == 1, F.col("m"))), 4).alias(
+            "ci_lo_q"
+        ),
+        dround(
+            F.max(F.when(F.col("rk") == _BOOT_R // 2, F.col("m"))), 4
+        ).alias("ci_mid_q"),
+        dround(F.max(F.when(F.col("rk") == _BOOT_R, F.col("m"))), 4).alias(
+            "ci_hi_q"
+        ),
+    )
+
+
+def _bootstrap_sql() -> str:
+    from ..functions import sql_dround
+
+    ladder = " + ".join(
+        f"(CASE WHEN uu > {thr} THEN 1 ELSE 0 END)" for thr in _POISSON_CDF
+    )
+    u_expr = sql_md5_unit("CAST(k AS VARCHAR) || ':' || CAST(r AS VARCHAR)")
+    return f"""
+WITH b AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+), reps AS (
+  SELECT unnest(range(0, {_BOOT_R})) AS r
+), u AS (
+  SELECT k, c, r, {u_expr} AS uu FROM b CROSS JOIN reps
+), w AS (
+  SELECT r, c, ({ladder}) AS w FROM u
+), m AS (
+  SELECT r, CAST(sum(w * c) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS m
+  FROM w GROUP BY r
+), rk AS (
+  SELECT m, row_number() OVER (ORDER BY m, r) AS rk FROM m
+), pt AS (
+  SELECT CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS point
+  FROM b
+)
+SELECT {sql_dround('max(point)', 4)} AS point_mean_q,
+       {sql_dround('max(CASE WHEN rk = 1 THEN m END)', 4)} AS ci_lo_q,
+       {sql_dround(f'max(CASE WHEN rk = {_BOOT_R // 2} THEN m END)', 4)}
+         AS ci_mid_q,
+       {sql_dround(f'max(CASE WHEN rk = {_BOOT_R} THEN m END)', 4)}
+         AS ci_hi_q
+FROM rk CROSS JOIN pt
+"""
+
+
+AGG_BOOTSTRAP_CI_SQL = _bootstrap_sql()
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("text_textrank", text_textrank, TEXT_TEXTRANK_SQL),
     QuerySpec("ml_naive_bayes", ml_naive_bayes, ML_NAIVE_BAYES_SQL),
@@ -2323,4 +2455,9 @@ SPECS: list[QuerySpec] = [
               "lang x source independence audit: one corpus agg, "
               "broadcast marginals, quantized per-cell chi-square "
               "terms"),
+    QuerySpec("agg_bootstrap_ci", agg_bootstrap_ci,
+              AGG_BOOTSTRAP_CI_SQL,
+              "Poisson-bootstrap CI: 16 replicates as 33 aggregate "
+              "expressions over one scan, content-stable weights; "
+              "oracle runs the naive 16x fan-out"),
 ]

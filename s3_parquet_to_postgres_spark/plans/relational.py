@@ -1066,6 +1066,169 @@ WHERE s_acctbal > 9500.0
 """
 
 
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Discrete percentiles: the value AT rank ceil(p*n) -- an actual
+    # row value, vs agg_percentiles' interpolated continuous
+    # definition. One ordered window builds ranks, the unordered
+    # count shares the same group partitioning (single shuffle), and
+    # every requested p is picked from that one pass with integer
+    # rank arithmetic ((n*p + 99) DIV 100), so there is no engine
+    # quantile-definition mismatch to reconcile -- the oracle replays
+    # the identical rank formula.
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    r = c.select(
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("c_nationkey")).alias("n"),
+    )
+
+    def pick(p: int, name: str):
+        target = F.expr(f"(n * {p} + 99) DIV 100")
+        return F.max(
+            F.when(F.col("rk") == target, F.col("c_acctbal"))
+        ).alias(name)
+
+    return r.groupBy("c_nationkey").agg(
+        pick(25, "p25"), pick(50, "p50"), pick(90, "p90")
+    )
+
+
+AGG_PERCENTILE_DISC_SQL = """
+WITH r AS (
+  SELECT c_nationkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal, c_custkey) AS rk,
+         count(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM customer
+)
+SELECT c_nationkey,
+       max(CASE WHEN rk = (n * 25 + 99) // 100 THEN c_acctbal END) AS p25,
+       max(CASE WHEN rk = (n * 50 + 99) // 100 THEN c_acctbal END) AS p50,
+       max(CASE WHEN rk = (n * 90 + 99) // 100 THEN c_acctbal END) AS p90
+FROM r GROUP BY 1
+"""
+
+
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Weighted median (price weighted by quantity) per return flag:
+    # a RANGE-frame running weight prefix -- every tie peer sees the
+    # full tie group's cumulative, so no intra-tie order can change
+    # the pick -- against the group total from the same partitioning
+    # (one shuffle). The median is the smallest value whose prefix
+    # reaches half the total weight; prices are exact cents and the
+    # synthetic quantities are integral, so the comparison is pure
+    # BIGINT arithmetic.
+    line = t(spark, sf_dir, "lineitem")
+    base = line.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    w_run = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    r = base.withColumn("prefix", F.sum("w").over(w_run)).withColumn(
+        "total", F.sum("w").over(Window.partitionBy("flag"))
+    )
+    return (
+        r.filter(F.col("prefix") * 2 >= F.col("total"))
+        .groupBy("flag")
+        .agg((F.min("cents") / F.lit(100.0)).alias("weighted_median"))
+    )
+
+
+AGG_WEIGHTED_MEDIAN_SQL = """
+WITH base AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+), r AS (
+  SELECT flag, cents, w,
+         sum(w) OVER (PARTITION BY flag ORDER BY cents
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS prefix,
+         sum(w) OVER (PARTITION BY flag) AS total
+  FROM base
+)
+SELECT flag, min(cents) / 100.0 AS weighted_median
+FROM r WHERE prefix * 2 >= total
+GROUP BY 1
+"""
+
+
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Interval-overlap join (both sides are intervals -- harder than
+    # join_range_bucketed's point-in-interval): view holds vs click
+    # holds (5 minutes each, half-open) for the same user. Every
+    # interval explodes to the <= 2 aligned 5-minute buckets it
+    # touches (bucket width >= max interval length bounds the
+    # fan-out), candidates meet in ONE (user, bucket) hash equi-join,
+    # the exact a_s < b_e AND b_s < a_e predicate refines, and
+    # DISTINCT collapses pairs found in two buckets. Never an
+    # all-pairs or per-user cross join.
+    e = t(spark, sf_dir, "events")
+
+    def holds(event_type: str, p: str):
+        s = F.col("ts")
+        end = F.col("ts") + F.expr("INTERVAL 5 MINUTES")
+        d = e.filter(F.col("event_type") == event_type).select(
+            "user_id",
+            F.col("event_id").alias(f"{p}_id"),
+            s.alias(f"{p}_s"),
+            end.alias(f"{p}_e"),
+        )
+        # parquet ts is TIMESTAMP_NTZ; unix_micros wants TIMESTAMP
+        bkt = F.sequence(
+            F.floor(
+                F.unix_micros(F.col(f"{p}_s").cast("timestamp"))
+                / F.lit(300_000_000)
+            ),
+            F.floor(
+                F.unix_micros(F.col(f"{p}_e").cast("timestamp"))
+                / F.lit(300_000_000)
+            ),
+        )
+        return d.withColumn("bkt", F.explode(bkt))
+
+    a = holds("view", "a")
+    b = holds("click", "b")
+    pairs = (
+        a.join(b, ["user_id", "bkt"])
+        .filter(
+            (F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e"))
+        )
+        .select("user_id", "a_id", "b_id")
+        .distinct()
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_overlaps"),
+        F.min("a_id").alias("first_view_id"),
+    )
+
+
+JOIN_INTERVAL_OVERLAP_SQL = """
+WITH a AS (
+  SELECT user_id, event_id AS a_id, ts AS a_s,
+         ts + INTERVAL 5 MINUTE AS a_e
+  FROM events WHERE event_type = 'view'
+), b AS (
+  SELECT user_id, event_id AS b_id, ts AS b_s,
+         ts + INTERVAL 5 MINUTE AS b_e
+  FROM events WHERE event_type = 'click'
+)
+SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_overlaps,
+       min(a_id) AS first_view_id
+FROM a JOIN b ON a.user_id = b.user_id
+              AND a_s < b_e AND b_s < a_e
+GROUP BY 1
+"""
+
+
 def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     # True multiset INTERSECT ALL (bag semantics: each value keeps
     # min(left multiplicity, right multiplicity) copies) between the
@@ -1536,6 +1699,19 @@ SPECS: list[QuerySpec] = [
     QuerySpec("set_intersect_all", set_intersect_all, SET_INTERSECT_ALL_SQL,
               "multiset INTERSECT ALL: per-side counts + generate, "
               "shuffle bounded by distinct values"),
+    QuerySpec("agg_percentile_disc", agg_percentile_disc,
+              AGG_PERCENTILE_DISC_SQL,
+              "discrete percentiles via one ranked window pass; "
+              "integer rank arithmetic replayed by the oracle"),
+    QuerySpec("agg_weighted_median", agg_weighted_median,
+              AGG_WEIGHTED_MEDIAN_SQL,
+              "weighted median via RANGE-frame prefix weights vs "
+              "group total on one shuffle; exact BIGINT pick"),
+    QuerySpec("join_interval_overlap", join_interval_overlap,
+              JOIN_INTERVAL_OVERLAP_SQL,
+              "interval x interval overlap join: aligned-bucket "
+              "candidates (<= 2 buckets/interval), exact refine, "
+              "distinct; oracle = plain theta join"),
     QuerySpec("set_distinct", set_distinct, SET_DISTINCT_SQL),
     QuerySpec("scalar_string", scalar_string, SCALAR_STRING_SQL),
     QuerySpec("scalar_date", scalar_date, SCALAR_DATE_SQL),

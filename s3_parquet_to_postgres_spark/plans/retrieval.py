@@ -393,8 +393,70 @@ FROM fused ORDER BY rrf_q DESC, doc_id ASC LIMIT 20
 """
 
 
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Positional phrase query ("table value"): consecutive-token
+    # match against the positional index, the capability BM25's
+    # bag-of-words ranking cannot express. The corpus is scanned
+    # ONCE; posexplode emits (doc, pos, term) but the filter keeps
+    # only the phrase's own vocabulary, so shuffle volume is the
+    # occurrence count of those terms, never the token stream. Per
+    # doc, each term's positions become one SORTED array and the
+    # match is the positional intersection p1 & (p2 - 1) -- pure
+    # integer array algebra, no self-join. The oracle replays the
+    # same consecutive-token definition with a per-row list filter.
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias(
+            "ts"
+        ),
+    )
+    pos = toks.select(
+        "doc_id", F.posexplode("ts").alias("pos", "term")
+    ).filter(F.col("term").isin("table", "value"))
+    per = pos.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.when(F.col("term") == "table", F.col("pos")))
+        ).alias("p1"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("term") == "value", F.col("pos")))
+        ).alias("p2"),
+    )
+    hits = F.filter(
+        F.col("p1"),
+        lambda x: F.array_contains(F.col("p2"), x + F.lit(1)),
+    )
+    per = per.withColumn("hits", hits).filter(F.size("hits") > 0)
+    return per.select(
+        "doc_id",
+        F.size("hits").cast("long").alias("n_matches"),
+        F.element_at("hits", 1).cast("long").alias("first_at"),
+    )
+
+
+TEXT_PHRASE_SEARCH_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         list_filter(range(1, len(ts)),
+                     i -> ts[i] = 'table' AND ts[i+1] = 'value') AS hits
+  FROM toks
+)
+SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+       CAST(hits[1] - 1 AS BIGINT) AS first_at
+FROM m WHERE len(hits) > 0
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("text_bm25", text_bm25, TEXT_BM25_SQL),
+    QuerySpec("text_phrase_search", text_phrase_search,
+              TEXT_PHRASE_SEARCH_SQL,
+              "positional phrase query: vocabulary-filtered postings "
+              "on one corpus scan, integer position intersection, "
+              "no self-join"),
     QuerySpec("similarity_rrf", similarity_rrf, SIMILARITY_RRF_SQL),
     QuerySpec("text_chunk_split", text_chunk_split, TEXT_CHUNK_SPLIT_SQL),
     QuerySpec("ml_item_cf", ml_item_cf, ML_ITEM_CF_SQL),
