@@ -97,6 +97,13 @@ EXTRA = [
     "ml_calibration_bins",
     "table_dp_counts",
     "event_changepoint",
+    # session-6 stats / retrieval / join additions
+    "agg_bootstrap_ci",
+    "event_concurrency",
+    "text_phrase_search",
+    "join_interval_overlap",
+    "agg_weighted_median",
+    "event_gapfill_interp",
 ]
 
 

@@ -1248,6 +1248,181 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges).select(F.col("id").alias("doc_id"), "pagerank")
 
 
+def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multi-source BFS (min-hop distance) over the passage-overlap
+    # graph: how far does copied boilerplate spread from the seed
+    # docs (doc_id % 10 == 0)? Three frontier-expansion rounds, each
+    # ONE edge equi-join + min-hop aggregate -- the Pregel shape
+    # without per-vertex state; depth is bounded (3), so lineage
+    # stays flat and no checkpoint is needed. The oracle unrolls the
+    # same three rounds.
+    pairs = T.passage_overlap_pairs(t(spark, sf_dir, "documents"))
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    dist = (
+        edges.select("src")
+        .distinct()
+        .filter(F.col("src") % 10 == 0)
+        .select(F.col("src").alias("id"), F.lit(0).alias("hops"))
+    )
+    for _ in range(3):
+        step = dist.join(edges, dist["id"] == edges["src"]).select(
+            F.col("dst").alias("id"), (F.col("hops") + 1).alias("hops")
+        )
+        dist = (
+            dist.unionAll(step)
+            .groupBy("id")
+            .agg(F.min("hops").alias("hops"))
+        )
+    return dist.select(
+        F.col("id").alias("doc_id"), F.col("hops").cast("long").alias("hops")
+    )
+
+
+GRAPH_SHORTEST_HOPS_SQL = (
+    f"WITH pairs AS ({DEDUP_PASSAGE_PAIRS_SQL}), "
+    "e AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+    "UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs), "
+    "d0 AS (SELECT DISTINCT src AS id, 0 AS hops FROM e "
+    "WHERE src % 10 = 0), "
+    + ", ".join(
+        f"d{k + 1} AS (SELECT id, min(hops) AS hops FROM ("
+        f"SELECT id, hops FROM d{k} UNION ALL "
+        f"SELECT e.dst AS id, d{k}.hops + 1 AS hops "
+        f"FROM d{k} JOIN e ON d{k}.id = e.src) GROUP BY id)"
+        for k in range(3)
+    )
+    + " SELECT id AS doc_id, CAST(hops AS BIGINT) AS hops FROM d3"
+)
+
+
+def event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Longest consecutive-day activity streak per user -- the classic
+    # gaps-and-islands shape: distinct active days, island id =
+    # epoch_day - row_number (constant within a consecutive run),
+    # then two hash aggregates. ONE user-partitioned window, no
+    # self-join, no calendar explode; every count is an exact BIGINT.
+    # Ties (two streaks of max length) break to the earliest start.
+    e = t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    epoch_day = F.datediff(F.col("day"), F.to_date(F.lit("1970-01-01")))
+    isl = days.withColumn("grp", epoch_day - F.row_number().over(w))
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count("*").alias("len"), F.min("day").alias("start")
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("start").asc()
+    )
+    best = streaks.withColumn("rk", F.row_number().over(wr)).filter(
+        F.col("rk") == 1
+    )
+    return best.select(
+        "user_id",
+        F.col("len").cast("long").alias("longest_streak"),
+        F.date_format("start", "yyyy-MM-dd").alias("streak_start"),
+    )
+
+
+EVENT_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+), isl AS (
+  SELECT user_id, day,
+         (day - DATE '1970-01-01')
+           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+), streaks AS (
+  SELECT user_id, grp, count(*) AS len, min(day) AS start
+  FROM isl GROUP BY 1, 2
+), best AS (
+  SELECT user_id, len, start,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY len DESC, start ASC) AS rk
+  FROM streaks
+)
+SELECT user_id, CAST(len AS BIGINT) AS longest_streak,
+       strftime(start, '%Y-%m-%d') AS streak_start
+FROM best WHERE rk = 1
+"""
+
+
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Entity resolution by the Sorted Neighborhood Method (Hernandez
+    # & Stolfo 1995): sort records on a key, compare each record only
+    # to its w nearest neighbors. The scalable variant partitions by
+    # a blocking prefix first (all-but-last-2 chars of the name, so
+    # blocks are bounded by the key alphabet) and sorts WITHIN blocks
+    # -- one hash shuffle, never a global sort -- then the w=2
+    # neighborhood is two lead() columns over that window and the
+    # candidate pairs refine on levenshtein <= 1. No pair survives
+    # outside its block, so the candidate count is O(w * n), not n^2.
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    c = c.withColumn(
+        "blk", F.expr("substr(c_name, 1, length(c_name) - 2)")
+    )
+    w = Window.partitionBy("blk").orderBy("c_name", "c_custkey")
+    led = c.select(
+        "c_custkey",
+        "c_name",
+        F.lead("c_name", 1).over(w).alias("n1"),
+        F.lead("c_custkey", 1).over(w).alias("k1"),
+        F.lead("c_name", 2).over(w).alias("n2"),
+        F.lead("c_custkey", 2).over(w).alias("k2"),
+    )
+    pairs = led.select(
+        F.col("c_custkey").alias("a_custkey"),
+        F.col("c_name").alias("a_name"),
+        F.col("k1").alias("b_custkey"),
+        F.col("n1").alias("b_name"),
+    ).unionAll(
+        led.select(
+            F.col("c_custkey").alias("a_custkey"),
+            F.col("c_name").alias("a_name"),
+            F.col("k2").alias("b_custkey"),
+            F.col("n2").alias("b_name"),
+        )
+    )
+    return pairs.filter(
+        F.col("b_custkey").isNotNull()
+        & (F.levenshtein("a_name", "b_name") <= 1)
+    ).select(
+        "a_custkey",
+        "b_custkey",
+        "a_name",
+        "b_name",
+        F.levenshtein("a_name", "b_name").cast("long").alias("dist"),
+    )
+
+
+DEDUP_SORTED_NEIGHBORHOOD_SQL = """
+WITH led AS (
+  SELECT c_custkey, c_name,
+         lead(c_name, 1) OVER w AS n1, lead(c_custkey, 1) OVER w AS k1,
+         lead(c_name, 2) OVER w AS n2, lead(c_custkey, 2) OVER w AS k2
+  FROM customer
+  WINDOW w AS (PARTITION BY substr(c_name, 1, length(c_name) - 2)
+               ORDER BY c_name, c_custkey)
+), pairs AS (
+  SELECT c_custkey AS a_custkey, c_name AS a_name,
+         k1 AS b_custkey, n1 AS b_name FROM led
+  UNION ALL
+  SELECT c_custkey AS a_custkey, c_name AS a_name,
+         k2 AS b_custkey, n2 AS b_name FROM led
+)
+SELECT a_custkey, b_custkey, a_name, b_name,
+       CAST(levenshtein(a_name, b_name) AS BIGINT) AS dist
+FROM pairs
+WHERE b_custkey IS NOT NULL AND levenshtein(a_name, b_name) <= 1
+"""
+
+
 def pagerank_oracle_sql(
     edges_sql: str,
     damping: float = 0.85,
@@ -3193,4 +3368,17 @@ SPECS: list[QuerySpec] = [
     QuerySpec("event_window_sliding", event_window_sliding,
               EVENT_WINDOW_SLIDING_SQL),
     QuerySpec("event_sessionize", event_sessionize, EVENT_SESSIONIZE_SQL),
+    QuerySpec("graph_shortest_hops", graph_shortest_hops,
+              GRAPH_SHORTEST_HOPS_SQL,
+              "multi-source BFS min-hops over the passage-overlap "
+              "graph: 3 frontier join+min rounds, oracle unrolled"),
+    QuerySpec("event_streaks", event_streaks, EVENT_STREAKS_SQL,
+              "gaps-and-islands longest consecutive-day streak: "
+              "epoch_day - row_number islands, one window + two "
+              "hash aggs, no calendar explode"),
+    QuerySpec("dedup_sorted_neighborhood", dedup_sorted_neighborhood,
+              DEDUP_SORTED_NEIGHBORHOOD_SQL,
+              "Sorted Neighborhood entity resolution: block-prefix "
+              "partitioned sort, w=2 lead() neighborhood, "
+              "levenshtein refine -- O(w*n) candidates"),
 ]
