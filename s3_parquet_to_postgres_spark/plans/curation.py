@@ -2486,7 +2486,104 @@ GROUP BY source, lang, corpus_tokens
 """
 
 
+def sample_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive (anchor, positive, negative) triplets for
+    embedding training, mined deterministically with NO row
+    explosion: every doc gets exactly one same-lang positive (the
+    circular next doc in content-stable md5 order within its
+    language) and one cross-lang negative (the rank-aligned doc of
+    the next language in the lang rotation, rank taken modulo that
+    language's size).
+
+    Scale shape: one lang-partitioned ranked window (single corpus
+    shuffle) feeds BOTH pair sides; the language rotation table is
+    |langs| rows under an unpartitioned window (bounded by the label
+    domain) and broadcasts; the negative match is a hash equi-join on
+    (lang, rank) -- unique key, so candidates = rows, never a
+    cross-lang cross join. Membership is reproducible under any
+    partitioning (md5 order, doc_id tiebreak). Single-doc languages
+    are dropped (their only positive would be the anchor itself).
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    key = F.md5(F.col("doc_id").cast("string"))
+    wl = Window.partitionBy("lang").orderBy("key", "doc_id")
+    wp = Window.partitionBy("lang")
+    rk = (
+        d.withColumn("key", key)
+        .select(
+            "doc_id",
+            "lang",
+            F.row_number().over(wl).alias("r"),
+            F.count("*").over(wp).alias("cnt"),
+            F.coalesce(
+                F.lead("doc_id", 1).over(wl),
+                F.first("doc_id").over(wl),
+            ).alias("pos_doc_id"),
+        )
+    )
+    langs = rk.select("lang", "cnt").distinct()
+    wlang = Window.orderBy("lang")
+    nxt = langs.select(
+        "lang",
+        F.coalesce(
+            F.lead("lang").over(wlang), F.first("lang").over(wlang)
+        ).alias("neg_lang"),
+        F.coalesce(
+            F.lead("cnt").over(wlang), F.first("cnt").over(wlang)
+        ).alias("neg_cnt"),
+    )
+    anchors = (
+        rk.filter(F.col("cnt") >= 2)
+        .join(F.broadcast(nxt), "lang")
+        .withColumn("tgt", (F.col("r") - 1) % F.col("neg_cnt") + 1)
+    )
+    neg = rk.select(
+        F.col("lang").alias("neg_lang"),
+        F.col("r").alias("tgt"),
+        F.col("doc_id").alias("neg_doc_id"),
+    )
+    return anchors.join(neg, ["neg_lang", "tgt"]).select(
+        "doc_id", "lang", "pos_doc_id", "neg_lang", "neg_doc_id"
+    )
+
+
+SAMPLE_CONTRASTIVE_PAIRS_SQL = """
+WITH rk AS (
+  SELECT doc_id, lang,
+         row_number() OVER w AS r,
+         count(*) OVER (PARTITION BY lang) AS cnt,
+         coalesce(lead(doc_id, 1) OVER w,
+                  first_value(doc_id) OVER w) AS pos_doc_id
+  FROM documents
+  WINDOW w AS (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+), langs AS (
+  SELECT DISTINCT lang, cnt FROM rk
+), nxt AS (
+  SELECT lang,
+         coalesce(lead(lang) OVER (ORDER BY lang),
+                  first_value(lang) OVER (ORDER BY lang)) AS neg_lang,
+         coalesce(lead(cnt) OVER (ORDER BY lang),
+                  first_value(cnt) OVER (ORDER BY lang)) AS neg_cnt
+  FROM langs
+), anchors AS (
+  SELECT rk.doc_id, rk.lang, rk.pos_doc_id, nxt.neg_lang,
+         ((rk.r - 1) % nxt.neg_cnt) + 1 AS tgt
+  FROM rk JOIN nxt USING (lang)
+  WHERE rk.cnt >= 2
+)
+SELECT a.doc_id, a.lang, a.pos_doc_id, a.neg_lang,
+       n.doc_id AS neg_doc_id
+FROM anchors a JOIN rk n ON a.neg_lang = n.lang AND a.tgt = n.r
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("sample_contrastive_pairs", sample_contrastive_pairs,
+              SAMPLE_CONTRASTIVE_PAIRS_SQL,
+              "deterministic (anchor, positive, negative) triplet "
+              "mining: one ranked corpus shuffle feeds both sides, "
+              "rank-modulo negative equi-join, no explosion"),
     QuerySpec("sample_weighted", sample_weighted, SAMPLE_WEIGHTED_SQL,
               "Efraimidis-Spirakis A-ES weighted sample without "
               "replacement: content-stable exponential-race keys, "

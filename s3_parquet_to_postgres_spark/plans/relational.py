@@ -1066,6 +1066,110 @@ WHERE s_acctbal > 9500.0
 """
 
 
+# (name, exact scaled-BIGINT expression) pairs for the one-pass
+# correlation matrix; every variable is an exact integer (quantities
+# are integral, money/rates are cents), so all 15 accumulated moments
+# are exact DECIMAL(38,0) sums on both engines.
+_CORR_VARS = (
+    ("quantity", "CAST(l_quantity AS DECIMAL(38,0))"),
+    ("price_c", "CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))"),
+    ("discount_c", "CAST(round(l_discount * 100) AS DECIMAL(38,0))"),
+    ("tax_c", "CAST(round(l_tax * 100) AS DECIMAL(38,0))"),
+)
+
+
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pairwise Pearson correlation matrix of 4 lineitem measures per
+    # return flag in ONE pass: the 15 moments (n, 4 sums, 4 squares,
+    # 6 cross-products) are a single map-side-combinable aggregate --
+    # the corpus is scanned once however many pairs are requested,
+    # where per-pair F.corr would scan it 6 times. Moments are exact
+    # DECIMAL(38,0) (inputs are exact scaled BIGINTs, magnitudes
+    # bounded well inside 38 digits at any realistic scale), so the
+    # shuffle order cannot change them; only the final
+    # (n*sxy - sx*sy) / sqrt(...) ratio is floating point, and it is
+    # computed from identical exact operands on both engines, then
+    # dround-quantized.
+    line = t(spark, sf_dir, "lineitem")
+    base = line.select(
+        F.col("l_returnflag").alias("flag"),
+        *[F.expr(expr).alias(name) for name, expr in _CORR_VARS],
+    )
+    names = [n for n, _ in _CORR_VARS]
+    aggs = [F.count("*").cast("decimal(38,0)").alias("n")]
+    for a in names:
+        aggs.append(F.sum(a).alias(f"s_{a}"))
+        aggs.append(F.sum(F.col(a) * F.col(a)).alias(f"ss_{a}"))
+    pairs = [
+        (a, b) for i, a in enumerate(names) for b in names[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    m = base.groupBy("flag").agg(*aggs)
+
+    def corr(a: str, b: str):
+        num = (F.col("n") * F.col(f"sp_{a}_{b}")
+               - F.col(f"s_{a}") * F.col(f"s_{b}")).cast("double")
+        va = (F.col("n") * F.col(f"ss_{a}")
+              - F.col(f"s_{a}") * F.col(f"s_{a}")).cast("double")
+        vb = (F.col("n") * F.col(f"ss_{b}")
+              - F.col(f"s_{b}") * F.col(f"s_{b}")).cast("double")
+        return num / F.sqrt(va * vb)
+
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("var_a"),
+                F.lit(b).alias("var_b"),
+                corr(a, b).alias("c"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return (
+        m.select("flag", F.explode(cells).alias("p"))
+        .select(
+            "flag",
+            F.col("p.var_a").alias("var_a"),
+            F.col("p.var_b").alias("var_b"),
+            dround(F.col("p.c"), 6).alias("corr_q"),
+        )
+    )
+
+
+def _corr_matrix_sql() -> str:
+    from ..functions import sql_dround
+
+    names = [n for n, _ in _CORR_VARS]
+    exprs = {n: e.replace("DECIMAL(38,0)", "HUGEINT") for n, e in _CORR_VARS}
+    moments = ["CAST(count(*) AS HUGEINT) AS n"]
+    for a in names:
+        moments.append(f"sum({exprs[a]}) AS s_{a}")
+        moments.append(f"sum(({exprs[a]}) * ({exprs[a]})) AS ss_{a}")
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1 :]]
+    for a, b in pairs:
+        moments.append(f"sum(({exprs[a]}) * ({exprs[b]})) AS sp_{a}_{b}")
+    cells = " UNION ALL ".join(
+        f"SELECT flag, '{a}' AS var_a, '{b}' AS var_b, "
+        f"CAST(n * sp_{a}_{b} - s_{a} * s_{b} AS DOUBLE) / "
+        f"sqrt(CAST(n * ss_{a} - s_{a} * s_{a} AS DOUBLE)"
+        f" * CAST(n * ss_{b} - s_{b} * s_{b} AS DOUBLE)) AS c "
+        "FROM m"
+        for a, b in pairs
+    )
+    return (
+        "WITH m AS (SELECT l_returnflag AS flag, "
+        + ", ".join(moments)
+        + " FROM lineitem GROUP BY 1), cells AS ("
+        + cells
+        + f") SELECT flag, var_a, var_b, {sql_dround('c', 6)} AS corr_q"
+        " FROM cells"
+    )
+
+
+AGG_CORR_MATRIX_SQL = _corr_matrix_sql()
+
+
 def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Discrete percentiles: the value AT rank ceil(p*n) -- an actual
     # row value, vs agg_percentiles' interpolated continuous
@@ -1108,6 +1212,129 @@ SELECT c_nationkey,
        max(CASE WHEN rk = (n * 50 + 99) // 100 THEN c_acctbal END) AS p50,
        max(CASE WHEN rk = (n * 90 + 99) // 100 THEN c_acctbal END) AS p90
 FROM r GROUP BY 1
+"""
+
+
+def scalar_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Winsorization -- clamp each balance into its nation's
+    # [p05, p95] -- the curation answer to heavy tails that preserves
+    # row count. ONE scan: ranks and the group size come from one
+    # ordered window, the two discrete thresholds are analytic
+    # max(CASE rank = target) windows over the SAME partitioning (no
+    # second scan, no join back), and the clamp is least/greatest on
+    # actual row values, so it is exact.
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wp = Window.partitionBy("c_nationkey")
+    r = c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wp).alias("n"),
+    )
+
+    def thr(p: int):
+        target = F.expr(f"(n * {p} + 99) DIV 100")
+        return F.max(
+            F.when(F.col("rk") == target, F.col("c_acctbal"))
+        ).over(wp)
+
+    r = r.withColumn("lo", thr(5)).withColumn("hi", thr(95))
+    return r.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.least(
+            F.greatest(F.col("c_acctbal"), F.col("lo")), F.col("hi")
+        ).alias("acctbal_wins"),
+    )
+
+
+SCALAR_WINSORIZE_SQL = """
+WITH r AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal, c_custkey) AS rk,
+         count(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM customer
+), th AS (
+  SELECT *,
+         max(CASE WHEN rk = (n * 5 + 99) // 100 THEN c_acctbal END)
+           OVER (PARTITION BY c_nationkey) AS lo,
+         max(CASE WHEN rk = (n * 95 + 99) // 100 THEN c_acctbal END)
+           OVER (PARTITION BY c_nationkey) AS hi
+  FROM r
+)
+SELECT c_custkey, c_nationkey, c_acctbal,
+       least(greatest(c_acctbal, lo), hi) AS acctbal_wins
+FROM th
+"""
+
+
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Robust outlier flagging by Median Absolute Deviation -- the
+    # robust-statistics replacement for mean/stddev z-scores
+    # (event_user_anomaly), which outliers themselves corrupt. Two
+    # ranked window passes on the SAME group key (median of value,
+    # then median of |x - median|), both picked by the exact
+    # lower-median rank formula (n+1) DIV 2 on actual row values;
+    # |x - med| and the 3*MAD comparison are IEEE-identical per row.
+    # No join-back: each pass is an analytic window over the
+    # event_type partitioning (events.value is heavy-tailed; a
+    # uniform column never exceeds 2*MAD by construction).
+    e = t(spark, sf_dir, "events")
+    w1 = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wp = Window.partitionBy("event_type")
+    r = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(w1).alias("rk"),
+        F.count("*").over(wp).alias("n"),
+    )
+    med = F.max(
+        F.when(F.col("rk") == F.expr("(n + 1) DIV 2"), F.col("value"))
+    ).over(wp)
+    r = r.withColumn("med", med).withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    w2 = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    r = r.withColumn("rk2", F.row_number().over(w2))
+    mad = F.max(
+        F.when(F.col("rk2") == F.expr("(n + 1) DIV 2"), F.col("dev"))
+    ).over(wp)
+    r = r.withColumn("mad", mad)
+    return r.filter(F.col("dev") > F.lit(3.0) * F.col("mad")).select(
+        "event_id", "event_type", "value", "med", "mad", "dev"
+    )
+
+
+AGG_MAD_OUTLIERS_SQL = """
+WITH r AS (
+  SELECT event_id, event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), m AS (
+  SELECT *,
+         max(CASE WHEN rk = (n + 1) // 2 THEN value END)
+           OVER (PARTITION BY event_type) AS med
+  FROM r
+), d AS (
+  SELECT *, abs(value - med) AS dev,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(value - med), event_id) AS rk2
+  FROM m
+), md AS (
+  SELECT *,
+         max(CASE WHEN rk2 = (n + 1) // 2 THEN dev END)
+           OVER (PARTITION BY event_type) AS mad
+  FROM d
+)
+SELECT event_id, event_type, value, med, mad, dev
+FROM md WHERE dev > 3.0 * mad
 """
 
 
@@ -1699,10 +1926,22 @@ SPECS: list[QuerySpec] = [
     QuerySpec("set_intersect_all", set_intersect_all, SET_INTERSECT_ALL_SQL,
               "multiset INTERSECT ALL: per-side counts + generate, "
               "shuffle bounded by distinct values"),
+    QuerySpec("agg_corr_matrix", agg_corr_matrix, AGG_CORR_MATRIX_SQL,
+              "pairwise correlation matrix in ONE pass: 15 exact "
+              "DECIMAL moments, map-side combinable; only the final "
+              "ratio is float"),
     QuerySpec("agg_percentile_disc", agg_percentile_disc,
               AGG_PERCENTILE_DISC_SQL,
               "discrete percentiles via one ranked window pass; "
               "integer rank arithmetic replayed by the oracle"),
+    QuerySpec("scalar_winsorize", scalar_winsorize, SCALAR_WINSORIZE_SQL,
+              "per-group [p05, p95] clamp in ONE scan: analytic "
+              "rank-target thresholds over the same partitioning, "
+              "no join-back"),
+    QuerySpec("agg_mad_outliers", agg_mad_outliers, AGG_MAD_OUTLIERS_SQL,
+              "median-absolute-deviation outliers: two ranked "
+              "window passes on one group key, exact lower-median "
+              "picks, no join-back"),
     QuerySpec("agg_weighted_median", agg_weighted_median,
               AGG_WEIGHTED_MEDIAN_SQL,
               "weighted median via RANGE-frame prefix weights vs "
