@@ -2578,12 +2578,105 @@ FROM anchors a JOIN rk n ON a.neg_lang = n.lang AND a.tgt = n.r
 """
 
 
+def ml_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the linear quality classifier against the lang='en'
+    eval label, computed as the Mann-Whitney rank statistic WITHOUT a
+    global per-row ranking: rows collapse to one hash aggregate per
+    DISTINCT quantized score (prob_q6, <= 1e6+1 values by
+    construction), the below-value negative counts come from one
+    ordered window over that bounded value table, and
+    2U = sum n_pos(v) * (2*cum_neg_below(v) + n_neg(v)) gives ties
+    the standard half credit. Everything up to the final quantized
+    ratio is exact BIGINT arithmetic, so the AUC is bit-stable under
+    any partitioning; the per-row sort the textbook formula needs
+    never happens (the window is over the score DOMAIN, not the
+    corpus).
+    """
+    scored = _linear_scored(spark, sf_dir)
+    logit = F.col("raw_score").cast("double") / F.col("n_tokens")
+    prob_q6 = sint(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    lab = scored.select(
+        prob_q6.alias("v"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    g = lab.groupBy("v").agg(
+        F.sum("y").alias("np"),
+        (F.count("*") - F.sum("y")).alias("nn"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    g = g.withColumn("cnb", F.coalesce(F.sum("nn").over(w), F.lit(0)))
+    res = g.agg(
+        F.sum(
+            F.col("np") * (F.lit(2) * F.col("cnb") + F.col("nn"))
+        ).alias("u2"),
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+    )
+    d = F.lit(2) * F.col("n_pos") * F.col("n_neg")
+    auc_q6 = F.expr("(u2 * 1000000 + d DIV 2) DIV d")
+    return res.withColumn("d", d).select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.col("u2").cast("long").alias("u2"),
+        auc_q6.cast("long").alias("auc_q6"),
+    )
+
+
+ML_AUC_EVAL_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest({toks}) AS tok
+  FROM documents
+), b AS (
+  SELECT doc_id, lang,
+         CAST(floor({u} * {nb}) AS INT) AS bucket
+  FROM toks
+), w AS (
+  SELECT CAST(i AS INT) AS bucket, CAST(i % 7 - 3 AS BIGINT) AS w
+  FROM range({nb}) r(i)
+), scored AS (
+  SELECT doc_id, lang, count(*) AS n_tokens, sum(w.w) AS raw_score
+  FROM b JOIN w ON b.bucket = w.bucket
+  GROUP BY doc_id, lang
+), q AS (
+  SELECT CAST(floor(
+           1.0 / (1.0 + exp(-(CAST(raw_score AS DOUBLE) / n_tokens)))
+           * 1000000 + 0.5) AS BIGINT) AS v,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM scored
+), g AS (
+  SELECT v, sum(y) AS np, count(*) - sum(y) AS nn
+  FROM q GROUP BY v
+), c AS (
+  SELECT *,
+         coalesce(sum(nn) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+  FROM g
+), res AS (
+  SELECT sum(np * (2 * cnb + nn)) AS u2,
+         sum(np) AS n_pos, sum(nn) AS n_neg
+  FROM c
+)
+SELECT CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       CAST(u2 AS BIGINT) AS u2,
+       CAST((u2 * 1000000 + (2 * n_pos * n_neg) // 2)
+            // (2 * n_pos * n_neg) AS BIGINT) AS auc_q6
+FROM res
+""".replace("{toks}", _CURATION_CLEAN_TOKS_SQL).replace(
+    "{u}", sql_md5_unit("tok")
+).replace("{nb}", str(_LINEAR_BUCKETS))
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("sample_contrastive_pairs", sample_contrastive_pairs,
               SAMPLE_CONTRASTIVE_PAIRS_SQL,
               "deterministic (anchor, positive, negative) triplet "
               "mining: one ranked corpus shuffle feeds both sides, "
               "rank-modulo negative equi-join, no explosion"),
+    QuerySpec("ml_auc_eval", ml_auc_eval, ML_AUC_EVAL_SQL,
+              "Mann-Whitney ROC AUC without a global per-row sort: "
+              "per-distinct-score aggregate + window over the "
+              "bounded score domain, exact BIGINT 2U"),
     QuerySpec("sample_weighted", sample_weighted, SAMPLE_WEIGHTED_SQL,
               "Efraimidis-Spirakis A-ES weighted sample without "
               "replacement: content-stable exponential-race keys, "

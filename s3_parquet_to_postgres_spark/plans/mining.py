@@ -2413,8 +2413,109 @@ FROM rk CROSS JOIN pt
 AGG_BOOTSTRAP_CI_SQL = _bootstrap_sql()
 
 
+_IPF_ROUNDS = 3
+
+
+def agg_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking) of the (lang, source)
+    cell weights to UNIFORM target margins -- the survey-statistics
+    rebalancing step a curation pipeline uses to de-bias a corpus
+    toward chosen language/source shares without dropping rows (cf.
+    Deming & Stephan 1940).
+
+    Scale shape: ONE corpus aggregate produces the cell table
+    (bounded by |lang| x |source|); every IPF round is two margin
+    aggregates + broadcast joins over that tiny table, so the corpus
+    is never rescanned. Determinism: weights are dround-quantized to
+    6 dp after EVERY half-round scaling, and the oracle replays each
+    half-round with the same quantization, so the fixed point is
+    bit-identical cross-engine.
+    """
+    d = t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count("*").alias("n")
+    ).withColumn("w", F.col("n").cast("double"))
+    tot = cells.agg(
+        F.sum("n").cast("double").alias("grand"),
+        F.countDistinct("lang").cast("double").alias("nl"),
+        F.countDistinct("source").cast("double").alias("ns"),
+    )
+    cells = cells.crossJoin(F.broadcast(tot))
+    for _ in range(_IPF_ROUNDS):
+        lt = cells.groupBy("lang").agg(F.sum("w").alias("lt"))
+        cells = cells.join(F.broadcast(lt), "lang").withColumn(
+            "w",
+            dround(
+                F.col("w") * (F.col("grand") / F.col("nl")) / F.col("lt"),
+                6,
+            ),
+        ).drop("lt")
+        st = cells.groupBy("source").agg(F.sum("w").alias("st"))
+        cells = cells.join(F.broadcast(st), "source").withColumn(
+            "w",
+            dround(
+                F.col("w") * (F.col("grand") / F.col("ns")) / F.col("st"),
+                6,
+            ),
+        ).drop("st")
+    return cells.select(
+        "lang",
+        "source",
+        F.col("n").cast("long").alias("n"),
+        F.col("w").alias("weight_q"),
+        dround(F.col("w") / F.col("n"), 6).alias("rake_factor_q"),
+    )
+
+
+def _ipf_sql() -> str:
+    from ..functions import sql_dround
+
+    prev = "c0"
+    ctes = [
+        "c0 AS (SELECT lang, source, count(*) AS n,"
+        " CAST(count(*) AS DOUBLE) AS w FROM documents GROUP BY 1, 2)",
+        "tot AS (SELECT CAST(sum(n) AS DOUBLE) AS grand,"
+        " CAST(count(DISTINCT lang) AS DOUBLE) AS nl,"
+        " CAST(count(DISTINCT source) AS DOUBLE) AS ns FROM c0)",
+    ]
+    for k in range(_IPF_ROUNDS):
+        w_l = sql_dround(f"{prev}.w * (tot.grand / tot.nl) / lt{k}.lt", 6)
+        ctes.append(
+            f"lt{k} AS (SELECT lang, sum(w) AS lt FROM {prev} GROUP BY 1)"
+        )
+        ctes.append(
+            f"a{k} AS (SELECT {prev}.lang, {prev}.source, {prev}.n,"
+            f" {w_l} AS w FROM {prev} JOIN lt{k} USING (lang)"
+            " CROSS JOIN tot)"
+        )
+        w_s = sql_dround(f"a{k}.w * (tot.grand / tot.ns) / st{k}.st", 6)
+        ctes.append(
+            f"st{k} AS (SELECT source, sum(w) AS st FROM a{k} GROUP BY 1)"
+        )
+        ctes.append(
+            f"b{k} AS (SELECT a{k}.lang, a{k}.source, a{k}.n,"
+            f" {w_s} AS w FROM a{k} JOIN st{k} USING (source)"
+            " CROSS JOIN tot)"
+        )
+        prev = f"b{k}"
+    final_rf = sql_dround("w / n", 6)
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT lang, source, CAST(n AS BIGINT) AS n, w AS weight_q,"
+        f" {final_rf} AS rake_factor_q FROM {prev}"
+    )
+
+
+AGG_IPF_RAKING_SQL = _ipf_sql()
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("text_textrank", text_textrank, TEXT_TEXTRANK_SQL),
+    QuerySpec("agg_ipf_raking", agg_ipf_raking, AGG_IPF_RAKING_SQL,
+              "IPF/raking to uniform (lang, source) margins: one "
+              "corpus agg, per-round margin scaling on the tiny cell "
+              "table, per-half-round quantization"),
     QuerySpec("ml_naive_bayes", ml_naive_bayes, ML_NAIVE_BAYES_SQL),
     QuerySpec("ml_logreg_train", ml_logreg_train, ML_LOGREG_TRAIN_SQL),
     QuerySpec("ml_pca_power", ml_pca_power, ML_PCA_POWER_SQL),
