@@ -393,6 +393,149 @@ FROM fused ORDER BY rrf_q DESC, doc_id ASC LIMIT 20
 """
 
 
+# NDCG@10 discount weights: floor(1e9 / log2(r+1) + 0.5) for ranks
+# 1..10, precomputed so both engines multiply exact integer literals
+# (the only transcendental, log2, never runs inside either engine).
+_NDCG_W = tuple(
+    int(math.floor(1e9 / math.log2(r + 1) + 0.5)) for r in range(1, 11)
+)
+
+
+def ml_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 ranking against a deterministic graded
+    relevance label (grade = distinct query terms present, gain =
+    2^g - 1) -- the ranking-quality eval that closes the retrieval
+    loop (text_bm25 ranks, this grades the ranking).
+
+    Scale shape: the BM25 candidate set is bounded by the query-term
+    postings (never the corpus); both the actual and the ideal top-10
+    come from TakeOrdered-style order+limit (per-partition heaps),
+    and the rank windows run over 10-row inputs. Arithmetic: gains
+    and the precomputed discount weights are exact BIGINTs, so
+    DCG/IDCG are exact and ndcg_q6 is pure integer division.
+    """
+    terms_lit = ", ".join(f"'{x}'" for x in _BM25_TERMS)
+    scored = _bm25_scored(spark, sf_dir)
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_WS_TOKS_SPARK).alias("w")
+    )
+    occ = d.select("doc_id", F.explode("w").alias("term")).filter(
+        F.expr(f"term IN ({terms_lit})")
+    )
+    grades = occ.groupBy("doc_id").agg(
+        F.countDistinct("term").alias("g")
+    ).withColumn(
+        "gain", F.expr("CAST(shiftleft(1, g) - 1 AS BIGINT)")
+    )
+    warr = F.array(*[F.lit(w) for w in _NDCG_W])
+
+    def dcg_of(ranked: DataFrame) -> DataFrame:
+        return ranked.select(
+            (F.col("gain") * F.element_at(warr, F.col("r"))).alias("t")
+        ).agg(F.sum("t").alias("s"))
+
+    top10 = (
+        scored.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+            ),
+        )
+        .join(grades, "doc_id")
+    )
+    ideal10 = (
+        grades.orderBy(F.desc("gain"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.desc("gain"), F.asc("doc_id"))
+            ),
+        )
+    )
+    dcg = dcg_of(top10).select(F.col("s").alias("dcg_q"))
+    idcg = dcg_of(ideal10).select(F.col("s").alias("idcg_q"))
+    return (
+        dcg.crossJoin(idcg)
+        .select(
+            "dcg_q",
+            "idcg_q",
+            F.expr(
+                "(dcg_q * 1000000 + idcg_q DIV 2) DIV idcg_q"
+            ).alias("ndcg_q6"),
+        )
+    )
+
+
+def _ndcg_sql() -> str:
+    w_list = ", ".join(str(w) for w in _NDCG_W)
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_WS_TOKS_SQL} AS w FROM documents
+), dl AS (
+  SELECT doc_id, len(w) AS dl FROM d WHERE len(w) > 0
+), occ AS (
+  SELECT doc_id, unnest(w) AS term FROM d
+), occf AS (
+  SELECT doc_id, term FROM occ WHERE term IN ({_BM25_TERMS_SQL})
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM occf GROUP BY 1, 2
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) AS sum_dl
+  FROM dl
+), df AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+), idf AS (
+  SELECT term, ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           AS idf, stats.n_docs, stats.sum_dl
+  FROM df CROSS JOIN stats
+), scored AS (
+  SELECT tf.doc_id,
+         sum(CAST(floor(
+           idf.idf * (tf.tf * ({_BM25_K1!r} + 1))
+           / (tf.tf + {_BM25_K1!r} * (1.0 - {_BM25_B!r}
+              + {_BM25_B!r} * dl.dl / (idf.sum_dl / idf.n_docs)))
+           * {_BM25_Q!r} + 0.5) AS BIGINT)) AS score_q
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+          JOIN idf ON tf.term = idf.term
+  GROUP BY 1
+), grades AS (
+  SELECT doc_id, count(DISTINCT term) AS g,
+         CAST((1 << count(DISTINCT term)) - 1 AS BIGINT) AS gain
+  FROM occf GROUP BY 1
+), warr AS (
+  SELECT [{w_list}] AS ws
+), top10 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score_q DESC, doc_id ASC)
+           AS r
+  FROM scored
+  QUALIFY r <= 10
+), ideal10 AS (
+  SELECT doc_id, gain,
+         row_number() OVER (ORDER BY gain DESC, doc_id ASC) AS r
+  FROM grades
+  QUALIFY r <= 10
+), dcg AS (
+  SELECT sum(g2.gain * warr.ws[t.r]) AS dcg_q
+  FROM top10 t JOIN grades g2 USING (doc_id) CROSS JOIN warr
+), idcg AS (
+  SELECT sum(i.gain * warr.ws[i.r]) AS idcg_q
+  FROM ideal10 i CROSS JOIN warr
+)
+SELECT CAST(dcg_q AS BIGINT) AS dcg_q,
+       CAST(idcg_q AS BIGINT) AS idcg_q,
+       CAST((dcg_q * 1000000 + idcg_q // 2) // idcg_q AS BIGINT)
+         AS ndcg_q6
+FROM dcg CROSS JOIN idcg
+"""
+
+
+ML_NDCG_EVAL_SQL = _ndcg_sql()
+
+
 def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Positional phrase query ("table value"): consecutive-token
     # match against the positional index, the capability BM25's
@@ -452,6 +595,10 @@ FROM m WHERE len(hits) > 0
 
 SPECS: list[QuerySpec] = [
     QuerySpec("text_bm25", text_bm25, TEXT_BM25_SQL),
+    QuerySpec("ml_ndcg_eval", ml_ndcg_eval, ML_NDCG_EVAL_SQL,
+              "NDCG@10 of the BM25 ranking vs graded term-presence "
+              "relevance: precomputed integer discount weights, "
+              "exact DCG/IDCG, top-10 via order+limit heaps"),
     QuerySpec("text_phrase_search", text_phrase_search,
               TEXT_PHRASE_SEARCH_SQL,
               "positional phrase query: vocabulary-filtered postings "
