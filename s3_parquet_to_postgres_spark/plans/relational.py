@@ -1478,6 +1478,63 @@ SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
 """
 
 
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Order-independent content fingerprint of a table -- the
+    # migration-validation primitive for a parquet -> Postgres loader
+    # (reference: run it against both sides of a copy and compare ONE
+    # row instead of re-reading both tables). Every row canonicalizes
+    # to a delimited string (money as exact cents, dates as ISO
+    # strings), hashes to a 48-bit md5 slice, and the fingerprint is
+    # the exact sum of slices folded mod 2^61-1 -- addition commutes,
+    # so the value is independent of partitioning, file order, and
+    # cluster size, while any changed row moves it. One narrow scan,
+    # one scalar aggregate.
+    o = t(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "\x1f",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    slice48 = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+    agg = o.select(slice48.alias("h")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+    )
+    return agg.select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.expr("CAST(s % 2305843009213693951 AS BIGINT)").alias(
+            "checksum61"
+        ),
+    )
+
+
+TABLE_CHECKSUM_SQL = """
+WITH c AS (
+  SELECT concat_ws(chr(31),
+           CAST(o_orderkey AS VARCHAR),
+           CAST(o_custkey AS VARCHAR),
+           o_orderstatus,
+           CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+           strftime(o_orderdate, '%Y-%m-%d'),
+           o_orderpriority) AS s
+  FROM orders
+), h AS (
+  SELECT CAST(list_sum(list_transform(range(1, 13), i ->
+           (instr('0123456789abcdef', substr(md5(s), i, 1)) - 1)
+           * power(16.0, 12 - i))) AS BIGINT) AS h
+  FROM c
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(h AS HUGEINT)) % 2305843009213693951 AS BIGINT)
+         AS checksum61
+FROM h
+"""
+
+
 def set_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "orders").select(
         "o_orderstatus", "o_orderpriority").distinct()
@@ -1926,6 +1983,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("set_intersect_all", set_intersect_all, SET_INTERSECT_ALL_SQL,
               "multiset INTERSECT ALL: per-side counts + generate, "
               "shuffle bounded by distinct values"),
+    QuerySpec("table_checksum", table_checksum, TABLE_CHECKSUM_SQL,
+              "order-independent table fingerprint (48-bit md5 "
+              "slices summed mod 2^61-1): the one-row migration "
+              "validation for loader parity"),
     QuerySpec("agg_corr_matrix", agg_corr_matrix, AGG_CORR_MATRIX_SQL,
               "pairwise correlation matrix in ONE pass: 15 exact "
               "DECIMAL moments, map-side combinable; only the final "
