@@ -23,6 +23,13 @@ MAX_LINE = 118
 # (query name, annotation) -- what each plan demonstrates at scale.
 SECTIONS = [
     (
+        "agg_bootstrap_ci",
+        "Poisson bootstrap as ONE whole-stage-codegen pass: all 33"
+        " replicate moments are partial-aggregated map-side, so the only"
+        " exchange carries a single 33-number state row; the 16-replicate"
+        " fan-out happens after aggregation on scalars, never on rows.",
+    ),
+    (
         "tpch_q3_shipping_priority",
         "Filter pushdown into both parquet scans, broadcast of the filtered"
         " customer dimension, one shuffle per fact join key, partial/final"

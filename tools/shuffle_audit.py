@@ -66,6 +66,13 @@ QUERIES = [
     "ml_pca_power",
     "ml_adaboost_stumps",
     "ml_calibration_bins",
+    # session-6 additions whose docstrings make explicit shuffle claims
+    "agg_bootstrap_ci",
+    "event_concurrency",
+    "ml_auc_eval",
+    "agg_corr_matrix",
+    "sample_contrastive_pairs",
+    "table_checksum",
 ]
 
 
