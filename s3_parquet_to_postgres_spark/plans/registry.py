@@ -30,7 +30,14 @@ FLAGSHIP: list[str] = [
     "ref_null_filter",
     "ref_star",
     # relational family representatives (§2.5)
-    "filter_predicates",
+    # Session 6 rotates three round-1-green reps out of the window
+    # (filter_predicates, window_topk_per_group, subquery_correlated
+    # -- each already has a green CORRECTNESS_r01 row, and stays
+    # oracle-verified by tests + the dual-scale sweeps) in favor of
+    # the session's three new family heads: agg_bootstrap_ci
+    # (resampling statistics), ml_auc_eval (model evaluation), and
+    # table_checksum (loader-parity validation).
+    "agg_bootstrap_ci",
     "join_inner_broadcast",
     # Session 4 rotates the window's 3rd join rep and 3rd agg rep to
     # the two new families: join_spatial_grid (geo/spatial grid-bucket
@@ -49,9 +56,9 @@ FLAGSHIP: list[str] = [
     "agg_pricing_summary",
     "agg_approx",
     "ml_logreg_train",
-    "window_topk_per_group",
+    "ml_auc_eval",
     "scalar_json",
-    "subquery_correlated",
+    "table_checksum",
     # Window composition note: entries rotated past position 50 stay
     # oracle-verified by tests/test_oracle_parity.py (sf0.001) and
     # tools/drive_entry.py (sf0.01/0.1); the window carries ONE
