@@ -199,3 +199,99 @@ def extract_features(
 
     cols = ["doc_id", "payload", "content_sha256", "n_bytes"]
     return df.select(*cols).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def payload_phash16(
+    df: DataFrame, payload_col: str = "payload", out_col: str = "phash16"
+) -> DataFrame:
+    """16-bit blockwise-mean perceptual hash of a binary payload --
+    pure JVM expressions, no UDF: the payload's bytes split into 16
+    contiguous blocks and bit b is set iff block b's mean byte value
+    reaches the payload's global mean. The compare is the exact
+    integer cross product (blocksum * n >= total * blocklen), so no
+    division ever runs and the hash is bit-stable cross-engine. Small
+    in-block edits leave most block means (hence most bits) intact --
+    the pHash blocking idea with the DCT swapped for plain block
+    means, which is what stays replayable without a codec.
+
+    Scale shape: one narrow map over the payload column; the per-row
+    byte array is transient expression state, never shuffled.
+    """
+    d = (
+        df.withColumn("__hx", F.hex(F.col(payload_col)))
+        .withColumn("__n", F.octet_length(F.col(payload_col)).cast("long"))
+        .withColumn(
+            "__bs",
+            F.expr(
+                "transform(sequence(1, CAST(__n AS INT)), i ->"
+                " CAST(conv(substring(__hx, 2*i-1, 2), 16, 10) AS BIGINT))"
+            ),
+        )
+        .withColumn("__tot", F.expr("aggregate(__bs, 0L, (a, x) -> a + x)"))
+    )
+    hash_expr = (
+        "aggregate(transform(sequence(0, 15), b -> IF("
+        " aggregate(slice(__bs, CAST(b * __n DIV 16 AS INT) + 1,"
+        "   CAST((b + 1) * __n DIV 16 - b * __n DIV 16 AS INT)),"
+        "   0L, (a, x) -> a + x) * __n"
+        " >= __tot * ((b + 1) * __n DIV 16 - b * __n DIV 16),"
+        " CAST(shiftleft(1, CAST(b AS INT)) AS BIGINT), 0L)),"
+        " 0L, (a, x) -> a + x)"
+    )
+    return d.withColumn(out_col, F.expr(hash_expr)).drop(
+        "__hx", "__bs", "__tot", "__n"
+    )
+
+
+def phash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 2,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """Perceptual near-dup pairs over binary payloads: block on the
+    two 8-bit halves of the 16-bit block hash (pigeonhole: a pair
+    within hamming 1 must share a half), group buckets (collect_list,
+    never a self-join -- the hash pass is the expensive corpus scan),
+    cap oversize buckets, and verify hamming exactly with
+    bit_count(xor). Same bucket discipline as simhash_near_pairs."""
+    h = payload_phash16(df, payload_col).select(
+        F.col(id_col).alias("id"), "phash16"
+    )
+    halves = h.select(
+        "id",
+        "phash16",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("half_no"),
+                    (F.col("phash16") % 256).alias("half"),
+                ),
+                F.struct(
+                    F.lit(1).alias("half_no"),
+                    F.expr("phash16 DIV 256").alias("half"),
+                ),
+            )
+        ).alias("c"),
+    ).select("id", "phash16", F.col("c.half_no"), F.col("c.half"))
+    buckets = (
+        halves.groupBy("half_no", "half")
+        .agg(F.collect_list(F.struct("id", "phash16")).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket_size))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ms, (x, i) ->"
+        " transform(slice(ms, i + 2, size(ms)), y ->"
+        " named_struct("
+        "   'id_a', least(x.id, y.id),"
+        "   'id_b', greatest(x.id, y.id),"
+        "   'hamming',"
+        "   CAST(bit_count(x.phash16 ^ y.phash16) AS BIGINT)))))"
+    )
+    return (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1248,6 +1248,59 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges).select(F.col("id").alias("doc_id"), "pagerank")
 
 
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Perceptual near-dup pairs over BINARY payloads (E4's missing
+    # near-dup rung: multimodal_dedup is exact-sha only): 16-bit
+    # blockwise-mean hash computed with pure JVM expressions (the
+    # pHash blocking idea, DCT swapped for block means so it stays
+    # codec-free and replayable), halves bucketed GROUPED not
+    # self-joined, exact bit_count hamming refine. Payloads below 16
+    # bytes have no meaningful blocks and are excluded by declared
+    # semantics. The oracle recomputes the hash from hex byte slices
+    # and verifies pairs with a plain bucket join.
+    d = t(spark, sf_dir, "documents")
+    p = M.attach_binary_payload(d, "text").filter(F.col("n_bytes") >= 16)
+    return M.phash_near_pairs(p, max_hamming=2)
+
+
+MULTIMODAL_PHASH_PAIRS_SQL = """
+WITH pay AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+  WHERE octet_length(encode(text)) >= 16
+), by AS (
+  SELECT doc_id, n,
+         [CAST('0x' || substring(hx, 2 * i - 1, 2) AS BIGINT)
+          FOR i IN range(1, CAST(n AS INT) + 1)] AS bs
+  FROM pay
+), tot AS (
+  SELECT doc_id, n, bs, list_sum(bs) AS total FROM by
+), h AS (
+  SELECT doc_id,
+         list_sum([
+           CASE WHEN coalesce(list_sum(
+                  bs[CAST(b * n // 16 AS INT) + 1
+                     : CAST((b + 1) * n // 16 AS INT)]), 0) * n
+                >= total * ((b + 1) * n // 16 - b * n // 16)
+                THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+           FOR b IN range(0, 16)]) AS phash16
+  FROM tot
+), halves AS (
+  SELECT doc_id, phash16, 0 AS half_no, phash16 % 256 AS half FROM h
+  UNION ALL
+  SELECT doc_id, phash16, 1, phash16 // 256 FROM h
+)
+SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+       greatest(a.doc_id, b.doc_id) AS id_b,
+       CAST(bit_count(xor(a.phash16, b.phash16)) AS BIGINT) AS hamming
+FROM halves a JOIN halves b
+  ON a.half_no = b.half_no AND a.half = b.half
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash16, b.phash16)) <= 2
+"""
+
+
 def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Multi-source BFS (min-hop distance) over the passage-overlap
     # graph: how far does copied boilerplate spread from the seed
@@ -3368,6 +3421,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec("event_window_sliding", event_window_sliding,
               EVENT_WINDOW_SLIDING_SQL),
     QuerySpec("event_sessionize", event_sessionize, EVENT_SESSIONIZE_SQL),
+    QuerySpec("multimodal_phash_pairs", multimodal_phash_pairs,
+              MULTIMODAL_PHASH_PAIRS_SQL,
+              "perceptual block-hash near-dup over binary payloads: "
+              "JVM-expression 16-bit hash, grouped half buckets, "
+              "exact hamming refine"),
     QuerySpec("graph_shortest_hops", graph_shortest_hops,
               GRAPH_SHORTEST_HOPS_SQL,
               "multi-source BFS min-hops over the passage-overlap "
