@@ -104,6 +104,9 @@ EXTRA = [
     "join_interval_overlap",
     "agg_weighted_median",
     "event_gapfill_interp",
+    "multimodal_phash_pairs",
+    "ml_ndcg_eval",
+    "agg_ipf_raking",
 ]
 
 
