@@ -2311,8 +2311,8 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive bootstrap needs never happens (the oracle, at test scale,
     does exactly that naive 16x fan-out and must agree).
 
-    Determinism: the uniform draw is content-stable md5_unit on
-    (orderkey, replicate) -- no RNG state; the inverse-CDF ladder
+    Determinism: the uniform draws are content-stable 16-bit slices
+    of two per-row md5 digests -- no RNG state; the inverse-CDF ladder
     compares against repr()'d double constants; weights and cents are
     exact BIGINTs, so replicate sums are order-independent; the final
     means and the rank-picked percentile bounds (ranks 1/8/16 of the
@@ -2325,8 +2325,25 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
     )
 
+    # Two md5 digests per row supply all 16 replicate uniforms: each
+    # 128-bit digest is sliced into eight 16-bit chunks, u = (v16 +
+    # 0.5)/65536 -- 8x less hashing than a digest per replicate, and
+    # the 2^-17 uniform granularity is far below the CI's resolution.
+    # The oracle slices the same hex chars, so weights stay
+    # bit-identical cross-engine.
+    base = base.withColumn(
+        "m0", F.md5(F.concat(F.col("k").cast("string"), F.lit(":0")))
+    ).withColumn(
+        "m1", F.md5(F.concat(F.col("k").cast("string"), F.lit(":1")))
+    )
+
     def weight(r: int):
-        u = md5_unit(F.concat(F.col("k").cast("string"), F.lit(f":{r}")))
+        digest = "m0" if r < 8 else "m1"
+        chunk = r % 8
+        v16 = F.conv(
+            F.substring(F.col(digest), 4 * chunk + 1, 4), 16, 10
+        ).cast("long")
+        u = (v16.cast("double") + F.lit(0.5)) / F.lit(65536.0)
         w = F.lit(0)
         for thr in _POISSON_CDF:
             w = w + (u > F.lit(float(thr))).cast("int")
@@ -2379,11 +2396,16 @@ def _bootstrap_sql() -> str:
     ladder = " + ".join(
         f"(CASE WHEN uu > {thr} THEN 1 ELSE 0 END)" for thr in _POISSON_CDF
     )
-    u_expr = sql_md5_unit("CAST(k AS VARCHAR) || ':' || CAST(r AS VARCHAR)")
+    u_expr = (
+        "((CAST('0x' || substr(CASE WHEN r < 8 THEN m0 ELSE m1 END,"
+        " 4 * (r % 8) + 1, 4) AS BIGINT) + 0.5) / 65536.0)"
+    )
     return f"""
 WITH b AS (
   SELECT o_orderkey AS k,
-         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+         md5(CAST(o_orderkey AS VARCHAR) || ':0') AS m0,
+         md5(CAST(o_orderkey AS VARCHAR) || ':1') AS m1
   FROM orders
 ), reps AS (
   SELECT unnest(range(0, {_BOOT_R})) AS r
