@@ -2667,7 +2667,101 @@ FROM res
 ).replace("{nb}", str(_LINEAR_BUCKETS))
 
 
+def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall curve of the linear quality classifier at
+    every operating point, without ranking rows: like ml_auc_eval,
+    the corpus collapses to one aggregate per DISTINCT quantized
+    score, and the descending cumulative positives/negatives over
+    that bounded score-domain table give precision and recall at the
+    threshold "predict positive iff score >= v". All counts are exact
+    BIGINTs; the two ratios are integer-quantized with the rounded
+    integer-division formula, so every curve point is bit-stable.
+    """
+    scored = _linear_scored(spark, sf_dir)
+    logit = F.col("raw_score").cast("double") / F.col("n_tokens")
+    prob_q6 = sint(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    lab = scored.select(
+        prob_q6.alias("v"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    g = lab.groupBy("v").agg(
+        F.sum("y").alias("np"),
+        (F.count("*") - F.sum("y")).alias("nn"),
+    )
+    w_desc = Window.orderBy(F.desc("v")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = g.withColumn("cum_np", F.sum("np").over(w_desc)).withColumn(
+        "cum_nn", F.sum("nn").over(w_desc)
+    )
+    c = c.withColumn(
+        "tot_np", F.sum("np").over(Window.partitionBy())
+    )
+    prec = F.expr(
+        "(cum_np * 1000000 + (cum_np + cum_nn) DIV 2)"
+        " DIV (cum_np + cum_nn)"
+    )
+    rec = F.expr("(cum_np * 1000000 + tot_np DIV 2) DIV tot_np")
+    return c.select(
+        F.col("v").cast("long").alias("threshold_q6"),
+        F.col("cum_np").cast("long").alias("tp"),
+        F.col("cum_nn").cast("long").alias("fp"),
+        prec.cast("long").alias("precision_q6"),
+        rec.cast("long").alias("recall_q6"),
+    )
+
+
+ML_PR_CURVE_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest({toks}) AS tok
+  FROM documents
+), b AS (
+  SELECT doc_id, lang,
+         CAST(floor({u} * {nb}) AS INT) AS bucket
+  FROM toks
+), w AS (
+  SELECT CAST(i AS INT) AS bucket, CAST(i % 7 - 3 AS BIGINT) AS w
+  FROM range({nb}) r(i)
+), scored AS (
+  SELECT doc_id, lang, count(*) AS n_tokens, sum(w.w) AS raw_score
+  FROM b JOIN w ON b.bucket = w.bucket
+  GROUP BY doc_id, lang
+), q AS (
+  SELECT CAST(floor(
+           1.0 / (1.0 + exp(-(CAST(raw_score AS DOUBLE) / n_tokens)))
+           * 1000000 + 0.5) AS BIGINT) AS v,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM scored
+), g AS (
+  SELECT v, sum(y) AS np, count(*) - sum(y) AS nn
+  FROM q GROUP BY v
+), c AS (
+  SELECT v, np, nn,
+         sum(np) OVER (ORDER BY v DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_np,
+         sum(nn) OVER (ORDER BY v DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_nn,
+         sum(np) OVER () AS tot_np
+  FROM g
+)
+SELECT CAST(v AS BIGINT) AS threshold_q6,
+       CAST(cum_np AS BIGINT) AS tp,
+       CAST(cum_nn AS BIGINT) AS fp,
+       CAST((cum_np * 1000000 + (cum_np + cum_nn) // 2)
+            // (cum_np + cum_nn) AS BIGINT) AS precision_q6,
+       CAST((cum_np * 1000000 + tot_np // 2) // tot_np AS BIGINT)
+         AS recall_q6
+FROM c
+""".replace("{toks}", _CURATION_CLEAN_TOKS_SQL).replace(
+    "{u}", sql_md5_unit("tok")
+).replace("{nb}", str(_LINEAR_BUCKETS))
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("ml_pr_curve", ml_pr_curve, ML_PR_CURVE_SQL,
+              "full precision/recall curve from the bounded "
+              "score-domain table: descending cumulative exact "
+              "counts, integer-quantized ratios"),
     QuerySpec("sample_contrastive_pairs", sample_contrastive_pairs,
               SAMPLE_CONTRASTIVE_PAIRS_SQL,
               "deterministic (anchor, positive, negative) triplet "

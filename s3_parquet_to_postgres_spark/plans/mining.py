@@ -2435,6 +2435,114 @@ FROM rk CROSS JOIN pt
 AGG_BOOTSTRAP_CI_SQL = _bootstrap_sql()
 
 
+# RAKE stoplist (fixed literal on both engines). The phrase delimiter
+# regex -- punctuation runs or stopword tokens -- is deliberately
+# simple enough to behave identically under Java regex and RE2.
+_RAKE_STOP = "the|a|of|and|to|in|is|it"
+_RAKE_DELIM = f"[^a-z0-9 ]+|\\b(?:{_RAKE_STOP})\\b"
+
+
+def text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) -- the statistical
+    complement to text_textrank's graph ranking: candidate phrases
+    are the maximal content-word runs between stopwords/punctuation;
+    word score = degree/frequency over all phrase occurrences (degree
+    counts co-occurring phrase length); a phrase scores the sum of
+    its words' scores. Top 15 phrases corpus-wide.
+
+    Scale shape: ONE corpus scan explodes phrase occurrences; word
+    stats are a vocabulary-sized aggregate joined back to the
+    DISTINCT phrase types (both sides bounded by vocabulary/phrase
+    diversity, not corpus size); top-k via order+limit heaps. All
+    frequencies/degrees are exact BIGINTs and the word score is
+    integer-quantized, so the ranking cannot float-drift.
+    """
+    d = t(spark, sf_dir, "documents")
+    # Spark SQL string literals process backslash escapes ('\b' would
+    # become a backspace char); DuckDB's do not. Double them here.
+    delim_spark = _RAKE_DELIM.replace("\\", "\\\\")
+    phr_expr = (
+        "filter(transform("
+        f" split(lower(text), '{delim_spark}'),"
+        " p -> array_join(filter(split(p, ' +'), x -> x != ''), ' ')),"
+        " p -> p != '')"
+    )
+    occ = d.select(F.explode(F.expr(phr_expr)).alias("phrase"))
+    wocc = occ.select(
+        "phrase",
+        F.size(F.split("phrase", " ")).cast("long").alias("plen"),
+        F.explode(F.split("phrase", " ")).alias("word"),
+    )
+    wstats = wocc.groupBy("word").agg(
+        F.count("*").alias("freq"), F.sum("plen").alias("degree")
+    )
+    wscore = wstats.withColumn(
+        "wq", F.expr("(degree * 1000000 + freq DIV 2) DIV freq")
+    )
+    ptypes = occ.groupBy("phrase").agg(
+        F.count("*").cast("long").alias("occurrences")
+    )
+    pwords = ptypes.select(
+        "phrase", "occurrences", F.explode(F.split("phrase", " ")).alias("word")
+    )
+    pscore = (
+        pwords.join(wscore.select("word", "wq"), "word")
+        .groupBy("phrase", "occurrences")
+        .agg(F.sum("wq").alias("score_q"), F.count("*").alias("n_words"))
+    )
+    return (
+        pscore.select(
+            "phrase",
+            F.col("n_words").cast("long").alias("n_words"),
+            "occurrences",
+            F.col("score_q").cast("long").alias("score_q"),
+        )
+        .orderBy(F.desc("score_q"), F.asc("phrase"))
+        .limit(15)
+    )
+
+
+TEXT_RAKE_SQL = f"""
+WITH d AS (
+  SELECT list_filter(list_transform(
+           string_split_regex(lower(text), '{_RAKE_DELIM}'),
+           p -> array_to_string(
+                  list_filter(string_split(p, ' '), x -> x != ''), ' ')),
+         p -> p != '') AS phr
+  FROM documents
+), occ AS (
+  SELECT unnest(phr) AS phrase FROM d
+), wocc AS (
+  SELECT phrase,
+         CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen,
+         unnest(string_split(phrase, ' ')) AS word
+  FROM occ
+), wstats AS (
+  SELECT word, count(*) AS freq, sum(plen) AS degree
+  FROM wocc GROUP BY 1
+), wscore AS (
+  SELECT word, (degree * 1000000 + freq // 2) // freq AS wq
+  FROM wstats
+), ptypes AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS occurrences
+  FROM occ GROUP BY 1
+), pwords AS (
+  SELECT phrase, occurrences, unnest(string_split(phrase, ' ')) AS word
+  FROM ptypes
+), pscore AS (
+  SELECT phrase, occurrences,
+         CAST(sum(wq) AS BIGINT) AS score_q,
+         CAST(count(*) AS BIGINT) AS n_words
+  FROM pwords JOIN wscore USING (word)
+  GROUP BY 1, 2
+)
+SELECT phrase, n_words, occurrences, score_q
+FROM pscore
+ORDER BY score_q DESC, phrase ASC
+LIMIT 15
+"""
+
+
 _IPF_ROUNDS = 3
 
 
@@ -2534,6 +2642,10 @@ AGG_IPF_RAKING_SQL = _ipf_sql()
 
 SPECS: list[QuerySpec] = [
     QuerySpec("text_textrank", text_textrank, TEXT_TEXTRANK_SQL),
+    QuerySpec("text_rake", text_rake, TEXT_RAKE_SQL,
+              "RAKE keyword extraction: stopword-delimited phrase "
+              "runs, exact degree/frequency word scores, "
+              "vocabulary-bounded joins, top-k heaps"),
     QuerySpec("agg_ipf_raking", agg_ipf_raking, AGG_IPF_RAKING_SQL,
               "IPF/raking to uniform (lang, source) margins: one "
               "corpus agg, per-round margin scaling on the tiny cell "
