@@ -2435,6 +2435,191 @@ FROM rk CROSS JOIN pt
 AGG_BOOTSTRAP_CI_SQL = _bootstrap_sql()
 
 
+_MARKOV_ROUNDS = 4
+_MARKOV_Q = 12  # per-term product quantization scale
+
+
+def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain -- the
+    steady-state answer to event_transitions' one-step probabilities
+    ("where does user behavior settle?"). ONE corpus window pass
+    builds the bigram count matrix; everything after runs on the
+    |event_type|^2 table: row-normalized transition probabilities
+    (exact-integer ratio, IEEE-identical), then 4 synchronous power
+    rounds pi' = pi P with every pi(src)*P(src,dst) product quantized
+    to a scaled BIGINT before the per-destination sum -- addition of
+    exact integers commutes, so each round (and the fixed point) is
+    bit-stable under any partitioning. The oracle replays all rounds.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    big = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    cnt = big.groupBy("prev", "event_type").agg(F.count("*").alias("c"))
+    rowsum = cnt.groupBy("prev").agg(F.sum("c").alias("rs"))
+    p = cnt.join(rowsum, "prev").select(
+        "prev",
+        "event_type",
+        (F.col("c").cast("double") / F.col("rs").cast("double")).alias("p"),
+    )
+    states = p.select(F.col("prev").alias("state")).distinct()
+    n_states = states.agg(F.count("*").alias("ns"))
+    pi = states.crossJoin(F.broadcast(n_states)).select(
+        "state", (F.lit(1.0) / F.col("ns").cast("double")).alias("pi")
+    )
+    m = float(10**_MARKOV_Q)
+    for _ in range(_MARKOV_ROUNDS):
+        terms = pi.join(p, pi["state"] == p["prev"]).select(
+            F.col("event_type").alias("state"),
+            F.floor(F.col("pi") * F.col("p") * F.lit(m) + F.lit(0.5))
+            .cast("long")
+            .alias("tq"),
+        )
+        pi = terms.groupBy("state").agg(
+            (F.sum("tq").cast("double") / F.lit(m)).alias("pi")
+        )
+    return pi.select(
+        "state", dround(F.col("pi"), 9).alias("pi_q")
+    )
+
+
+def _markov_sql() -> str:
+    from ..functions import sql_dround
+
+    m = 10**_MARKOV_Q
+    ctes = [
+        """big AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events QUALIFY prev IS NOT NULL)""",
+        "cnt AS (SELECT prev, event_type, count(*) AS c"
+        " FROM big GROUP BY 1, 2)",
+        "rowsum AS (SELECT prev, sum(c) AS rs FROM cnt GROUP BY 1)",
+        "p AS (SELECT cnt.prev, cnt.event_type,"
+        " CAST(c AS DOUBLE) / CAST(rs AS DOUBLE) AS p"
+        " FROM cnt JOIN rowsum USING (prev))",
+        "states AS (SELECT DISTINCT prev AS state FROM p)",
+        "ns AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM states)",
+        "pi0 AS (SELECT state, 1.0 / ns AS pi FROM states CROSS JOIN ns)",
+    ]
+    prev = "pi0"
+    for k in range(_MARKOV_ROUNDS):
+        ctes.append(
+            f"t{k} AS (SELECT p.event_type AS state,"
+            f" CAST(floor({prev}.pi * p.p * {m} + 0.5) AS BIGINT) AS tq"
+            f" FROM {prev} JOIN p ON {prev}.state = p.prev)"
+        )
+        ctes.append(
+            f"pi{k + 1} AS (SELECT state,"
+            f" CAST(sum(tq) AS DOUBLE) / {m} AS pi"
+            f" FROM t{k} GROUP BY 1)"
+        )
+        prev = f"pi{k + 1}"
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT state, {sql_dround('pi', 9)} AS pi_q FROM {prev}"
+    )
+
+
+EVENT_MARKOV_STATIONARY_SQL = _markov_sql()
+
+
+def agg_timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-value series at lags 1..7
+    -- the seasonality/memory diagnostic (a weekly cycle shows as a
+    lag-7 peak). ONE corpus aggregate produces the daily series;
+    every moment after runs on that tiny table. Exactness: with n
+    days and S the exact cents sum, acf_k works on integer-centered
+    deviations (n*x_t - S) so numerator and denominator are exact
+    DECIMAL(38,0)/HUGEINT sums -- no float accumulation anywhere; the
+    single final ratio is quantized. The 7 lags come from 7 lead()
+    columns over one window on the day-span-bounded series table.
+    """
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("x")
+    )
+    tot = daily.agg(
+        F.count("*").alias("n"), F.sum("x").alias("s")
+    )
+    d = daily.crossJoin(F.broadcast(tot))
+    # centered deviation scaled by n: exact integers
+    d = d.withColumn(
+        "dev",
+        (F.col("n") * F.col("x") - F.col("s")).cast("decimal(38,0)"),
+    )
+    w = Window.orderBy("day")
+    leads = [F.lead("dev", k).over(w).alias(f"dev{k}") for k in range(1, 8)]
+    d = d.select("day", "dev", "n", *leads)
+    aggs = [F.sum(F.col("dev") * F.col("dev")).alias("den")]
+    for k in range(1, 8):
+        aggs.append(
+            F.sum(F.col("dev") * F.col(f"dev{k}")).alias(f"num{k}")
+        )
+    row = d.agg(*aggs)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("lag"),
+                (
+                    F.col(f"num{k}").cast("double")
+                    / F.col("den").cast("double")
+                ).alias("acf"),
+            )
+            for k in range(1, 8)
+        ]
+    )
+    return (
+        row.select(F.explode(cells).alias("c"))
+        .select(
+            F.col("c.lag").cast("long").alias("lag"),
+            dround(F.col("c.acf"), 6).alias("acf_q6"),
+        )
+    )
+
+
+def _acf_sql() -> str:
+    from ..functions import sql_dround
+
+    leads = ", ".join(
+        f"lead(dev, {k}) OVER (ORDER BY day) AS dev{k}" for k in range(1, 8)
+    )
+    nums = ", ".join(
+        f"sum(dev * dev{k}) AS num{k}" for k in range(1, 8)
+    )
+    cells = " UNION ALL ".join(
+        f"SELECT {k} AS lag,"
+        f" CAST(num{k} AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM m"
+        for k in range(1, 8)
+    )
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         sum(CAST(round(value * 100) AS BIGINT)) AS x
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT count(*) AS n, sum(x) AS s FROM daily
+), d AS (
+  SELECT day, CAST(n * x - s AS HUGEINT) AS dev
+  FROM daily CROSS JOIN tot
+), led AS (
+  SELECT day, dev, {leads} FROM d
+), m AS (
+  SELECT sum(dev * dev) AS den, {nums} FROM led
+)
+SELECT CAST(lag AS BIGINT) AS lag, {sql_dround('acf', 6)} AS acf_q6
+FROM ({cells})
+"""
+
+
+AGG_TIMESERIES_ACF_SQL = _acf_sql()
+
+
 # RAKE stoplist (fixed literal on both engines). The phrase delimiter
 # regex -- punctuation runs or stopword tokens -- is deliberately
 # simple enough to behave identically under Java regex and RE2.
@@ -2642,6 +2827,16 @@ AGG_IPF_RAKING_SQL = _ipf_sql()
 
 SPECS: list[QuerySpec] = [
     QuerySpec("text_textrank", text_textrank, TEXT_TEXTRANK_SQL),
+    QuerySpec("event_markov_stationary", event_markov_stationary,
+              EVENT_MARKOV_STATIONARY_SQL,
+              "steady-state of the event-type Markov chain: one "
+              "corpus pass, 4 quantized power rounds on the "
+              "|states|^2 table, oracle replays all rounds"),
+    QuerySpec("agg_timeseries_acf", agg_timeseries_acf,
+              AGG_TIMESERIES_ACF_SQL,
+              "daily-series autocorrelation lags 1..7: exact "
+              "integer-centered deviations, DECIMAL/HUGEINT "
+              "moments, one tiny-series window"),
     QuerySpec("text_rake", text_rake, TEXT_RAKE_SQL,
               "RAKE keyword extraction: stopword-delimited phrase "
               "runs, exact degree/frequency word scores, "
