@@ -1352,6 +1352,80 @@ GRAPH_SHORTEST_HOPS_SQL = (
 )
 
 
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Community detection by synchronous majority-vote label
+    # propagation (Raghavan et al. 2007) over the passage-overlap
+    # graph -- the community answer beside dedup_components'
+    # connectivity answer (min-propagation finds components; majority
+    # vote splits them into densely-linked groups). 3 synchronous
+    # rounds: each node adopts its neighbors' most frequent label,
+    # ties to the SMALLEST label, picked by a row_number over the
+    # (node, label) vote counts -- fully deterministic, no random
+    # order (the published async tie-coin is replaced by the
+    # deterministic tiebreak, stated semantics). Each round is one
+    # edge equi-join + one vote aggregate sharing the dst
+    # partitioning; the oracle replays all rounds.
+    pairs = T.passage_overlap_pairs(t(spark, sf_dir, "documents"))
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("id"), F.col("src").alias("label")
+    )
+    for _ in range(3):
+        votes = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("n"))
+        )
+        w = Window.partitionBy("dst").orderBy(
+            F.desc("n"), F.asc("label")
+        )
+        labels = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(F.col("dst").alias("id"), "label")
+        )
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").cast("long").alias("community"),
+    )
+
+
+def _lpa_sql() -> str:
+    prev = "l0"
+    ctes = [
+        f"pairs AS ({DEDUP_PASSAGE_PAIRS_SQL})",
+        "e AS (SELECT id_a AS src, id_b AS dst FROM pairs"
+        " UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs)",
+        "l0 AS (SELECT DISTINCT src AS id, src AS label FROM e)",
+    ]
+    for k in range(3):
+        ctes.append(
+            f"v{k} AS (SELECT e.dst, {prev}.label, count(*) AS n"
+            f" FROM e JOIN {prev} ON e.src = {prev}.id"
+            " GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"l{k + 1} AS (SELECT dst AS id, label FROM ("
+            f"SELECT dst, label, row_number() OVER ("
+            "PARTITION BY dst ORDER BY n DESC, label ASC) AS rk"
+            f" FROM v{k}) WHERE rk = 1)"
+        )
+        prev = f"l{k + 1}"
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT id AS doc_id, CAST(label AS BIGINT) AS community"
+        f" FROM {prev}"
+    )
+
+
+GRAPH_LABEL_PROPAGATION_SQL = _lpa_sql()
+
+
 def event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Longest consecutive-day activity streak per user -- the classic
     # gaps-and-islands shape: distinct active days, island id =
@@ -3430,6 +3504,11 @@ SPECS: list[QuerySpec] = [
               GRAPH_SHORTEST_HOPS_SQL,
               "multi-source BFS min-hops over the passage-overlap "
               "graph: 3 frontier join+min rounds, oracle unrolled"),
+    QuerySpec("graph_label_propagation", graph_label_propagation,
+              GRAPH_LABEL_PROPAGATION_SQL,
+              "majority-vote LPA communities: 3 synchronous rounds "
+              "of edge join + vote aggregate, deterministic "
+              "smallest-label tiebreak, oracle replays rounds"),
     QuerySpec("event_streaks", event_streaks, EVENT_STREAKS_SQL,
               "gaps-and-islands longest consecutive-day streak: "
               "epoch_day - row_number islands, one window + two "

@@ -2435,6 +2435,106 @@ FROM rk CROSS JOIN pt
 AGG_BOOTSTRAP_CI_SQL = _bootstrap_sql()
 
 
+def table_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the first and
+    second half of the event stream (split at the midpoint
+    timestamp) -- the binning-free rigor companion to
+    table_drift_psi's fixed-bin PSI: D = max |F1(v) - F2(v)| over
+    every distinct value, so no bin-edge choice can hide a shift.
+
+    Distribution shape: values quantize to exact cents, the corpus
+    collapses to one aggregate per DISTINCT cent value, and the two
+    empirical CDFs are cumulative sums over that bounded value-domain
+    table (the same domain-not-corpus window discipline as
+    ml_auc_eval). Exactness: |F1 - F2| is compared as the integer
+    cross product |c1*n2 - c2*n1| -- the argmax cannot float-drift --
+    and only the final D ratio is quantized. Ties on D break to the
+    smallest value.
+    """
+    # Midpoint in exact epoch micros: engines disagree on halving a
+    # month-scale INTERVAL (day components round differently), but
+    # (us0 + us1) DIV 2 is the same integer everywhere.
+    e = t(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    span = e.agg(
+        ((F.min("us") + F.max("us")) / F.lit(2))
+        .cast("long")
+        .alias("mid_us")
+    )
+    d = e.crossJoin(F.broadcast(span)).select(
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        (F.col("us") >= F.col("mid_us")).cast("int").alias("late"),
+    )
+    g = d.groupBy("v").agg(
+        F.sum(F.lit(1) - F.col("late")).alias("c1"),
+        F.sum("late").alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    c = (
+        g.withColumn("f1", F.sum("c1").over(w))
+        .withColumn("f2", F.sum("c2").over(w))
+        .withColumn("n1", F.sum("c1").over(wall))
+        .withColumn("n2", F.sum("c2").over(wall))
+        .withColumn(
+            "dnum",
+            F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")),
+        )
+    )
+    c = c.withColumn("dmax", F.max("dnum").over(wall))
+    return (
+        c.filter(F.col("dnum") == F.col("dmax"))
+        .groupBy("n1", "n2", "dmax")
+        .agg(F.min("v").alias("at_v"))
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.col("at_v").cast("long").alias("at_value_cents"),
+            F.expr(
+                "(dmax * 1000000 + (n1 * n2) DIV 2) DIV (n1 * n2)"
+            ).cast("long").alias("ks_q6"),
+        )
+    )
+
+
+TABLE_DRIFT_KS_SQL = """
+WITH span AS (
+  SELECT (min(epoch_us(CAST(ts AS TIMESTAMP)))
+          + max(epoch_us(CAST(ts AS TIMESTAMP)))) // 2 AS mid_us
+  FROM events
+), d AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= mid_us
+              THEN 1 ELSE 0 END AS late
+  FROM events CROSS JOIN span
+), g AS (
+  SELECT v, sum(1 - late) AS c1, sum(late) AS c2
+  FROM d GROUP BY v
+), c AS (
+  SELECT v, c1, c2,
+         sum(c1) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+         sum(c2) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2,
+         sum(c1) OVER () AS n1,
+         sum(c2) OVER () AS n2
+  FROM g
+), m AS (
+  SELECT *, abs(f1 * n2 - f2 * n1) AS dnum,
+         max(abs(f1 * n2 - f2 * n1)) OVER () AS dmax
+  FROM c
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(min(v) AS BIGINT) AS at_value_cents,
+       CAST((dmax * 1000000 + (n1 * n2) // 2) // (n1 * n2) AS BIGINT)
+         AS ks_q6
+FROM m
+WHERE dnum = dmax
+GROUP BY n1, n2, dmax
+"""
+
+
 _MARKOV_ROUNDS = 4
 _MARKOV_Q = 12  # per-term product quantization scale
 
@@ -2827,6 +2927,10 @@ AGG_IPF_RAKING_SQL = _ipf_sql()
 
 SPECS: list[QuerySpec] = [
     QuerySpec("text_textrank", text_textrank, TEXT_TEXTRANK_SQL),
+    QuerySpec("table_drift_ks", table_drift_ks, TABLE_DRIFT_KS_SQL,
+              "two-sample Kolmogorov-Smirnov drift test: per-distinct"
+              "-value aggregate, CDFs over the bounded value domain, "
+              "integer cross-product argmax"),
     QuerySpec("event_markov_stationary", event_markov_stationary,
               EVENT_MARKOV_STATIONARY_SQL,
               "steady-state of the event-type Markov chain: one "
