@@ -1478,6 +1478,45 @@ SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
 """
 
 
+def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The regex scalar surface, deliberately restricted to the
+    # Java-regex / RE2 COMMON SUBSET (character classes, quantifiers,
+    # alternation, word boundaries -- no backrefs, no lookaround):
+    # extract, count, global replace, and boolean match, all narrow
+    # zero-shuffle maps. The catalog's cross-engine contract for
+    # regexes is exactly this subset; engine-specific escapes (Spark
+    # SQL string literals process backslashes, DuckDB's do not) stay
+    # in the plan layer, never in the pattern semantics.
+    d = t(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.regexp_extract(lower, "qu[a-z]+", 0).alias("first_qu"),
+        F.expr(
+            "CAST(regexp_count(lower(text), '[aeiou][aeiou]') AS BIGINT)"
+        ).alias("n_double_vowel"),
+        F.length(F.regexp_replace(lower, "[aeiou]+", "*")).cast(
+            "long"
+        ).alias("masked_len"),
+        F.expr(r"CAST(lower(text) RLIKE '\\btable\\b' AS INT)").cast(
+            "long"
+        ).alias("has_table"),
+    )
+
+
+SCALAR_REGEX_SQL = r"""
+SELECT doc_id,
+       coalesce(regexp_extract(lower(text), 'qu[a-z]+'), '') AS first_qu,
+       CAST(len(regexp_extract_all(lower(text), '[aeiou][aeiou]'))
+            AS BIGINT) AS n_double_vowel,
+       CAST(length(regexp_replace(lower(text), '[aeiou]+', '*', 'g'))
+            AS BIGINT) AS masked_len,
+       CAST(CASE WHEN regexp_matches(lower(text), '\btable\b')
+                 THEN 1 ELSE 0 END AS BIGINT) AS has_table
+FROM documents
+"""
+
+
 def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Order-independent content fingerprint of a table -- the
     # migration-validation primitive for a parquet -> Postgres loader
@@ -1983,6 +2022,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("set_intersect_all", set_intersect_all, SET_INTERSECT_ALL_SQL,
               "multiset INTERSECT ALL: per-side counts + generate, "
               "shuffle bounded by distinct values"),
+    QuerySpec("scalar_regex", scalar_regex, SCALAR_REGEX_SQL,
+              "regex scalar surface on the Java/RE2 common subset: "
+              "extract, count, global replace, boolean match; "
+              "narrow zero-shuffle maps"),
     QuerySpec("table_checksum", table_checksum, TABLE_CHECKSUM_SQL,
               "order-independent table fingerprint (48-bit md5 "
               "slices summed mod 2^61-1): the one-row migration "
