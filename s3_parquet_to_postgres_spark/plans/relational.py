@@ -1478,6 +1478,66 @@ SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
 """
 
 
+def window_cumsum_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Running sum with conditional RESET -- spend accumulated since
+    # the user's last purchase, zeroed at each purchase -- WITHOUT
+    # the usual two-level (user, episode) repartition: the reset is
+    # algebra over ONE window spec (cum = running non-purchase cents;
+    # carry = last purchase-row cum carried forward; since = cum -
+    # carry), so every column shares the single user_id shuffle and
+    # sort. All arithmetic is exact BIGINT cents.
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_p = F.col("event_type") == "purchase"
+    cents = F.when(
+        is_p, F.lit(0)
+    ).otherwise(F.round(F.col("value") * 100).cast("long"))
+    r = e.withColumn("cum", F.sum(cents).over(w))
+    r = r.withColumn(
+        "carry",
+        F.coalesce(
+            F.last(F.when(is_p, F.col("cum")), ignorenulls=True).over(w),
+            F.lit(0),
+        ),
+    )
+    return r.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("cum") - F.col("carry")).cast("long").alias(
+            "cents_since_purchase"
+        ),
+    )
+
+
+WINDOW_CUMSUM_RESET_SQL = """
+WITH r AS (
+  SELECT event_id, user_id, event_type, ts,
+         sum(CASE WHEN event_type = 'purchase' THEN 0
+                  ELSE CAST(round(value * 100) AS BIGINT) END) OVER w
+           AS cum
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), c AS (
+  SELECT event_id, user_id, event_type, cum,
+         coalesce(last_value(CASE WHEN event_type = 'purchase'
+                                  THEN cum END IGNORE NULLS) OVER w2, 0)
+           AS carry
+  FROM r
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, event_type,
+       CAST(cum - carry AS BIGINT) AS cents_since_purchase
+FROM c
+"""
+
+
 def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The regex scalar surface, deliberately restricted to the
     # Java-regex / RE2 COMMON SUBSET (character classes, quantifiers,
@@ -2022,6 +2082,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec("set_intersect_all", set_intersect_all, SET_INTERSECT_ALL_SQL,
               "multiset INTERSECT ALL: per-side counts + generate, "
               "shuffle bounded by distinct values"),
+    QuerySpec("window_cumsum_reset", window_cumsum_reset,
+              WINDOW_CUMSUM_RESET_SQL,
+              "running sum with conditional reset via carry algebra "
+              "on ONE window spec -- no (user, episode) "
+              "repartition; exact BIGINT cents"),
     QuerySpec("scalar_regex", scalar_regex, SCALAR_REGEX_SQL,
               "regex scalar surface on the Java/RE2 common subset: "
               "extract, count, global replace, boolean match; "
