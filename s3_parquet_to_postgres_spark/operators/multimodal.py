@@ -214,6 +214,12 @@ def payload_phash16(
     the pHash blocking idea with the DCT swapped for plain block
     means, which is what stays replayable without a codec.
 
+    Payloads shorter than 16 bytes have no meaningful blocks (empty
+    slices would trivially satisfy ``0*n >= tot*0`` and set bits, and
+    an empty payload would feed ``substring`` a descending sequence),
+    so the hash is NULL for them -- the guard lives HERE, not at call
+    sites, so direct use of the operator is safe too.
+
     Scale shape: one narrow map over the payload column; the per-row
     byte array is transient expression state, never shuffled.
     """
@@ -230,13 +236,14 @@ def payload_phash16(
         .withColumn("__tot", F.expr("aggregate(__bs, 0L, (a, x) -> a + x)"))
     )
     hash_expr = (
+        "IF(__n >= 16, "
         "aggregate(transform(sequence(0, 15), b -> IF("
         " aggregate(slice(__bs, CAST(b * __n DIV 16 AS INT) + 1,"
         "   CAST((b + 1) * __n DIV 16 - b * __n DIV 16 AS INT)),"
         "   0L, (a, x) -> a + x) * __n"
         " >= __tot * ((b + 1) * __n DIV 16 - b * __n DIV 16),"
         " CAST(shiftleft(1, CAST(b AS INT)) AS BIGINT), 0L)),"
-        " 0L, (a, x) -> a + x)"
+        " 0L, (a, x) -> a + x), CAST(NULL AS BIGINT))"
     )
     return d.withColumn(out_col, F.expr(hash_expr)).drop(
         "__hx", "__bs", "__tot", "__n"
@@ -250,33 +257,47 @@ def phash_near_pairs(
     max_hamming: int = 2,
     max_bucket_size: int = 1024,
 ) -> DataFrame:
-    """Perceptual near-dup pairs over binary payloads: block on the
-    two 8-bit halves of the 16-bit block hash (pigeonhole: a pair
-    within hamming 1 must share a half), group buckets (collect_list,
-    never a self-join -- the hash pass is the expensive corpus scan),
-    cap oversize buckets, and verify hamming exactly with
-    bit_count(xor). Same bucket discipline as simhash_near_pairs."""
+    """Perceptual near-dup pairs over binary payloads: block on THREE
+    segments of the 16-bit block hash (6+5+5 bits -- pigeonhole: a
+    pair differing in at most 2 bits can touch at most 2 segments, so
+    it MUST share one; two halves would only guarantee hamming <= 1,
+    silently dropping pairs whose two differing bits straddle the
+    halves), group buckets (collect_list, never a self-join -- the
+    hash pass is the expensive corpus scan), cap oversize buckets, and
+    verify hamming exactly with bit_count(xor). Same bucket discipline
+    as simhash_near_pairs. Recall is exact for ``max_hamming <= 2``
+    (pinned by a brute-force differential in test_multimodal.py);
+    larger radii would need h+1 segments."""
+    if max_hamming > 2:
+        raise ValueError(
+            "phash_near_pairs blocks on 3 segments: exact recall only "
+            f"for max_hamming <= 2, got {max_hamming}"
+        )
     h = payload_phash16(df, payload_col).select(
         F.col(id_col).alias("id"), "phash16"
-    )
-    halves = h.select(
+    ).filter(F.col("phash16").isNotNull())
+    segs = h.select(
         "id",
         "phash16",
         F.explode(
             F.array(
                 F.struct(
-                    F.lit(0).alias("half_no"),
-                    (F.col("phash16") % 256).alias("half"),
+                    F.lit(0).alias("seg_no"),
+                    (F.col("phash16") % 64).alias("seg"),
                 ),
                 F.struct(
-                    F.lit(1).alias("half_no"),
-                    F.expr("phash16 DIV 256").alias("half"),
+                    F.lit(1).alias("seg_no"),
+                    F.expr("(phash16 DIV 64) % 32").alias("seg"),
+                ),
+                F.struct(
+                    F.lit(2).alias("seg_no"),
+                    F.expr("phash16 DIV 2048").alias("seg"),
                 ),
             )
         ).alias("c"),
-    ).select("id", "phash16", F.col("c.half_no"), F.col("c.half"))
+    ).select("id", "phash16", F.col("c.seg_no"), F.col("c.seg"))
     buckets = (
-        halves.groupBy("half_no", "half")
+        segs.groupBy("seg_no", "seg")
         .agg(F.collect_list(F.struct("id", "phash16")).alias("ms"))
         .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket_size))
     )

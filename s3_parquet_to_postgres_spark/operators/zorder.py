@@ -61,8 +61,14 @@ def zorder_key_by_range(
     qs = []
     for c in cols:
         lo, hi = bounds[c]
+        # Clamp to [0, lvl-1]: stats can be stale/approximate, and an
+        # out-of-range value must degrade to the edge bucket — a value
+        # below lo would otherwise sign-extend through shiftright and
+        # set every interleave bit; one above hi would wrap mod 2^bits
+        # and scatter into an arbitrary interior bucket.
         qs.append(F.expr(
-            f"(({c} - {lo}L) * {lvl}L) div ({hi - lo + 1}L)"
+            f"greatest(0L, least({lvl - 1}L,"
+            f" (({c} - {lo}L) * {lvl}L) div ({hi - lo + 1}L)))"
         ))
     key = F.lit(0).cast("long")
     for bit in range(bits):

@@ -1253,11 +1253,13 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup rung: multimodal_dedup is exact-sha only): 16-bit
     # blockwise-mean hash computed with pure JVM expressions (the
     # pHash blocking idea, DCT swapped for block means so it stays
-    # codec-free and replayable), halves bucketed GROUPED not
-    # self-joined, exact bit_count hamming refine. Payloads below 16
-    # bytes have no meaningful blocks and are excluded by declared
-    # semantics. The oracle recomputes the hash from hex byte slices
-    # and verifies pairs with a plain bucket join.
+    # codec-free and replayable), THREE hash segments (6+5+5 bits;
+    # pigeonhole guarantees exact recall at hamming <= 2) bucketed
+    # GROUPED not self-joined, exact bit_count hamming refine.
+    # Payloads below 16 bytes have no meaningful blocks and hash to
+    # NULL by declared semantics. The oracle recomputes the hash from
+    # hex byte slices and verifies pairs with a plain bucket join over
+    # the same three segments.
     d = t(spark, sf_dir, "documents")
     p = M.attach_binary_payload(d, "text").filter(F.col("n_bytes") >= 16)
     return M.phash_near_pairs(p, max_hamming=2)
@@ -1286,16 +1288,24 @@ WITH pay AS (
                 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
            FOR b IN range(0, 16)]) AS phash16
   FROM tot
-), halves AS (
-  SELECT doc_id, phash16, 0 AS half_no, phash16 % 256 AS half FROM h
+), segs AS (
+  SELECT doc_id, phash16, 0 AS seg_no, phash16 % 64 AS seg FROM h
   UNION ALL
-  SELECT doc_id, phash16, 1, phash16 // 256 FROM h
+  SELECT doc_id, phash16, 1, (phash16 // 64) % 32 FROM h
+  UNION ALL
+  SELECT doc_id, phash16, 2, phash16 // 2048 FROM h
+), ok AS (
+  -- mirror the operator's max_bucket_size=1024 oversize-bucket cap
+  SELECT seg_no, seg FROM segs GROUP BY 1, 2
+  HAVING count(*) BETWEEN 2 AND 1024
+), kept AS (
+  SELECT s.* FROM segs s JOIN ok USING (seg_no, seg)
 )
 SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
        greatest(a.doc_id, b.doc_id) AS id_b,
        CAST(bit_count(xor(a.phash16, b.phash16)) AS BIGINT) AS hamming
-FROM halves a JOIN halves b
-  ON a.half_no = b.half_no AND a.half = b.half
+FROM kept a JOIN kept b
+  ON a.seg_no = b.seg_no AND a.seg = b.seg
  AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.phash16, b.phash16)) <= 2
 """

@@ -72,9 +72,17 @@ def _match_pattern(
     else:
         sig_ids, steps = [], []
     out: list[tuple[int, int, int, int]] = []
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
+    # applyInPandasWithState may deliver one group's micro-batch as
+    # SEVERAL pandas chunks with no cross-chunk ordering guarantee, so
+    # the state machine must not advance per-chunk: concatenate the
+    # whole micro-batch first, then sort ONCE by (ts, event_id).
+    # Per-chunk sorting would replay events out of order for any group
+    # large enough to split, silently breaking batch parity.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    pdf = (
+        pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    )
+    if len(pdf):
         for row in pdf.sort_values(["ts", "event_id"]).itertuples():
             etype, eid = row.event_type, int(row.event_id)
             survivors_ids: list[int] = []

@@ -81,3 +81,66 @@ def test_streaming_pattern_matches_batch(spark, tmp_path):
         m for m in batch if ids[m[1]] != ids[m[2]]  # signup vs error chunk
     ]
     assert spanning, "time split produced no boundary-spanning matches"
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-driving _match_pattern."""
+
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self.exists = True
+        self._v = v
+
+
+def test_matcher_is_chunk_order_invariant():
+    """applyInPandasWithState may deliver one group's micro-batch as
+    SEVERAL pandas chunks in arbitrary order; the state machine must
+    concat-then-sort ONCE, not advance per chunk. Drive _match_pattern
+    directly with shuffled chunk splits and demand identical output."""
+    import itertools
+
+    import pandas as pd
+
+    from s3_parquet_to_postgres_spark.streaming.cep import _match_pattern
+
+    rows = pd.DataFrame(
+        {
+            "ts": [1, 2, 3, 4, 5, 6, 7, 8],
+            "event_id": [10, 11, 12, 13, 14, 15, 16, 17],
+            "event_type": [
+                "signup", "view", "error", "signup",
+                "view", "purchase", "error", "signup",
+            ],
+        }
+    )
+
+    def run(chunks):
+        state = _FakeState()
+        out = list(_match_pattern((7,), iter(chunks), state))
+        pairs = sorted(
+            (int(r.signup_event_id), int(r.error_event_id))
+            for df in out
+            for r in df.itertuples()
+        )
+        return pairs, state.get
+
+    want_pairs, want_state = run([rows])
+    assert want_pairs  # fixture produces at least one match
+    for cut1, cut2 in [(3, 6), (2, 4), (1, 7)]:
+        parts = [rows.iloc[:cut1], rows.iloc[cut1:cut2], rows.iloc[cut2:]]
+        for perm in itertools.permutations(parts):
+            # shuffle rows WITHIN chunks too
+            shuffled = [
+                p.sample(frac=1, random_state=13).reset_index(drop=True)
+                for p in perm
+            ]
+            got_pairs, got_state = run(shuffled)
+            assert got_pairs == want_pairs
+            assert got_state == want_state

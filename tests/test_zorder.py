@@ -118,3 +118,31 @@ def test_zorder_key_by_range_validation():
             {c: (0, 1) for c in "abcd"},
             bits=16,
         )
+
+
+def test_zorder_key_by_range_clamps_stale_bounds(spark):
+    """Values outside the caller-supplied (lo, hi) — stale or
+    approximate stats — must land in the edge buckets, never
+    sign-extend (below-lo) or wrap mod 2^bits (above-hi)."""
+    bits = 6
+    bounds = {"x": (10, 20), "y": (10, 20)}
+    df = spark.createDataFrame(
+        [(-5, 15), (500, 15), (10, -99), (20, 10_000), (15, 15)],
+        "x: long, y: long",
+    )
+    out = df.withColumn(
+        "z", zorder_key_by_range(["x", "y"], bounds, bits=bits)
+    ).collect()
+
+    def q(v, lo, hi):
+        raw = ((v - lo) * (1 << bits)) // (hi - lo + 1)
+        return max(0, min((1 << bits) - 1, raw))
+
+    for r in out:
+        qx, qy = q(r.x, 10, 20), q(r.y, 10, 20)
+        want = 0
+        for bit in range(bits):
+            want |= ((qx >> bit) & 1) << (2 * bit)
+            want |= ((qy >> bit) & 1) << (2 * bit + 1)
+        assert r.z == want, (r.x, r.y, r.z, want)
+        assert 0 <= r.z < (1 << (2 * bits))
