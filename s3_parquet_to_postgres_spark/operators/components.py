@@ -215,10 +215,19 @@ def pagerank(
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg")).select(
         F.col("src").alias("deg_id"), "outdeg"
     )
-    verts = e.select(F.col("src").alias("id")).distinct()
+    # Checkpoint the vertex table too: it feeds TWO places per
+    # iteration (the rank join and the no-inbox left join); left lazy
+    # it would replay its distinct-shuffle every round.
+    verts = (
+        e.select(F.col("src").alias("id")).distinct()
+        .localCheckpoint(eager=True)
+    )
     # Degrees join the edge list ONCE (checkpointed): the per-iteration
     # message step is then a single equi-join instead of two, and the
     # c = r/outdeg float op is unchanged (same per-edge operands).
+    # Pre-partitioned on the join key so the checkpointed RDD's
+    # partitioning is reused every round -- only the (small) rank
+    # table shuffles per iteration, never the edges.
     edeg = (
         e.join(deg, F.col("src") == F.col("deg_id"))
         .select(
@@ -226,13 +235,16 @@ def pagerank(
             F.col("dst").alias("m_dst"),
             "outdeg",
         )
+        .repartition(F.col("m_src"))
         .localCheckpoint(eager=True)
     )
-    n = verts.agg(F.count("*").cast("double").alias("__n"))
-    ranks = verts.crossJoin(F.broadcast(n)).select(
-        "id", (F.lit(1.0) / F.col("__n")).alias("r")
-    )
-    base, d = F.lit(1.0 - damping), F.lit(damping)
+    # N is ONE bounded scalar (vertex count): a driver-side count here
+    # replaces a per-iteration broadcast-aggregate job. The float ops
+    # are unchanged -- (1-d)/N and 1/N are the same IEEE-double
+    # divisions the oracle replays, just folded to literals.
+    n = float(verts.count())
+    ranks = verts.select("id", F.lit(1.0 / n).alias("r"))
+    base_term, d = F.lit((1.0 - damping) / n), F.lit(damping)
     for i in range(iters):
         msgs = ranks.join(edeg, F.col("id") == F.col("m_src")).select(
             F.col("m_dst").alias("to"),
@@ -241,11 +253,10 @@ def pagerank(
         inbox = msgs.groupBy("to").agg(F.sum("c").alias("s"))
         ranks = (
             verts.join(inbox, F.col("id") == F.col("to"), "left")
-            .crossJoin(F.broadcast(n))
             .select(
                 "id",
                 (
-                    base / F.col("__n")
+                    base_term
                     + d * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("r"),
             )

@@ -353,9 +353,10 @@ def ml_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
         .cast("long").alias("y"),
     )
-    n = x.select("doc_id").distinct().agg(
-        F.count("*").cast("double").alias("__n")
-    )
+    # ONE bounded scalar (doc count), computed once off the
+    # checkpointed feature table: as a lazy aggregate it re-ran its
+    # distinct-shuffle inside every iteration's weight update.
+    n = float(x.select("doc_id").distinct().count())
     w = spark.range(_LR_BUCKETS).select(
         F.col("id").alias("bucket"), F.lit(0).cast("long").alias("wq")
     )
@@ -384,7 +385,6 @@ def ml_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         w = (
             w.join(g, "bucket", "left")
-            .crossJoin(F.broadcast(n))
             .select(
                 "bucket",
                 (
@@ -392,7 +392,7 @@ def ml_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - F.floor(
                         lr
                         * (F.coalesce(F.col("g"), F.lit(0)).cast("double")
-                           / F.col("__n"))
+                           / F.lit(n))
                         + F.lit(0.5)
                     ).cast("long")
                 ).alias("wq"),
@@ -490,10 +490,16 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested transform (d^2 products exploded into a
     map-side-combinable agg -- partial state is <= 4096 cells per
     partition regardless of corpus size, and shard partials ADD like
-    every sketch in the catalog). Iterations touch only the 4096-row
-    normalized Gram and a 64-row broadcast vector; the corpus is
-    never rescanned. Integer headroom: |cell partial| <= Q^2 * rows,
-    inside int64 up to ~9e10 rows at Q=1e4.
+    every sketch in the catalog). The normalized Gram is CONSTANT
+    size (d^2 = 4096 cells, ~64 KB) independent of corpus rows, so
+    the 4 power iterations run driver-side on the collected cells --
+    identical exact-int64 arithmetic, zero extra Spark jobs (the
+    earlier all-in-engine loop spent ~8 scheduler round-trips + 5
+    eager checkpoints iterating a 4 KB-row table; the wall time was
+    pure fixed overhead). Same justified-collect class as the 64-row
+    moment collect in plans/ext.py: bounded state, never data-sized.
+    Integer headroom: |cell partial| <= Q^2 * rows, inside int64 up
+    to ~9e10 rows at Q=1e4.
     """
     emb = t(spark, sf_dir, "embeddings")
     q = _PCA_Q
@@ -510,7 +516,7 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c.p").alias("g"))
     )
     n = emb.agg(F.count("*").cast("double").alias("__n"))
-    gq = (
+    gq_rows = (
         cells.crossJoin(F.broadcast(n))
         .select(
             "i",
@@ -521,47 +527,27 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(0.5)
             ).cast("long").alias("gq"),
         )
-        .localCheckpoint(eager=True)
+        .collect()  # d^2 = 4096 cells: bounded, corpus-size-independent
     )
-    v = spark.range(_PCA_DIM).select(
-        F.col("id").alias("dim"), F.lit(1_000_000).cast("long").alias("vq")
-    )
+    import math
+
+    d = _PCA_DIM
+    G = [[0] * d for _ in range(d)]
+    for r in gq_rows:
+        G[r["i"]][r["j"]] = r["gq"]
+    vq = [1_000_000] * d
+    eig_q6 = 0
     for _ in range(_PCA_ITERS):
-        u = (
-            gq.join(F.broadcast(v), gq["j"] == v["dim"])
-            .groupBy("i")
-            .agg(F.sum(F.col("gq") * F.col("vq")).alias("u"))
-        )
-        m = u.agg(F.max(F.abs(F.col("u"))).cast("double").alias("__m"))
-        v = (
-            u.crossJoin(F.broadcast(m))
-            .select(
-                F.col("i").alias("dim"),
-                F.floor(
-                    F.col("u").cast("double") * F.lit(1_000_000.0)
-                    / F.col("__m") + F.lit(0.5)
-                ).cast("long").alias("vq"),
-                F.floor(
-                    F.col("__m") / F.lit(1_000_000.0) + F.lit(0.5)
-                ).cast("long").alias("eig_q6"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    first_nz = v.filter(F.col("vq") != 0).agg(
-        F.min("dim").alias("__d0")
-    )
-    sgn = (
-        v.crossJoin(F.broadcast(first_nz))
-        .filter(F.col("dim") == F.col("__d0"))
-        .select(
-            F.when(F.col("vq") < 0, F.lit(-1)).otherwise(F.lit(1))
-            .cast("long").alias("__s")
-        )
-    )
-    return v.crossJoin(F.broadcast(sgn)).select(
-        "dim",
-        (F.col("vq") * F.col("__s")).alias("v_q6"),
-        "eig_q6",
+        # exact int64 mat-vec, then the SAME double-precision
+        # renormalization expressions the oracle replays
+        u = [sum(G[i][j] * vq[j] for j in range(d)) for i in range(d)]
+        m = float(max(abs(x) for x in u))
+        vq = [int(math.floor(float(x) * 1_000_000.0 / m + 0.5)) for x in u]
+        eig_q6 = int(math.floor(m / 1_000_000.0 + 0.5))
+    s = -1 if next((x for x in vq if x != 0), 1) < 0 else 1
+    return spark.createDataFrame(
+        [(i, vq[i] * s, eig_q6) for i in range(d)],
+        "dim: long, v_q6: long, eig_q6: long",
     )
 
 
@@ -2544,43 +2530,51 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     steady-state answer to event_transitions' one-step probabilities
     ("where does user behavior settle?"). ONE corpus window pass
     builds the bigram count matrix; everything after runs on the
-    |event_type|^2 table: row-normalized transition probabilities
-    (exact-integer ratio, IEEE-identical), then 4 synchronous power
-    rounds pi' = pi P with every pi(src)*P(src,dst) product quantized
-    to a scaled BIGINT before the per-destination sum -- addition of
-    exact integers commutes, so each round (and the fixed point) is
-    bit-stable under any partitioning. The oracle replays all rounds.
+    |event_type|^2 table -- BOUNDED state, so the 4 synchronous power
+    rounds pi' = pi P run driver-side on the collected cells with the
+    identical arithmetic the oracle replays (same justified-collect
+    class as the IPF cells): row-normalized transition probabilities
+    (exact-integer ratio, IEEE-identical), every pi(src)*P(src,dst)
+    product quantized to a scaled int before the per-destination sum
+    -- addition of exact integers commutes, so each round (and the
+    fixed point) is bit-stable regardless of engine or order.
     """
+    import math
+
     e = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     big = e.select(
         "event_type", F.lag("event_type").over(w).alias("prev")
     ).filter(F.col("prev").isNotNull())
-    cnt = big.groupBy("prev", "event_type").agg(F.count("*").alias("c"))
-    rowsum = cnt.groupBy("prev").agg(F.sum("c").alias("rs"))
-    p = cnt.join(rowsum, "prev").select(
-        "prev",
-        "event_type",
-        (F.col("c").cast("double") / F.col("rs").cast("double")).alias("p"),
+    cnt_rows = (
+        big.groupBy("prev", "event_type").agg(F.count("*").alias("c"))
+        .collect()  # bounded: |event_type|^2 cells
     )
-    states = p.select(F.col("prev").alias("state")).distinct()
-    n_states = states.agg(F.count("*").alias("ns"))
-    pi = states.crossJoin(F.broadcast(n_states)).select(
-        "state", (F.lit(1.0) / F.col("ns").cast("double")).alias("pi")
-    )
+    rs: dict = {}
+    for r in cnt_rows:
+        rs[r["prev"]] = rs.get(r["prev"], 0) + r["c"]
+    p = [
+        (r["prev"], r["event_type"], float(r["c"]) / float(rs[r["prev"]]))
+        for r in cnt_rows
+    ]
+    states = sorted(rs)
+    pi = {s: 1.0 / float(len(states)) for s in states}
     m = float(10**_MARKOV_Q)
     for _ in range(_MARKOV_ROUNDS):
-        terms = pi.join(p, pi["state"] == p["prev"]).select(
-            F.col("event_type").alias("state"),
-            F.floor(F.col("pi") * F.col("p") * F.lit(m) + F.lit(0.5))
-            .cast("long")
-            .alias("tq"),
-        )
-        pi = terms.groupBy("state").agg(
-            (F.sum("tq").cast("double") / F.lit(m)).alias("pi")
-        )
-    return pi.select(
-        "state", dround(F.col("pi"), 9).alias("pi_q")
+        acc: dict = {}
+        for src, dst, pr in p:
+            if src in pi:
+                acc[dst] = acc.get(dst, 0) + int(
+                    math.floor(pi[src] * pr * m + 0.5)
+                )
+        pi = {dst: float(t_) / m for dst, t_ in acc.items()}
+
+    def dr9(x: float) -> float:
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    return spark.createDataFrame(
+        sorted((s, dr9(v)) for s, v in pi.items()),
+        "state: string, pi_q: double",
     )
 
 
@@ -2839,46 +2833,56 @@ def agg_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deming & Stephan 1940).
 
     Scale shape: ONE corpus aggregate produces the cell table
-    (bounded by |lang| x |source|); every IPF round is two margin
-    aggregates + broadcast joins over that tiny table, so the corpus
-    is never rescanned. Determinism: weights are dround-quantized to
-    6 dp after EVERY half-round scaling, and the oracle replays each
-    half-round with the same quantization, so the fixed point is
+    (bounded by |lang| x |source| -- ~25 cells regardless of corpus
+    rows); the IPF rounds then run driver-side on the collected
+    cells with the identical dround-quantized double arithmetic the
+    oracle replays. The corpus is never rescanned, and the rounds
+    cost zero Spark jobs (the earlier in-engine loop paid 6 tiny
+    join+agg stages of pure scheduler overhead for a 25-row table --
+    same justified-collect class as the 64-row moment collect in
+    plans/ext.py). Determinism: weights are dround-quantized to 6 dp
+    after EVERY half-round scaling, so the fixed point is
     bit-identical cross-engine.
     """
+    import math
+
     d = t(spark, sf_dir, "documents")
-    cells = d.groupBy("lang", "source").agg(
-        F.count("*").alias("n")
-    ).withColumn("w", F.col("n").cast("double"))
-    tot = cells.agg(
-        F.sum("n").cast("double").alias("grand"),
-        F.countDistinct("lang").cast("double").alias("nl"),
-        F.countDistinct("source").cast("double").alias("ns"),
+    rows = (
+        d.groupBy("lang", "source")
+        .agg(F.count("*").alias("n"))
+        .collect()  # bounded: |lang| x |source| cells
     )
-    cells = cells.crossJoin(F.broadcast(tot))
+    cells = sorted((r["lang"], r["source"], r["n"]) for r in rows)
+    grand = float(sum(n for _, _, n in cells))
+    nl = float(len({lang for lang, _, _ in cells}))
+    ns = float(len({src for _, src, _ in cells}))
+
+    def dr6(x: float) -> float:
+        return math.floor(x * 1_000_000.0 + 0.5) / 1_000_000.0
+
+    w = {(lang, src): float(n) for lang, src, n in cells}
     for _ in range(_IPF_ROUNDS):
-        lt = cells.groupBy("lang").agg(F.sum("w").alias("lt"))
-        cells = cells.join(F.broadcast(lt), "lang").withColumn(
-            "w",
-            dround(
-                F.col("w") * (F.col("grand") / F.col("nl")) / F.col("lt"),
-                6,
-            ),
-        ).drop("lt")
-        st = cells.groupBy("source").agg(F.sum("w").alias("st"))
-        cells = cells.join(F.broadcast(st), "source").withColumn(
-            "w",
-            dround(
-                F.col("w") * (F.col("grand") / F.col("ns")) / F.col("st"),
-                6,
-            ),
-        ).drop("st")
-    return cells.select(
-        "lang",
-        "source",
-        F.col("n").cast("long").alias("n"),
-        F.col("w").alias("weight_q"),
-        dround(F.col("w") / F.col("n"), 6).alias("rake_factor_q"),
+        lt: dict = {}
+        for lang, src, _ in cells:
+            lt[lang] = lt.get(lang, 0.0) + w[(lang, src)]
+        for lang, src, _ in cells:
+            w[(lang, src)] = dr6(
+                w[(lang, src)] * (grand / nl) / lt[lang]
+            )
+        st: dict = {}
+        for lang, src, _ in cells:
+            st[src] = st.get(src, 0.0) + w[(lang, src)]
+        for lang, src, _ in cells:
+            w[(lang, src)] = dr6(
+                w[(lang, src)] * (grand / ns) / st[src]
+            )
+    return spark.createDataFrame(
+        [
+            (lang, src, n, w[(lang, src)], dr6(w[(lang, src)] / n))
+            for lang, src, n in cells
+        ],
+        "lang: string, source: string, n: long, "
+        "weight_q: double, rake_factor_q: double",
     )
 
 

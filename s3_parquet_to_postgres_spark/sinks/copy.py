@@ -17,9 +17,14 @@ so ``CopySink(format="binary")`` takes the Spark schema and compiles
 one encoder per column at plan time (fail-fast on unsupported types,
 like the cast planner).
 
-psycopg2 is not installed in this container; the import is gated and
-the partition-level encoders are pure-Python and unit-tested on their
-own. Error semantics match the reference's fail-fast model: the first
+The executor connection resolves in order: an injected factory
+(tests / alternative drivers), psycopg2 when the executor image has
+it, else the bundled pure-stdlib v3 wire-protocol client
+(``pgwire.py``) -- so the COPY path has no hard C-extension
+dependency. The socket half (framing, flush boundaries,
+commit/rollback) is exercised end-to-end against an in-process fake
+PG wire server in tests/test_copy_socket_e2e.py. Error semantics
+match the reference's fail-fast model: the first
 bad row or constraint violation raises inside the partition, failing
 the task and (with retries exhausted) the job (reference:
 src/db.rs:202-239). Idempotence at scale: point ``table`` at a
@@ -301,14 +306,15 @@ class CopySink:
 
 
 def _connect(conn_string: str, factory: "Callable[[str], Any] | None" = None):
-    """Executor-side connect: injected factory, or gated psycopg2."""
+    """Executor-side connect: injected factory, psycopg2 when present,
+    else the bundled pure-stdlib v3 wire client (pgwire.py) -- so the
+    COPY fast path works on executors without the C extension."""
     if factory is not None:
         return factory(conn_string)
     try:
-        import psycopg2  # gated: not bundled in this container
-    except ImportError as exc:  # pragma: no cover
-        raise RuntimeError(
-            "CopySink requires psycopg2 on executors; "
-            "use JdbcSink where it is unavailable"
-        ) from exc
+        import psycopg2  # preferred when the executor image has it
+    except ImportError:
+        from . import pgwire
+
+        return pgwire.connect(conn_string)
     return psycopg2.connect(conn_string)
