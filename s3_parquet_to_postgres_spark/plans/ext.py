@@ -1288,26 +1288,48 @@ WITH pay AS (
                 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
            FOR b IN range(0, 16)]) AS phash16
   FROM tot
+), g AS (
+  -- doc clusters per distinct hash; oversize clusters dropped whole
+  -- (operator's max_bucket_size=1024 boilerplate-storm guard)
+  SELECT phash16 FROM h GROUP BY 1 HAVING count(*) <= 1024
+), mem AS (
+  SELECT h.doc_id, h.phash16 FROM h JOIN g USING (phash16)
+), same AS (
+  SELECT least(a.doc_id, b.doc_id) AS id_a,
+         greatest(a.doc_id, b.doc_id) AS id_b,
+         CAST(0 AS BIGINT) AS hamming
+  FROM mem a JOIN mem b
+    ON a.phash16 = b.phash16 AND a.doc_id < b.doc_id
 ), segs AS (
-  SELECT doc_id, phash16, 0 AS seg_no, phash16 % 64 AS seg FROM h
+  -- blocking runs on DISTINCT hashes, as in the operator
+  SELECT phash16, 0 AS seg_no, phash16 % 64 AS seg FROM g
   UNION ALL
-  SELECT doc_id, phash16, 1, (phash16 // 64) % 32 FROM h
+  SELECT phash16, 1, (phash16 // 64) % 32 FROM g
   UNION ALL
-  SELECT doc_id, phash16, 2, phash16 // 2048 FROM h
+  SELECT phash16, 2, phash16 // 2048 FROM g
 ), ok AS (
-  -- mirror the operator's max_bucket_size=1024 oversize-bucket cap
   SELECT seg_no, seg FROM segs GROUP BY 1, 2
   HAVING count(*) BETWEEN 2 AND 1024
 ), kept AS (
   SELECT s.* FROM segs s JOIN ok USING (seg_no, seg)
+), hp AS (
+  SELECT DISTINCT a.phash16 AS ha, b.phash16 AS hb,
+         CAST(bit_count(xor(a.phash16, b.phash16)) AS BIGINT) AS hamming
+  FROM kept a JOIN kept b
+    ON a.seg_no = b.seg_no AND a.seg = b.seg
+   AND a.phash16 < b.phash16
+  WHERE bit_count(xor(a.phash16, b.phash16)) BETWEEN 1 AND 2
+), cross_p AS (
+  SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+         greatest(ma.doc_id, mb.doc_id) AS id_b,
+         hp.hamming
+  FROM hp
+  JOIN mem ma ON ma.phash16 = hp.ha
+  JOIN mem mb ON mb.phash16 = hp.hb
 )
-SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
-       greatest(a.doc_id, b.doc_id) AS id_b,
-       CAST(bit_count(xor(a.phash16, b.phash16)) AS BIGINT) AS hamming
-FROM kept a JOIN kept b
-  ON a.seg_no = b.seg_no AND a.seg = b.seg
- AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.phash16, b.phash16)) <= 2
+SELECT id_a, id_b, hamming FROM same
+UNION ALL
+SELECT id_a, id_b, hamming FROM cross_p
 """
 
 
