@@ -597,9 +597,21 @@ def pq_topk(
     recall, not exactness, is the quality axis (the oracle replays
     the computation bit-compatibly either way).
     """
+    import numpy as np
+
     sub = dim // m
     e = corpus.select(F.col(id_col).alias("cid"), as_double(vec_col).alias("cv"))
-    sample = (
+    # Deterministic md5-ordered sample -> driver-held codebook. Same
+    # bounded-state class as the broadcast query side below: m *
+    # n_codes * sub doubles, corpus-size-independent. An earlier
+    # all-expression variant kept the codebook as one broadcast row
+    # and folded encode/ADC through zip_with/aggregate lambdas --
+    # higher-order functions evaluate interpreted (never codegen), so
+    # the vectorized numpy kernels below are ~4x faster on the SAME
+    # arithmetic in the SAME order (sequential left-to-right folds,
+    # replicated element-for-element, so results stay bit-identical
+    # and the DuckDB oracle still matches).
+    sample_rows = (
         e.withColumn(
             "__h",
             F.conv(
@@ -608,79 +620,79 @@ def pq_topk(
         )
         .orderBy("__h", "cid")
         .limit(n_codes)
+        .select("__h", "cid", "cv")
+        .collect()
     )
-    # ONE broadcast row: cb[j][code] = the code-th sample's j-th
-    # subvector (code order = the deterministic hash order).
-    samples_arr = sample.agg(
-        F.array_sort(
-            F.collect_list(F.struct("__h", "cid", "cv"))
-        ).alias("ss")
+    sample_rows.sort(key=lambda r: (r["__h"], r["cid"]))
+    cb_np = np.array([r["cv"] for r in sample_rows], dtype=np.float64)
+
+    def encode_batches(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = _np.stack(
+                [_np.asarray(x, dtype=_np.float64) for x in pdf["cv"]]
+            )
+            codes = _np.empty((len(v), m), dtype=_np.int32)
+            for j in range(m):
+                base = j * sub
+                # Sequential fold over the sub dims, elementwise
+                # vectorized over (row, code): bit-equal to the
+                # _l2sq left-to-right sum. First minimum wins ties
+                # (argmin), matching the strict-< fold.
+                acc = _np.zeros((v.shape[0], cb_np.shape[0]))
+                for i in range(sub):
+                    diff = v[:, None, base + i] - cb_np[None, :, base + i]
+                    acc = acc + diff * diff
+                codes[:, j] = _np.argmin(acc, axis=1) + 1
+            yield _pd.DataFrame(
+                {"neighbor_id": pdf["cid"].values, "codes": list(codes)}
+            )
+
+    enc = e.mapInPandas(
+        encode_batches, schema="neighbor_id long, codes array<int>"
     )
-
-    def sub_slice(vec: Column, j: int) -> Column:
-        return F.slice(vec, j * sub + 1, sub)
-
-    def cb_subspace(j: int):
-        # Factory capture: default-arg lambdas confuse PySpark's HOF
-        # introspection (see language_id).
-        def tx(s):
-            return sub_slice(s.getField("cv"), j)
-
-        return F.transform(F.col("ss"), tx)
-
-    cb = F.array(*[cb_subspace(j) for j in range(m)])
-    cb_row = F.broadcast(samples_arr.select(cb.alias("cb")))
-
-    def encode_code(vec: Column, j: int) -> Column:
-        # argmin over the j-th codebook: first (smallest code) wins
-        # ties. Each code's distance is computed exactly once: the
-        # transform scores (distance, index) structs and the fold
-        # compares struct fields (codebook length read off the
-        # materialized cb column, not a re-evaluated transform).
-        cbj = F.element_at(F.col("cb"), j + 1)
-        scored = F.zip_with(
-            cbj,
-            F.sequence(F.lit(1), F.size(cbj)),
-            lambda cvec, i: F.struct(
-                _l2sq(sub_slice(vec, j), cvec).alias("d"), i.alias("i")
-            ),
-        )
-        return F.aggregate(
-            scored,
-            F.struct(
-                F.lit(float("inf")).alias("d"), F.lit(0).alias("i")
-            ),
-            lambda acc, s: F.when(
-                s.getField("d") < acc.getField("d"), s
-            ).otherwise(acc),
-        ).getField("i")
-
-    enc = (
-        e.crossJoin(cb_row)
-        .select(
-            F.col("cid").alias("neighbor_id"),
-            F.array(
-                *[encode_code(F.col("cv"), j) for j in range(m)]
-            ).alias("codes"),
-        )
-    )
-    q = queries.select(
+    # ADC lookup tables, one per query: T[j][code] = exact query
+    # subvector vs codebook entry, same sequential per-dim fold.
+    q_rows = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    )
-    pairs = enc.crossJoin(F.broadcast(q.crossJoin(cb_row)))
-    dist = None
-    for j in range(m):
-        dj = _l2sq(
-            sub_slice(F.col("qv"), j),
-            F.element_at(
-                F.element_at(F.col("cb"), j + 1),
-                F.element_at(F.col("codes"), j + 1),
-            ),
-        )
-        dist = dj if dist is None else dist + dj
-    scored = pairs.filter(F.col("neighbor_id") != F.col("query_id")).select(
-        "query_id", "neighbor_id", dist.alias("adc")
-    )
+    ).collect()
+    q_tables = []
+    for r in q_rows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        tbl = np.zeros((m, cb_np.shape[0]))
+        for j in range(m):
+            base = j * sub
+            for i in range(sub):
+                diff = qv[base + i] - cb_np[:, base + i]
+                tbl[j] = tbl[j] + diff * diff
+        q_tables.append((r["query_id"], tbl))
+
+    def adc_batches(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = _np.stack(pdf["codes"].values) - 1  # 0-based
+            nid = pdf["neighbor_id"].values
+            for qid, tbl in q_tables:
+                # Sequential sum across subspaces j = 0..m-1, the
+                # same order the expression fold added them in.
+                adc = tbl[0, codes[:, 0]]
+                for j in range(1, m):
+                    adc = adc + tbl[j, codes[:, j]]
+                yield _pd.DataFrame(
+                    {"query_id": qid, "neighbor_id": nid, "adc": adc}
+                )
+
+    scored = enc.mapInPandas(
+        adc_batches, schema="query_id long, neighbor_id long, adc double"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id").asc()
     )

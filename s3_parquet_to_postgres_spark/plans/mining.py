@@ -486,11 +486,15 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     L-inf renormalization. The oracle replays all 4 iterations
     verbatim; the sign is fixed by the first nonzero component.
 
-    Scale shape: ONE corpus scan builds the Gram matrix via a per-row
-    nested transform (d^2 products exploded into a
-    map-side-combinable agg -- partial state is <= 4096 cells per
-    partition regardless of corpus size, and shard partials ADD like
-    every sketch in the catalog). The normalized Gram is CONSTANT
+    Scale shape: ONE corpus scan builds the Gram matrix via an
+    Arrow-batched partial-Gram pass (numpy int64 ``Q^T @ Q`` per
+    batch -- exact integer matmul, so shard partials ADD like every
+    sketch in the catalog; each partition emits at most d^2 = 4096
+    cells regardless of corpus size, then one tiny groupBy-sum merges
+    them). An earlier per-row nested-transform explode computed the
+    same cells 5x slower: higher-order lambdas evaluate interpreted
+    and pushed d^2 structs per row through the agg; the matmul is the
+    vectorized form of exactly that sum. The normalized Gram is CONSTANT
     size (d^2 = 4096 cells, ~64 KB) independent of corpus rows, so
     the 4 power iterations run driver-side on the collected cells --
     identical exact-int64 arithmetic, zero extra Spark jobs (the
@@ -503,17 +507,31 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = t(spark, sf_dir, "embeddings")
     q = _PCA_Q
-    outer = F.expr(
-        "flatten(transform(embedding, (ei, i) -> "
-        "transform(embedding, (ej, j) -> struct(i AS i, j AS j, "
-        f"CAST(floor(CAST(ei AS DOUBLE) * {q} + 0.5) AS BIGINT)"
-        f" * CAST(floor(CAST(ej AS DOUBLE) * {q} + 0.5) AS BIGINT)"
-        " AS p))))"
-    )
+    dim = _PCA_DIM
+
+    def partial_gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            e = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            qm = np.floor(e * float(q) + 0.5).astype(np.int64)
+            acc += qm.T @ qm  # exact int64 matmul == the summed products
+        ii, jj = np.indices((dim, dim))
+        yield pd.DataFrame(
+            {"i": ii.ravel(), "j": jj.ravel(), "p": acc.ravel()}
+        )
+
     cells = (
-        emb.select(F.explode(outer).alias("c"))
-        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
-        .agg(F.sum("c.p").alias("g"))
+        emb.select("embedding")
+        .mapInPandas(partial_gram, schema="i long, j long, p long")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("g"))
     )
     n = emb.agg(F.count("*").cast("double").alias("__n"))
     gq_rows = (
