@@ -731,17 +731,20 @@ def semantic_dedup(
     corpus never shuffles for it.
 
     In-cluster detection is GROUPED, not self-joined (the same choice
-    as the MinHash/SimHash buckets): each cluster's members are
-    collected into one row and the "has an earlier near-duplicate"
-    test is a per-row filter/exists array expression, so the corpus
-    is scanned ONCE and shuffled ONCE (to co-locate clusters) instead
-    of Catalyst re-evaluating the assignment subplan per join branch.
+    as the MinHash/SimHash buckets): clusters are co-located with ONE
+    shuffle and each cluster's pairwise "has an earlier
+    near-duplicate" test runs as an Arrow-batched numpy kernel inside
+    ``applyInPandas`` -- the sequential left-to-right float64 folds of
+    the ``cosine`` expression (dot then the two norms) are replicated
+    element-for-element across the (x, y) matrix, so the kept/removed
+    decisions are bit-identical to the earlier all-expression
+    filter/exists variant (which evaluated the same quadratic
+    interpreted, since higher-order lambdas never reach codegen).
     The per-cluster check is quadratic in cluster size, identical to
     the pair-join's blowup, so clusters over ``max_cluster_size``
-    skip pairing (their members are not collected at all -- a window
-    count gates the collect, preventing a hot cluster from
-    materializing a giant row) but still appear in the accounting
-    with zero removals.
+    skip pairing (an O(size) early-out before any matrix is
+    allocated) but still appear in the accounting with zero
+    removals.
 
     Returns per-cluster accounting: cluster_id, size, n_removed,
     n_kept.
@@ -777,34 +780,44 @@ def semantic_dedup(
             "__v",
         )
     )
-    gated = assigned.withColumn(
-        "__n", F.count("*").over(Window.partitionBy("cluster_id"))
-    )
-    grouped = gated.groupBy("cluster_id").agg(
-        F.count("*").alias("__size"),
-        F.collect_list(
-            F.when(
-                F.col("__n") <= max_cluster_size, F.struct("id", "__v")
+    cap = max_cluster_size
+    thr = threshold
+
+    def per_cluster(pdf):
+        import numpy as np
+        import pandas as pd
+
+        size = len(pdf)
+        cluster = int(pdf["cluster_id"].iloc[0])
+        n_removed = 0
+        if 2 <= size <= cap:
+            ids = pdf["id"].to_numpy()
+            v = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["__v"]]
             )
-        ).alias("members"),
-    )
-    members = F.col("members")
-    removed = F.size(
-        F.filter(
-            members,
-            lambda x: F.exists(
-                members,
-                lambda y: (y.getField("id") < x.getField("id"))
-                & (
-                    cosine(x.getField("__v"), y.getField("__v"))
-                    >= F.lit(threshold)
-                ),
-            ),
+            dim = v.shape[1]
+            # Sequential folds over the dims, vectorized over rows /
+            # pairs: 0.0 + x1*y1 + x2*y2 + ... exactly as the
+            # zip_with/aggregate expressions added them.
+            nacc = np.zeros(size)
+            dots = np.zeros((size, size))
+            for i in range(dim):
+                nacc = nacc + v[:, i] * v[:, i]
+                dots = dots + v[:, None, i] * v[None, :, i]
+            norm = np.sqrt(nacc)
+            cos = dots / (norm[:, None] * norm[None, :])
+            mask = (ids[None, :] < ids[:, None]) & (cos >= thr)
+            n_removed = int(mask.any(axis=1).sum())
+        return pd.DataFrame(
+            {
+                "cluster_id": [cluster],
+                "size": [size],
+                "n_removed": [n_removed],
+                "n_kept": [size - n_removed],
+            }
         )
-    ).cast("long")
-    return grouped.select(
-        F.col("cluster_id").cast("long").alias("cluster_id"),
-        F.col("__size").cast("long").alias("size"),
-        removed.alias("n_removed"),
-        (F.col("__size") - removed).cast("long").alias("n_kept"),
+
+    return assigned.groupBy("cluster_id").applyInPandas(
+        per_cluster,
+        schema="cluster_id long, size long, n_removed long, n_kept long",
     )
