@@ -1400,7 +1400,7 @@ FROM scored
 def ml_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purity of the coarse embedding clustering against the label
     column: vectors assign to 16 md5-hash-sampled centroids with the
-    shared ``nearest_centroid`` broadcast fold (the corpus never
+    shared ``assign_nearest_centroid`` Arrow kernel (the corpus never
     shuffles for assignment — same machinery as dedup_semantic), then
     per cluster the majority label and its share. Counts exact; only
     the final share is quantized; majority ties break to the smaller
@@ -1409,7 +1409,7 @@ def ml_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one narrow assignment pass + one (cluster, label)
     partial agg + one tiny per-cluster argmax window.
     """
-    from ..operators.similarity import as_double, nearest_centroid
+    from ..operators.similarity import as_double, assign_nearest_centroid
 
     e = t(spark, sf_dir, "embeddings")
     cent = (
@@ -1428,20 +1428,11 @@ def ml_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(16)
         .drop("__h")
     )
-    cent_arr = cent.agg(
-        F.array_sort(
-            F.collect_list(F.struct("centroid_id", "cent_vec"))
-        ).alias("cents")
-    )
-    assigned = (
-        e.select("vec_id", "label", as_double("embedding").alias("__v"))
-        .join(F.broadcast(cent_arr))
-        .select(
-            nearest_centroid(F.col("cents"), F.col("__v"))
-            .alias("cluster_id"),
-            "label",
-        )
-    )
+    assigned = assign_nearest_centroid(
+        e.select("label", as_double("embedding").alias("__v")),
+        cent,
+        "__v",
+    ).select("cluster_id", "label")
     cl = assigned.groupBy("cluster_id", "label").agg(
         F.count("*").alias("n")
     )
