@@ -359,10 +359,13 @@ def assign_nearest_centroid(
     hash-sampled seeds of SemDeDup / cluster-purity). The kernel
     replicates the fold bit-for-bit: cosine's sequential left-to-right
     float64 sums, strict ``>`` against a -inf start (so NaN sims never
-    win and an all-NaN row yields NULL), first-win ties in ascending
-    ``centroid_id`` order. ~10x faster than the interpreted lambda
-    fold at 16 centroids x 64 dims per row; use the column fold when
-    the centroid array is itself a per-row value.
+    win), first-win ties in ascending ``centroid_id`` order. One
+    deliberate divergence: a zero vector (NaN cosine everywhere)
+    yields NULL here, where the column fold under ANSI mode errors
+    outright on the 0.0/0.0 division -- the kernel is strictly more
+    total. ~10x faster than the interpreted lambda fold at 16
+    centroids x 64 dims per row; use the column fold when the
+    centroid array is itself a per-row value.
 
     ``df``'s ``vec_col`` must already be array<double> (``as_double``).
     Appends ``out_col`` (long, nullable); other columns pass through.

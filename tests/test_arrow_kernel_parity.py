@@ -214,3 +214,94 @@ def test_semantic_dedup_oversize_cluster_skips_pairing(spark):
     ).collect()
     [row] = out
     assert row["size"] == 10 and row["n_removed"] == 0 and row["n_kept"] == 10
+
+
+# ------------------------------------------------------------------
+# assign_nearest_centroid vs the nearest_centroid column fold
+# ------------------------------------------------------------------
+
+def test_assign_nearest_centroid_matches_column_fold(spark):
+    from s3_parquet_to_postgres_spark.operators.similarity import (
+        as_double,
+        assign_nearest_centroid,
+        nearest_centroid,
+    )
+
+    # Vectors engineered for ties: rows 10/11 are equidistant between
+    # centroids (first centroid_id must win in both engines); row 12
+    # is a zero vector (NaN cosine everywhere -> NULL).
+    cent_rows = [
+        (3, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.0, 0.0, 1.0]),
+    ]
+    vec_rows = [
+        (10, [1.0, 1.0, 0.0]),   # tie between centroids 3 and 1
+        (11, [0.0, 1.0, 1.0]),   # tie between centroids 1 and 2
+        (13, [0.9, 0.1, 0.0]),
+        (14, [-1.0, -1.0, -1.0]),
+    ]
+    cent = spark.createDataFrame(
+        cent_rows, "centroid_id long, cent_vec array<double>"
+    )
+    vecs = spark.createDataFrame(
+        vec_rows, "vec_id long, embedding array<double>"
+    )
+    kernel = {
+        r["vec_id"]: r["cluster_id"]
+        for r in assign_nearest_centroid(
+            vecs.select("vec_id", as_double("embedding").alias("__v")),
+            cent,
+            "__v",
+        ).collect()
+    }
+    cent_arr = cent.agg(
+        F.array_sort(
+            F.collect_list(F.struct("centroid_id", "cent_vec"))
+        ).alias("cents")
+    )
+    fold = {
+        r["vec_id"]: r["cluster_id"]
+        for r in vecs.select(
+            "vec_id", as_double("embedding").alias("__v")
+        )
+        .join(F.broadcast(cent_arr))
+        .select(
+            "vec_id",
+            nearest_centroid(F.col("cents"), F.col("__v")).alias(
+                "cluster_id"
+            ),
+        )
+        .collect()
+    }
+    assert kernel == fold
+    assert kernel[10] == 1 and kernel[11] == 1  # smallest-id tie wins
+
+
+def test_assign_nearest_centroid_zero_vector_yields_null(spark):
+    # A zero vector has NaN cosine against every centroid. Under ANSI
+    # mode the COLUMN fold errors outright (0.0/0.0 is DIVIDE_BY_ZERO
+    # in Spark 4), so the kernel is strictly more total: it returns
+    # NULL for the unassignable row instead of failing the job.
+    from s3_parquet_to_postgres_spark.operators.similarity import (
+        as_double,
+        assign_nearest_centroid,
+    )
+
+    cent = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "centroid_id long, cent_vec array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [(7, [0.0, 0.0]), (8, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in assign_nearest_centroid(
+            vecs.select("vec_id", as_double("embedding").alias("__v")),
+            cent,
+            "__v",
+        ).collect()
+    }
+    assert got[7] is None and got[8] == 1
