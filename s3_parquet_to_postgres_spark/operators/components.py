@@ -215,9 +215,10 @@ def pagerank(
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg")).select(
         F.col("src").alias("deg_id"), "outdeg"
     )
-    # Checkpoint the vertex table too: it feeds TWO places per
-    # iteration (the rank join and the no-inbox left join); left lazy
-    # it would replay its distinct-shuffle every round.
+    # Vertex table: only the initial ranks and N need it (symmetric
+    # edges mean EVERY vertex receives mail every round -- each
+    # neighbor sends a strictly positive rank/outdeg -- so no
+    # per-round no-inbox backfill join exists; see the loop).
     verts = (
         e.select(F.col("src").alias("id")).distinct()
         .localCheckpoint(eager=True)
@@ -251,15 +252,15 @@ def pagerank(
             (F.col("r") / F.col("outdeg")).alias("c"),
         )
         inbox = msgs.groupBy("to").agg(F.sum("c").alias("s"))
-        ranks = (
-            verts.join(inbox, F.col("id") == F.col("to"), "left")
-            .select(
-                "id",
-                (
-                    base_term
-                    + d * F.coalesce(F.col("s"), F.lit(0.0))
-                ).alias("r"),
-            )
+        # Symmetric edges: dst(inbox) == src(verts) as a SET and every
+        # vertex's inbox is non-empty, so the new rank table comes
+        # straight off the message aggregation -- the earlier
+        # verts-left-join backfill (one more join + exchange per
+        # round, x iters) computed base + d*coalesce(s, 0) with s
+        # never NULL. Same floats, one fewer shuffle per round.
+        ranks = inbox.select(
+            F.col("to").alias("id"),
+            (base_term + d * F.col("s")).alias("r"),
         )
         # Truncate lineage every few rounds: a 10-iteration lazy plan
         # is ~40 operators deep and Catalyst analysis cost grows with
