@@ -244,6 +244,13 @@ def pagerank(
     # are unchanged -- (1-d)/N and 1/N are the same IEEE-double
     # divisions the oracle replays, just folded to literals.
     n = float(verts.count())
+    if n == 0.0:
+        # Empty graph (e.g. a corpus where no document yields an
+        # edge): zero vertices, zero rows -- the literal 1/n below
+        # would otherwise raise ZeroDivisionError on the driver.
+        return verts.select(
+            "id", F.lit(None).cast("double").alias("pagerank")
+        )
     ranks = verts.select("id", F.lit(1.0 / n).alias("r"))
     base_term, d = F.lit((1.0 - damping) / n), F.lit(damping)
     for i in range(iters):

@@ -373,6 +373,10 @@ def assign_nearest_centroid(
     import numpy as np
 
     rows = cent.select("centroid_id", "cent_vec").collect()
+    if not rows:
+        # No centroids (empty corpus sample): nothing is assignable,
+        # mirroring the column fold's NULL result over an empty array.
+        return df.withColumn(out_col, F.lit(None).cast("long"))
     rows.sort(key=lambda r: r["centroid_id"])
     cids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
     cvecs = np.array([r["cent_vec"] for r in rows], dtype=np.float64)
@@ -684,9 +688,15 @@ def pq_topk(
         .orderBy("__h", "cid")
         .limit(n_codes)
         .select("__h", "cid", "cv")
-        .collect()
+        .collect()  # collect preserves the orderBy order
     )
-    sample_rows.sort(key=lambda r: (r["__h"], r["cid"]))
+    out_schema = (
+        "query_id long, neighbor_id long, adc_dist double, rank long"
+    )
+    if not sample_rows:
+        # Empty corpus: no codebook, no candidates.
+        e_spark = corpus.sparkSession
+        return e_spark.createDataFrame([], out_schema)
     cb_np = np.array([r["cv"] for r in sample_rows], dtype=np.float64)
 
     def encode_batches(batches):
@@ -694,6 +704,9 @@ def pq_topk(
         import pandas as _pd
 
         for pdf in batches:
+            # NULL vectors are unencodable -- drop them here (the
+            # expression fold produced meaningless NULL-ish codes).
+            pdf = pdf[pdf["cv"].notna()]
             if len(pdf) == 0:
                 continue
             v = _np.stack(
@@ -725,6 +738,8 @@ def pq_topk(
     ).collect()
     q_tables = []
     for r in q_rows:
+        if r["qv"] is None:
+            continue  # NULL query vector: no meaningful distances
         qv = np.asarray(r["qv"], dtype=np.float64)
         tbl = np.zeros((m, cb_np.shape[0]))
         for j in range(m):
@@ -846,9 +861,14 @@ def semantic_dedup(
         import pandas as pd
 
         size = len(pdf)
-        cluster = int(pdf["cluster_id"].iloc[0])
+        key = pdf["cluster_id"].iloc[0]
+        # The NULL-cluster group (zero/NULL vectors are unassignable;
+        # see assign_nearest_centroid) gets an accounting row with no
+        # pairing -- cosine against a zero vector is undefined, so
+        # nothing in it can have a "near-duplicate".
+        cluster = None if pd.isna(key) else int(key)
         n_removed = 0
-        if 2 <= size <= cap:
+        if cluster is not None and 2 <= size <= cap:
             ids = pdf["id"].to_numpy()
             v = np.stack(
                 [np.asarray(x, dtype=np.float64) for x in pdf["__v"]]

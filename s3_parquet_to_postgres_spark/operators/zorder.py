@@ -65,10 +65,17 @@ def zorder_key_by_range(
         # out-of-range value must degrade to the edge bucket — a value
         # below lo would otherwise sign-extend through shiftright and
         # set every interleave bit; one above hi would wrap mod 2^bits
-        # and scatter into an arbitrary interior bucket.
+        # and scatter into an arbitrary interior bucket. The NULL
+        # check comes FIRST: Spark's least/greatest SKIP null
+        # arguments rather than propagate them, so an unguarded clamp
+        # would silently map a NULL value (or a NULL quotient from
+        # degenerate hi < lo stats) to the top bucket; NULL keys keep
+        # NULL rows clustered together instead.
         qs.append(F.expr(
-            f"greatest(0L, least({lvl - 1}L,"
-            f" (({c} - {lo}L) * {lvl}L) div ({hi - lo + 1}L)))"
+            f"CASE WHEN (({c} - {lo}L) * {lvl}L) div ({hi - lo + 1}L)"
+            f" IS NULL THEN CAST(NULL AS BIGINT)"
+            f" ELSE greatest(0L, least({lvl - 1}L,"
+            f" (({c} - {lo}L) * {lvl}L) div ({hi - lo + 1}L))) END"
         ))
     key = F.lit(0).cast("long")
     for bit in range(bits):

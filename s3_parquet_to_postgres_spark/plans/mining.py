@@ -560,6 +560,13 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         # renormalization expressions the oracle replays
         u = [sum(G[i][j] * vq[j] for j in range(d)) for i in range(d)]
         m = float(max(abs(x) for x in u))
+        if m == 0.0:
+            # Degenerate Gram (empty corpus, or every embedding
+            # quantizing to zero): the direction is identically zero
+            # and further iterations are fixed -- stop instead of
+            # dividing by zero.
+            vq, eig_q6 = [0] * d, 0
+            break
         vq = [int(math.floor(float(x) * 1_000_000.0 / m + 0.5)) for x in u]
         eig_q6 = int(math.floor(m / 1_000_000.0 + 0.5))
     s = -1 if next((x for x in vq if x != 0), 1) < 0 else 1

@@ -172,7 +172,10 @@ class _Scram:
 
 
 class _Cursor:
-    """Just enough cursor to satisfy CopySink: ``copy_expert``."""
+    """Just enough cursor for every _connect() consumer: CopySink
+    needs ``copy_expert``; StagedLoad/ExactlyOnceBatchSink run DDL /
+    promote scripts through ``execute`` (result rows, if any, are
+    drained and discarded -- the callers are statement-only)."""
 
     def __init__(self, conn: "PgWireConnection"):
         self._conn = conn
@@ -182,6 +185,10 @@ class _Cursor:
 
     def __exit__(self, *exc: Any) -> bool:
         return False
+
+    def execute(self, sql: str) -> None:
+        self._conn._ensure_txn()
+        self._conn._simple_query(sql)
 
     def copy_expert(self, sql: str, buf: Any) -> None:
         self._conn._copy_in(sql, buf)
@@ -280,13 +287,24 @@ class PgWireConnection:
     def _copy_in(self, sql: str, buf: Any) -> None:
         self._ensure_txn()
         self._sock.sendall(_msg(b"Q", sql.encode() + b"\x00"))
-        t, body = _read_message(self._sock)
+        # The backend may interleave NoticeResponse / ParameterStatus
+        # / BackendKeyData before CopyInResponse -- skip them like
+        # _startup and _simple_query do instead of failing the COPY
+        # (and leaving the stream undrained) on a benign notice.
+        while True:
+            t, body = _read_message(self._sock)
+            if t not in (b"N", b"S", b"K"):
+                break
         if t == b"E":
             # drain to ReadyForQuery, then raise
             while _read_message(self._sock)[0] != b"Z":
                 pass
             raise PgWireError(_error_fields(body))
         if t != b"G":  # CopyInResponse
+            # Not a COPY-accepting statement: drain to ReadyForQuery
+            # so the connection stays usable, then raise.
+            while _read_message(self._sock)[0] != b"Z":
+                pass
             raise PgWireError(f"expected CopyInResponse, got {t!r}")
         data = buf.read()
         if isinstance(data, str):

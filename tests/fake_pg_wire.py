@@ -64,11 +64,13 @@ class FakePgServer:
         auth: str = "trust",
         password: str = "sekret",
         fail_copy_matching: str | None = None,
+        notice_before_copy: bool = False,
     ):
         self.spool = spool_dir
         self.auth = auth
         self.password = password
         self.fail_copy_matching = fail_copy_matching
+        self.notice_before_copy = notice_before_copy
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._srv.bind(("127.0.0.1", 0))
@@ -193,6 +195,12 @@ class FakePgServer:
         ncols = sql.count(",") + 1 if "(" in sql else 0
         fmt = struct.pack(">bh", 1 if binary else 0, ncols)
         fmt += struct.pack(">h", 1 if binary else 0) * ncols
+        if self.notice_before_copy:
+            # Real backends may interleave NoticeResponse before the
+            # CopyInResponse; clients must skip it.
+            conn.sendall(
+                _msg(b"N", b"SNOTICE\x00Msimulated notice\x00\x00")
+            )
         conn.sendall(_msg(b"G", fmt))
         chunks: list[bytes] = []
         while True:

@@ -305,3 +305,71 @@ def test_assign_nearest_centroid_zero_vector_yields_null(spark):
         ).collect()
     }
     assert got[7] is None and got[8] == 1
+
+
+def test_semantic_dedup_zero_vector_gets_null_cluster_row(spark):
+    # A zero vector is unassignable (NaN cosine everywhere): it lands
+    # in the NULL-cluster accounting row with no pairing, and the job
+    # must not crash on the null group key.
+    from s3_parquet_to_postgres_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    vecs = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),
+        (3, [0.0, 0.0]),  # zero vector
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r["cluster_id"]: r for r in semantic_dedup(
+        df, n_clusters=1, threshold=0.9
+    ).collect()}
+    assert None in out
+    assert out[None]["size"] == 1 and out[None]["n_removed"] == 0
+    [real] = [k for k in out if k is not None]
+    assert out[real]["size"] == 2 and out[real]["n_removed"] == 1
+
+
+def test_pq_topk_null_vectors_and_empty_corpus(spark):
+    from s3_parquet_to_postgres_spark.operators.similarity import pq_topk
+
+    # NULL corpus/query vectors are dropped, not crashed on.
+    rows = [
+        (1, [1.0, 0.0, 2.0, 1.0]),
+        (2, None),
+        (3, [0.0, 1.0, 1.0, 2.0]),
+        (4, [2.0, 2.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0, 2.0, 1.0]), (9, None)],
+        "vec_id long, embedding array<double>",
+    )
+    got = pq_topk(df, q, k=3, m=2, n_codes=2, dim=4).collect()
+    assert all(r["query_id"] == 1 for r in got)  # NULL query dropped
+    assert all(r["neighbor_id"] != 2 for r in got)  # NULL corpus row dropped
+    # Empty corpus: empty result, correct schema, no crash.
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = pq_topk(empty, q, k=3, m=2, n_codes=2, dim=4)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "adc_dist", "rank"]
+
+
+def test_assign_nearest_centroid_empty_centroids(spark):
+    from s3_parquet_to_postgres_spark.operators.similarity import (
+        as_double,
+        assign_nearest_centroid,
+    )
+
+    cent = spark.createDataFrame(
+        [], "centroid_id long, cent_vec array<double>"
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = assign_nearest_centroid(
+        vecs.select("vec_id", as_double("embedding").alias("__v")),
+        cent,
+        "__v",
+    ).collect()
+    assert [r["cluster_id"] for r in got] == [None]

@@ -184,3 +184,37 @@ def test_copy_socket_failure_fails_job_and_commits_nothing(spark, tmp_path):
             sink.write(df)
         assert srv.committed_copies() == []
         assert srv.pending_files() == []
+
+
+def test_staged_load_ddl_over_socket(tmp_path):
+    # StagedLoad's prepare/swap/merge run plain statements through
+    # cursor.execute(); with psycopg2 absent this exercises the
+    # pgwire _Cursor.execute path end-to-end against the fake server
+    # (which acks non-COPY statements with CommandComplete).
+    from s3_parquet_to_postgres_spark.sinks.staging import StagedLoad
+
+    with FakePgServer(str(tmp_path / "spool")) as srv:
+        staged = StagedLoad(srv.conn_string, table="t")
+        staged.prepare()
+        staged.swap()
+
+
+def test_copy_in_tolerates_notice_before_copy_response(tmp_path):
+    # A NoticeResponse between Query and CopyInResponse must be
+    # skipped, not treated as a protocol error.
+    from s3_parquet_to_postgres_spark.sinks import pgwire
+
+    with FakePgServer(
+        str(tmp_path / "spool"), notice_before_copy=True
+    ) as srv:
+        conn = pgwire.connect(srv.conn_string)
+        import io
+
+        with conn.cursor() as cur:
+            cur.copy_expert(
+                "COPY t (a) FROM STDIN WITH (FORMAT text)",
+                io.BytesIO(b"1\n"),
+            )
+        conn.commit()
+        conn.close()
+        assert srv.committed_copies() == [b"1\n"]

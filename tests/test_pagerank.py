@@ -63,3 +63,12 @@ def test_iterations_converge(spark):
     drift_late = max(abs(r12[i] - r10[i]) for i in r10)
     drift_early = max(abs(r2[i] - uniform) for i in r10)
     assert drift_late < drift_early / 10
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    from s3_parquet_to_postgres_spark.operators.components import pagerank
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(edges)
+    assert out.count() == 0
+    assert out.columns == ["id", "pagerank"]

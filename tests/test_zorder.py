@@ -146,3 +146,21 @@ def test_zorder_key_by_range_clamps_stale_bounds(spark):
             want |= ((qy >> bit) & 1) << (2 * bit + 1)
         assert r.z == want, (r.x, r.y, r.z, want)
         assert 0 <= r.z < (1 << (2 * bits))
+
+
+def test_zorder_key_by_range_null_values_keep_null_keys(spark):
+    # Spark's least/greatest SKIP null arguments, so an unguarded
+    # clamp would map NULL to the top bucket; NULL inputs must yield
+    # NULL keys (nulls cluster together).
+    from s3_parquet_to_postgres_spark.operators.zorder import (
+        zorder_key_by_range,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5), (None, 5), (3, None)], "a int, b int"
+    )
+    key = zorder_key_by_range(["a", "b"], {"a": (0, 10), "b": (0, 10)},
+                              bits=4)
+    got = [r["k"] for r in df.select(key.alias("k")).collect()]
+    assert got[0] is not None
+    assert got[1] is None and got[2] is None

@@ -73,6 +73,14 @@ QUERIES = [
     "agg_corr_matrix",
     "sample_contrastive_pairs",
     "table_checksum",
+    # Round-3 Arrow-kernel rewrites: hold their shuffle discipline
+    # on the record too.
+    "multimodal_phash_pairs",
+    "similarity_ann_pq",
+    "dedup_semantic",
+    "graph_pagerank",
+    "ml_item_cf",
+    "agg_ipf_raking",
 ]
 
 
