@@ -2332,31 +2332,69 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.5)/65536 -- 8x less hashing than a digest per replicate, and
     # the 2^-17 uniform granularity is far below the CI's resolution.
     # The oracle slices the same hex chars, so weights stay
-    # bit-identical cross-engine.
-    base = base.withColumn(
-        "m0", F.md5(F.concat(F.col("k").cast("string"), F.lit(":0")))
-    ).withColumn(
-        "m1", F.md5(F.concat(F.col("k").cast("string"), F.lit(":1")))
+    # bit-identical cross-engine (hashlib and md5() agree on hex;
+    # the uniform and ladder comparisons are the same IEEE-double
+    # ops). The per-row hash + 16-weight ladder runs as an
+    # Arrow-batched kernel emitting ONE 34-cell partial-sum row per
+    # partition -- the 33-aggregate expression form exceeded the
+    # codegen thresholds and fell back to interpreted eval (~3x
+    # slower); all partial state is exact int64, so shard partials
+    # add and the merge is a tiny final aggregate.
+    boot_r = _BOOT_R
+    thrs = tuple(float(t) for t in _POISSON_CDF)
+    part_cols = (
+        ["sc", "n"]
+        + [x for r in range(boot_r) for x in (f"swc{r}", f"sw{r}")]
     )
 
-    def weight(r: int):
-        digest = "m0" if r < 8 else "m1"
-        chunk = r % 8
-        v16 = F.conv(
-            F.substring(F.col(digest), 4 * chunk + 1, 4), 16, 10
-        ).cast("long")
-        u = (v16.cast("double") + F.lit(0.5)) / F.lit(65536.0)
-        w = F.lit(0)
-        for thr in _POISSON_CDF:
-            w = w + (u > F.lit(float(thr))).cast("int")
-        return w
+    def partials(batches):
+        import hashlib as hl
 
-    aggs = [F.sum("c").alias("sc"), F.count("*").alias("n")]
-    for r in range(_BOOT_R):
-        w = weight(r)
-        aggs.append(F.sum(w * F.col("c")).alias(f"swc{r}"))
-        aggs.append(F.sum(w).alias(f"sw{r}"))
-    row = base.agg(*aggs)
+        import numpy as np
+        import pandas as pd
+
+        thr = np.array(thrs)
+        acc = np.zeros(2 + 2 * boot_r, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c = pdf["c"].to_numpy(np.int64)
+            v = np.empty((len(pdf), 16), dtype=np.int64)
+            for i, kk in enumerate(pdf["k"]):
+                h0 = hl.md5(f"{kk}:0".encode()).hexdigest()
+                h1 = hl.md5(f"{kk}:1".encode()).hexdigest()
+                for r in range(8):
+                    v[i, r] = int(h0[4 * r : 4 * r + 4], 16)
+                    v[i, 8 + r] = int(h1[4 * r : 4 * r + 4], 16)
+            u = (v.astype(np.float64) + 0.5) / 65536.0
+            w = (u[:, :, None] > thr[None, None, :]).sum(
+                axis=2, dtype=np.int64
+            )
+            acc[0] += int(c.sum())
+            acc[1] += len(pdf)
+            for r in range(boot_r):
+                acc[2 + 2 * r] += int((w[:, r] * c).sum())
+                acc[3 + 2 * r] += int(w[:, r].sum())
+        yield pd.DataFrame({k: [int(x)] for k, x in zip(part_cols, acc)})
+
+    # Repartition before the kernel: the hash pass is CPU-bound and
+    # partial sums are order-independent exact ints, so spreading the
+    # narrow (k, c) projection (16 bytes/row) across cores costs one
+    # tiny shuffle and un-serializes single-file local inputs; at
+    # cluster scale the scan is already partitioned and this is a
+    # cheap rebalance. The partition count is EXPLICIT: the shuffle
+    # is only ~16 bytes/row, so AQE's size-based coalescing would
+    # fold it back to one partition and re-serialize the CPU work.
+    row = (
+        base.select("k", "c")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("k"))
+        .mapInPandas(
+            partials, schema=", ".join(f"{c} long" for c in part_cols)
+        )
+        .agg(
+            *[F.sum(c).alias(c) for c in part_cols]
+        )
+    )
 
     means = F.array(
         *[
