@@ -209,7 +209,15 @@ def pagerank(
     Returns (id, pagerank) for every vertex.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    e = e.localCheckpoint(eager=True)
+    # Lazy checkpoints everywhere below: the plan truncation (the
+    # point -- don't re-analyze / re-derive the upstream corpus scan
+    # per iteration) happens at DataFrame level either way, but
+    # eager=True paid one driver-blocking job PER checkpoint (3 setup
+    # + 1 mid-loop). Lazy marks the RDD for persist-on-first-compute,
+    # so the whole setup materializes inside the verts.count() job
+    # and later jobs reuse the cached blocks -- same floats, ~4 fewer
+    # jobs per call (pagerank is job-count-bound, not data-bound).
+    e = e.localCheckpoint(eager=False)
     # deg/verts share lineage with e; aliased columns keep the joins
     # unambiguous (same-attribute self-reference otherwise).
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg")).select(
@@ -221,7 +229,7 @@ def pagerank(
     # per-round no-inbox backfill join exists; see the loop).
     verts = (
         e.select(F.col("src").alias("id")).distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Degrees join the edge list ONCE (checkpointed): the per-iteration
     # message step is then a single equi-join instead of two, and the
@@ -237,7 +245,7 @@ def pagerank(
             "outdeg",
         )
         .repartition(F.col("m_src"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # N is ONE bounded scalar (vertex count): a driver-side count here
     # replaces a per-iteration broadcast-aggregate job. The float ops
@@ -276,7 +284,7 @@ def pagerank(
         # mid-loop materialization): every-3 pays an extra job,
         # never-checkpointing pays deep-plan analysis.
         if (i + 1) % 5 == 0 and i + 1 < iters:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.localCheckpoint(eager=False)
     from ..functions import dround
 
     return ranks.select("id", dround("r", 6).alias("pagerank"))

@@ -490,7 +490,17 @@ def _jaccard_inverted(
             .select("shingle")
         )
         sh = sh.join(keep, "shingle", "left_semi")
-    buckets = sh.groupBy("shingle").agg(F.collect_list("id").alias("ids"))
+    # Materialize the capped posting-list table ONCE: both consumers
+    # below (sizes, pair_inter) would otherwise re-derive the whole
+    # corpus explode + df-prune tree, doubling the scan and shuffle
+    # work. Post-cap buckets are bounded (distinct shingles x <=cap
+    # ids), so an eager localCheckpoint is cheap and truncates the
+    # expensive lineage.
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list("id").alias("ids"))
+        .localCheckpoint(eager=True)
+    )
     # Doc sizes from the (capped) posting lists -- no corpus rescan.
     sizes = (
         buckets.select(F.explode("ids").alias("id"))
@@ -554,7 +564,17 @@ def containment_pairs(
             .select("shingle")
         )
         sh = sh.join(keep, "shingle", "left_semi")
-    buckets = sh.groupBy("shingle").agg(F.collect_list("id").alias("ids"))
+    # Materialize the capped posting-list table ONCE: both consumers
+    # below (sizes, pair_inter) would otherwise re-derive the whole
+    # corpus explode + df-prune tree, doubling the scan and shuffle
+    # work. Post-cap buckets are bounded (distinct shingles x <=cap
+    # ids), so an eager localCheckpoint is cheap and truncates the
+    # expensive lineage.
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list("id").alias("ids"))
+        .localCheckpoint(eager=True)
+    )
     sizes = (
         buckets.select(F.explode("ids").alias("id"))
         .groupBy("id")

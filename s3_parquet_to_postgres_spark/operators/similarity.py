@@ -638,6 +638,7 @@ def pq_topk(
     m: int = 16,
     n_codes: int = 16,
     dim: int = 64,
+    max_queries: int = 4096,
 ) -> DataFrame:
     """Product-quantization ANN (Jegou, Douze & Schmid 2011 -- the PQ
     half that ``ivf_topk`` leaves out): split the ``dim`` dimensions
@@ -733,9 +734,26 @@ def pq_topk(
     )
     # ADC lookup tables, one per query: T[j][code] = exact query
     # subvector vs codebook entry, same sequential per-dim fold.
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    ).collect()
+    # BOUNDED-QUERIES PRECONDITION (same contract class as
+    # assign_nearest_centroid's driver-held centroid table): the
+    # query side is collected to the driver and its ADC tables ship
+    # inside the mapInPandas closure, so it must be a query SET (top-k
+    # lookups), never a second corpus. Enforced, not just documented
+    # -- an unbounded queries input would OOM the driver/executors
+    # where a broadcast join degrades gracefully.
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+        )
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"pq_topk collected more than max_queries={max_queries} query "
+            "vectors; the query side is driver-held bounded state -- "
+            "batch the queries or raise max_queries deliberately"
+        )
     q_tables = []
     for r in q_rows:
         if r["qv"] is None:

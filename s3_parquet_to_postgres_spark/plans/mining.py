@@ -539,11 +539,18 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "i",
             "j",
-            F.floor(
-                F.col("g").cast("double") * F.lit(1_000_000.0)
-                / (F.col("__n") * F.lit(float(q) * q))
-                + F.lit(0.5)
-            ).cast("long").alias("gq"),
+            # n == 0 guard (empty corpus): ANSI mode makes the /0
+            # throw rather than yield NULL, and the partial-Gram
+            # kernel emits its 4096 zero cells even with no input
+            # rows. NULL cells are skipped by the driver loop below.
+            F.when(
+                F.col("__n") > 0,
+                F.floor(
+                    F.col("g").cast("double") * F.lit(1_000_000.0)
+                    / (F.col("__n") * F.lit(float(q) * q))
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).alias("gq"),
         )
         .collect()  # d^2 = 4096 cells: bounded, corpus-size-independent
     )
@@ -552,7 +559,13 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _PCA_DIM
     G = [[0] * d for _ in range(d)]
     for r in gq_rows:
-        G[r["i"]][r["j"]] = r["gq"]
+        # gq is NULL exactly when n == 0 (the partial-Gram kernel
+        # emits its 4096 zero cells even for an empty corpus, and
+        # 0/0.0 is NULL): treat as a zero Gram so the degenerate
+        # guard below returns the all-zero direction instead of the
+        # mat-vec crashing on None.
+        if r["gq"] is not None:
+            G[r["i"]][r["j"]] = r["gq"]
     vq = [1_000_000] * d
     eig_q6 = 0
     for _ in range(_PCA_ITERS):

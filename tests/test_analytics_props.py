@@ -216,6 +216,33 @@ def test_pca_power_matches_numpy_replay(spark):
     assert r_fit > r_ones
 
 
+def test_pca_power_empty_corpus_returns_zero_direction(spark, tmp_path):
+    """Empty embeddings table: the Gram normalizer divides by n == 0,
+    so every quantized cell is NULL -- the operator must fall through
+    the degenerate-Gram guard (all-zero direction, eig 0) instead of
+    crashing on a None cell in the driver mat-vec."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s3_parquet_to_postgres_spark.plans.mining import (
+        _PCA_DIM,
+        ml_pca_power,
+    )
+
+    schema = pa.schema([
+        pa.field("vec_id", pa.int64()),
+        pa.field("embedding", pa.list_(pa.float32())),
+        pa.field("label", pa.int32()),
+    ])
+    pq.write_table(
+        pa.table([[], [], []], schema=schema),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    rows = ml_pca_power(spark, str(tmp_path)).collect()
+    assert len(rows) == _PCA_DIM
+    assert all((r["v_q6"], r["eig_q6"]) == (0, 0) for r in rows)
+
+
 def test_adaboost_invariants(spark):
     """Chosen stumps must satisfy the weak-learner condition (weighted
     error share < 1/2, hence alpha > 0) and alphas must be

@@ -228,8 +228,10 @@ def test_assign_nearest_centroid_matches_column_fold(spark):
     )
 
     # Vectors engineered for ties: rows 10/11 are equidistant between
-    # centroids (first centroid_id must win in both engines); row 12
-    # is a zero vector (NaN cosine everywhere -> NULL).
+    # centroids (first centroid_id must win in both engines). The
+    # zero-vector case (NaN cosine everywhere -> NULL) is kernel-only
+    # behavior -- the column fold errors under ANSI -- so it lives in
+    # the kernel-only test below, not in this fold comparison.
     cent_rows = [
         (3, [1.0, 0.0, 0.0]),
         (1, [0.0, 1.0, 0.0]),

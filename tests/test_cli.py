@@ -54,6 +54,34 @@ def test_cli_drains_to_parquet_sink(spark, staged_cli):
     assert len(completed.splitlines()) == 2
 
 
+def test_cli_batch_write_is_single_job(spark, staged_cli):
+    """The per-batch row count must ride the write job via the
+    Observation API, never a second full scan (reference parity: the
+    one-pass loop in src/runner.rs:17-45). Measured: each batch costs
+    exactly TWO jobs -- the parquet schema/footer read at
+    spark.read time plus the observed write. Replacing _observed with
+    a df.count() would add a third job per batch and trip the bound.
+    Job-group attribution is thread-local, so main() running in this
+    thread inherits it."""
+    tmp_path, cfg, orders = staged_cli
+    sc = spark.sparkContext
+    sc.setJobGroup("cli-drain-jobcount", "single-job-per-batch assertion")
+    try:
+        rc = main([
+            str(cfg), "--sink", "parquet",
+            "--output-dir", str(tmp_path / "out_jobcount"),
+        ])
+    finally:
+        sc.setJobGroup("", "")
+    assert rc == 0
+    ids = sc.statusTracker().getJobIdsForGroup("cli-drain-jobcount")
+    n_batches = 2  # staged_cli: 2 files, download_batch_size 1
+    assert len(ids) <= 2 * n_batches, (
+        f"CLI drain ran {len(ids)} jobs for {n_batches} batches -- "
+        "a second scan per batch has been reintroduced"
+    )
+
+
 def test_cli_bad_config_is_exit_2(tmp_path):
     cfg = tmp_path / "bad.yml"
     cfg.write_text("s3: {}\n")  # missing parquet section

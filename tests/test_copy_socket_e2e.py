@@ -102,12 +102,47 @@ def test_conn_string_forms():
     )
     assert url == {
         "host": "db.example", "port": "6432", "user": "u",
-        "password": "p@ss", "dbname": "warehouse",
+        "password": "p@ss", "dbname": "warehouse", "sslmode": "prefer",
     }
     dsn = pgwire.parse_conn_string(
         "host=h port=5433 user=u password=p dbname=d"
     )
     assert (dsn["host"], dsn["port"], dsn["dbname"]) == ("h", "5433", "d")
+    assert dsn["sslmode"] == "prefer"
+
+
+def test_conn_string_sslmode_parsing():
+    q = pgwire.parse_conn_string(
+        "postgresql://u:p@h:5432/d?sslmode=require&sslrootcert=/ca.pem"
+    )
+    assert (q["sslmode"], q["sslrootcert"]) == ("require", "/ca.pem")
+    dsn = pgwire.parse_conn_string("host=h sslmode=verify-full")
+    assert dsn["sslmode"] == "verify-full"
+    with pytest.raises(pgwire.PgWireError):
+        pgwire.parse_conn_string("host=h sslmode=bogus")
+
+
+def test_sslmode_require_refused_by_non_tls_server(tmp_path):
+    """sslmode=require against a server that answers SSLRequest with
+    'N' must fail loudly instead of silently downgrading to plaintext
+    (the downgrade was the reported defect)."""
+    with FakePgServer(str(tmp_path / "spool")) as srv:
+        hard = srv.conn_string.replace("sslmode=disable", "sslmode=require")
+        with pytest.raises(pgwire.PgWireError, match="TLS"):
+            pgwire.connect(hard)
+
+
+def test_cleartext_password_refused_without_explicit_plaintext(tmp_path):
+    """Under the default sslmode=prefer the TLS fallback is silent, so
+    answering a cleartext-password request would leak the credential
+    without consent: the client must refuse unless sslmode=disable."""
+    with FakePgServer(str(tmp_path / "spool"), auth="password") as srv:
+        prefer = srv.conn_string.replace("sslmode=disable", "sslmode=prefer")
+        with pytest.raises(pgwire.PgWireError, match="cleartext"):
+            pgwire.connect(prefer)
+        # explicit opt-in still works end-to-end
+        conn = pgwire.connect(srv.conn_string)
+        conn.close()
 
 
 # ------------------------------------------------- Spark e2e (binary)

@@ -4,6 +4,7 @@ deterministic."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from s3_parquet_to_postgres_spark.operators.similarity import (
@@ -68,3 +69,16 @@ def test_pq_identical_vector_ranks_first(spark):
     top = [r for r in out if r.rank == 1][0]
     assert top.neighbor_id == 99
     assert top.adc_dist == 0.0
+
+
+def test_pq_rejects_unbounded_query_side(spark):
+    # The query side is driver-held bounded state (per-query ADC
+    # tables ship in the mapInPandas closure): feeding a second
+    # corpus must fail loudly, not OOM.
+    base = [float(i % 7) for i in range(64)]
+    rows = [(j, [x + float(j % 11) for x in base]) for j in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_topk(emb, emb, k=2, max_queries=3)
+    # At the cap it still runs.
+    assert pq_topk(emb, emb.limit(3), k=2, max_queries=3).count() > 0
