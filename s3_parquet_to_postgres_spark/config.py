@@ -48,11 +48,22 @@ class SourceSpec:
     bucket: str | None = None
     download_batch_size: int = 4
     work_lists_dir: str | None = None
+    # Optional S3-compatible HTTP endpoint. When set, the drain stages
+    # each batch to local disk over the S3 REST API (sources/s3http.py,
+    # the reference's download-then-read shape, src/s3_download.rs)
+    # instead of handing s3a:// URIs to executors -- for Spark images
+    # without the S3A jars, or endpoint-pinned replicas/stubs.
+    endpoint: str | None = None
+    # Staging directory for endpoint mode (default: a per-run tempdir).
+    stage_dir: str | None = None
 
     def key_to_path(self, key: str) -> str:
         """S3 key -> Spark-readable URI. Executors read S3 directly via
         s3a:// (no local staging step; reference downloads then deletes,
-        src/s3_download.rs:34-128 -- unnecessary under Spark)."""
+        src/s3_download.rs:34-128 -- unnecessary under Spark). With
+        ``endpoint`` set the drain resolves the same s3a:// URI by
+        STAGING it locally first (pipeline.run), so manifests stay
+        byte-identical across both modes."""
         if self.bucket is None or "://" in key:
             return key
         return f"s3a://{self.bucket}/{key.lstrip('/')}"
@@ -98,6 +109,8 @@ class JobSpec:
                 bucket=s3.get("bucket"),
                 download_batch_size=int(s3.get("download_batch_size", 4)),
                 work_lists_dir=s3.get("work_lists_dir"),
+                endpoint=s3.get("endpoint"),
+                stage_dir=s3.get("stage_dir"),
             ),
             projection=ProjectionSpec(
                 desired_fields=tuple(pq["desired_fields"]),

@@ -66,15 +66,41 @@ def run(
     if spec.source.work_lists_dir is None:
         raise ValueError("spec.source.work_lists_dir is required for run()")
     wl = WorkList(spec.source.work_lists_dir)
+    stage_root: str | None = None
+    client = None
+    if spec.source.endpoint is not None:
+        # Endpoint mode: the reference's download-then-read path
+        # (src/s3_download.rs + the runner's per-file delete,
+        # src/runner.rs:47-112) for Spark images without S3A jars.
+        # ETag-verified staging, <=5 concurrent GETs, per-batch delete
+        # after the completed log commits.
+        import tempfile
+
+        from .sources.s3http import S3HttpClient
+
+        client = S3HttpClient(spec.source.endpoint)
+        stage_root = spec.source.stage_dir or tempfile.mkdtemp(
+            prefix="s3stage-"
+        )
     results: list[BatchResult] = []
+    batch_no = 0
     while True:
         batch = wl.next_batch(spec.source.download_batch_size)
         if not batch:
             break
         paths = [spec.source.key_to_path(k) for k in batch]
+        batch_dir = None
+        if client is not None:
+            batch_dir = f"{stage_root}/batch-{batch_no}"
+            paths = client.stage(paths, batch_dir)
         df = transform(scan_parquet(spark, paths), spec, column_targets)
         rows = sink_fn(df)
         for key in batch:
             wl.mark_completed(key)
+        if batch_dir is not None:
+            from .sources.s3http import unstage
+
+            unstage(batch_dir)
         results.append(BatchResult(keys=batch, rows_written=rows))
+        batch_no += 1
     return results
