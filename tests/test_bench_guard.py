@@ -64,6 +64,39 @@ def test_latest_bench_not_regressed_vs_history_best():
     )
 
 
+# Pinned post-Arrow-kernel bests (sf0.1, quiet host, best-of-3).
+# These queries each moved off interpreted higher-order functions onto
+# Arrow/numpy kernels (a 5-100x class change per SURVEY 2.8); pinning
+# them here means a silent revert to the interpreted path fails CI on
+# the next recorded bench even if BENCH_HISTORY is ever truncated or
+# the best-of-history rows are lost.
+PINNED_BEST = {
+    "multimodal_phash_pairs": 1.15,   # r3: 3-segment phash blocking
+    "similarity_ann_pq": 0.56,        # r3: Arrow encode/ADC kernels
+    "ml_pca_power": 0.60,             # r3: Arrow partial-Gram matmul
+    "dedup_containment": 1.87,        # r4: posting lists built once
+    "graph_pagerank": 2.78,           # r4: lazy setup checkpoints
+}
+
+
+def test_kernel_queries_not_regressed_vs_pinned_best():
+    recs = _records()
+    if not recs:
+        pytest.skip("no bench records")
+    latest = recs[-1]
+    regressions = []
+    for name, best in PINNED_BEST.items():
+        sec = latest["queries"].get(name)
+        if sec is not None and sec > best * FACTOR + SLACK_SEC:
+            regressions.append(
+                f"{name}: {sec:.3f}s vs pinned kernel best {best:.3f}s"
+            )
+    assert not regressions, (
+        "kernel-backed queries regressed vs pinned bests "
+        f"(rev {latest.get('rev')}): " + "; ".join(regressions)
+    )
+
+
 def test_total_not_regressed_vs_round1_baseline():
     # Round 1 closed at 14.261s total; the judge's 2x budget binds
     # against that. Keep the recorded latest total inside it.

@@ -10,11 +10,18 @@ shows up here as a >>16x ratio long before a cluster run would.
 
 Writes SCALE_CHECK.md at the repo root.
 
-Usage: python tools/scale_check.py
+Usage:
+    python tools/scale_check.py                 # full 16x sweep
+    python tools/scale_check.py --copies 64 \
+        --queries dedup_containment graph_pagerank --append
+        # deeper stress for named queries; appends a section instead
+        # of rewriting the main table (only the tables those queries
+        # read are replicated -- 64x of everything is pointless I/O)
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 import shutil
 import sys
@@ -81,16 +88,19 @@ QUERIES = [
 ]
 
 
-def build_scaled(spark) -> None:
-    if os.path.isdir(SCALED):
-        shutil.rmtree(SCALED)
-    os.makedirs(SCALED)
+def build_scaled(spark, scaled_dir: str, copies: int,
+                 tables: list[str] | None = None) -> None:
+    if os.path.isdir(scaled_dir):
+        shutil.rmtree(scaled_dir)
+    os.makedirs(scaled_dir)
     for name, keys in SHIFTS.items():
+        if tables is not None and name not in tables:
+            continue
         src = spark.read.parquet(os.path.join(BASE, f"{name}.parquet"))
         if keys:
             shift = 100_000_000
             parts = [src]
-            for k in range(1, COPIES):
+            for k in range(1, copies):
                 c = src
                 for col in keys:
                     c = c.withColumn(col, F.col(col) + F.lit(k * shift))
@@ -100,7 +110,7 @@ def build_scaled(spark) -> None:
                 out = out.unionAll(p)
         else:
             out = src
-        out.write.parquet(os.path.join(SCALED, f"{name}.parquet"))
+        out.write.parquet(os.path.join(scaled_dir, f"{name}.parquet"))
 
 
 def _force(df) -> None:
@@ -114,45 +124,76 @@ def time_query(fn, spark, sf_dir: str) -> float:
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=COPIES)
+    ap.add_argument("--queries", nargs="*", default=None,
+                    help="subset of QUERIES to stress (default: all)")
+    ap.add_argument("--tables", nargs="*", default=None,
+                    help="tables to replicate (default: all SHIFTS)")
+    ap.add_argument("--append", action="store_true",
+                    help="append a supplementary section to "
+                         "SCALE_CHECK.md instead of rewriting it")
+    args = ap.parse_args()
+    copies = args.copies
+    names = args.queries if args.queries else QUERIES
+    scaled_dir = f"/tmp/spark_scale_check_{copies}x"
+
     spark = build_session(
         "scale-check", master="local[8]", shuffle_partitions=8,
         extra_confs={"spark.ui.enabled": "false",
                      "spark.driver.memory": "16g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    build_scaled(spark)
+    build_scaled(spark, scaled_dir, copies, args.tables)
     queries = all_queries()
     _force(queries["ref_count"](spark, BASE))  # warm-up
 
     rows = []
-    for name in QUERIES:
+    for name in names:
         fn = queries[name]
         _force(fn(spark, BASE))  # warm: codegen + broadcast caches
         t1 = min(time_query(fn, spark, BASE) for _ in range(2))
-        _force(fn(spark, SCALED))
-        tn = min(time_query(fn, spark, SCALED) for _ in range(2))
+        _force(fn(spark, scaled_dir))
+        tn = min(time_query(fn, spark, scaled_dir) for _ in range(2))
         rows.append((name, t1, tn, tn / t1 if t1 > 0 else float("nan")))
-        print(f"{name}: 1x={t1:.2f}s {COPIES}x={tn:.2f}s ratio={tn / t1:.2f}")
+        print(f"{name}: 1x={t1:.2f}s {copies}x={tn:.2f}s ratio={tn / t1:.2f}")
+
+    if args.append:
+        lines = [
+            "",
+            f"## Supplementary {copies}x point"
+            f" (`--copies {copies} --queries {' '.join(names)}`)",
+            "",
+            f"| query | 1x sec | {copies}x sec | ratio |",
+            "|---|---|---|---|",
+        ]
+        for name, t1, tn, r in rows:
+            lines.append(f"| {name} | {t1:.2f} | {tn:.2f} | {r:.2f} |")
+        with open(os.path.join(ROOT, "SCALE_CHECK.md"), "a") as fh:
+            fh.write("\n".join(lines) + "\n")
+        print("appended to SCALE_CHECK.md")
+        shutil.rmtree(scaled_dir, ignore_errors=True)
+        return
 
     lines = [
-        f"# SCALE_CHECK — {COPIES}x data-volume stress (sf0.1 ->"
-        f" {COPIES}x replicated, shifted keys)",
+        f"# SCALE_CHECK — {copies}x data-volume stress (sf0.1 ->"
+        f" {copies}x replicated, shifted keys)",
         "",
         "Generated by `python tools/scale_check.py`. Fact/event/corpus"
-        f" tables are replicated {COPIES}x with shifted keys (unique"
+        f" tables are replicated {copies}x with shifted keys (unique"
         " ids, honest group-cardinality growth: 9.6M lineitem rows,"
         " 1.6M events, 80k documents); dimensions stay broadcast-sized,"
         " as they would at 100 TB. Each cell is best-of-2 wall seconds"
         " on local[8] with the noop sink after a warm-up run at each"
         " scale (codegen compiled, broadcasts built -- the marginal"
         " cost measured is data, not JIT). The column to read is"
-        f" **ratio**: <= ~{COPIES}x means the plan scales at most"
+        f" **ratio**: <= ~{copies}x means the plan scales at most"
         " linearly in data volume (fixed per-job overhead keeps most"
         " below it); a large multiple of the copy factor would mean a"
         " hidden super-linear stage (unguarded self-join fan-out,"
         " bucket blowup) -- none shows one.",
         "",
-        f"| query | 1x sec | {COPIES}x sec | ratio |",
+        f"| query | 1x sec | {copies}x sec | ratio |",
         "|---|---|---|---|",
     ]
     for name, t1, t4, r in rows:
@@ -160,12 +201,12 @@ def main() -> None:
     worst = max(rows, key=lambda x: x[3])
     lines += [
         "",
-        f"Worst ratio: `{worst[0]}` at {worst[3]:.2f}x for {COPIES}x data.".format(COPIES=COPIES),
+        f"Worst ratio: `{worst[0]}` at {worst[3]:.2f}x for {copies}x data.",
     ]
     with open(os.path.join(ROOT, "SCALE_CHECK.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print("wrote SCALE_CHECK.md")
-    shutil.rmtree(SCALED, ignore_errors=True)
+    shutil.rmtree(scaled_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
