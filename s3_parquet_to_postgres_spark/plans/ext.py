@@ -563,6 +563,15 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "features",
         array_to_vector(F.transform("embedding", lambda x: x.cast("double"))),
     )
+    if e.isEmpty():
+        # MLlib KMeans.fit throws on zero rows; an empty corpus has a
+        # well-defined degenerate summary instead (no vectors, no
+        # non-empty clusters, SSE comparison undefined -> NULL).
+        return spark.createDataFrame(
+            [(0, 10, 0, None)],
+            "n_vectors long, k long, clusters_nonempty long, "
+            "sse_improved_ok boolean",
+        )
     model = KMeans(k=10, seed=42, maxIter=20).fit(e)
     sse_k = model.summary.trainingCost
     # Single-cluster SSE baseline (MLlib requires k >= 2): sum of
@@ -2660,9 +2669,16 @@ def event_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_click").alias("clicked_24h"),
         F.count("t_purchase").alias("purchased_24h"),
     )
-    rate = lambda num, den: F.floor(  # noqa: E731
-        F.col(num) * F.lit(1_000_000.0) / F.col(den) + F.lit(0.5)
-    ).cast("long")
+    # Zero-denominator stages (empty corpus, or a funnel nobody
+    # entered) yield NULL rates instead of tripping ANSI /0 -- the
+    # global agg always emits its one row, so the division runs even
+    # with no events.
+    rate = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0,
+        F.floor(
+            F.col(num) * F.lit(1_000_000.0) / F.col(den) + F.lit(0.5)
+        ).cast("long"),
+    )
     return counts.select(
         F.col("viewed").cast("long").alias("viewed"),
         F.col("clicked_24h").cast("long").alias("clicked_24h"),

@@ -360,6 +360,15 @@ def ml_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = spark.range(_LR_BUCKETS).select(
         F.col("id").alias("bucket"), F.lit(0).cast("long").alias("wq")
     )
+    if n == 0.0:
+        # No trainable documents (empty corpus / all-empty texts):
+        # every gradient is structurally zero, so the fitted model IS
+        # the zero init -- return it instead of tripping ANSI /0 in
+        # the g/n update.
+        return w.select(
+            "bucket", (F.col("wq").cast("double") / F.lit(_SIG_Q))
+            .alias("weight")
+        )
     sq, lr = F.lit(_SIG_Q), F.lit(_LR_RATE)
     for _ in range(_LR_ITERS):
         m = (
@@ -2409,22 +2418,29 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # Zero-weight replicates / an empty corpus leave the partial sums
+    # at 0: the means go NULL (instead of ANSI /0) and the CI bounds
+    # come out NULL -- graceful, matching the "no data, no interval"
+    # semantics. Non-empty corpora never hit the guard (Poisson(1)
+    # weights sum to ~n per replicate).
     means = F.array(
         *[
             F.struct(
                 F.lit(r).alias("r"),
-                (
+                F.when(
+                    F.col(f"sw{r}") > 0,
                     F.col(f"swc{r}").cast("double")
-                    / F.col(f"sw{r}").cast("double")
+                    / F.col(f"sw{r}").cast("double"),
                 ).alias("m"),
             )
             for r in range(_BOOT_R)
         ]
     )
     m = row.select(
-        (F.col("sc").cast("double") / F.col("n").cast("double")).alias(
-            "point"
-        ),
+        F.when(
+            F.col("n") > 0,
+            F.col("sc").cast("double") / F.col("n").cast("double"),
+        ).alias("point"),
         F.explode(means).alias("p"),
     ).select("point", F.col("p.r").alias("r"), F.col("p.m").alias("m"))
     # 16-row table; the unpartitioned window is bounded by _BOOT_R.
