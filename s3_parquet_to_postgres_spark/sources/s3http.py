@@ -159,6 +159,41 @@ class S3HttpClient:
             return list(pool.map(fetch, urls))
 
 
+def write_todo_from_listing(
+    client: S3HttpClient,
+    bucket: str,
+    prefix: str,
+    work_dir: str,
+    suffix: str = ".parquet",
+) -> int:
+    """Seed a work-list ``todo`` file from a live bucket listing --
+    the reference's nested-key run driver (src/runner.rs:238-295
+    enumerates keys under a prefix and feeds them through the same
+    drain). Keys are filtered to ``suffix`` (skip _SUCCESS /
+    checkpoint markers), written one per line in listing order.
+    Returns the number of keys written. Refuses to clobber a
+    non-empty todo (an operator hand-curating a list should not lose
+    it to an automated seed)."""
+    todo = os.path.join(work_dir, "todo")
+    if os.path.exists(todo):
+        with open(todo) as fh:
+            if any(ln.strip() and not ln.startswith("#") for ln in fh):
+                raise S3HttpError(
+                    f"refusing to overwrite non-empty todo at {todo!r}"
+                )
+    keys = [
+        k for k in client.list_objects(bucket, prefix)
+        if k.endswith(suffix)
+    ]
+    os.makedirs(work_dir, exist_ok=True)
+    tmp = todo + ".tmp"
+    with open(tmp, "w") as fh:
+        for k in keys:
+            fh.write(k + "\n")
+    os.replace(tmp, todo)
+    return len(keys)
+
+
 def unstage(dest_dir: str) -> None:
     """Delete a batch's staged files (the reference deletes each local
     file after its load commits, src/runner.rs:47-112; per-batch is

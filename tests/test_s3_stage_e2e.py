@@ -139,3 +139,31 @@ parquet:
     assert sorted(completed) == sorted(keys)
     # per-batch staged copies are deleted after the completed log
     assert not any(stage_dir.rglob("*.parquet"))
+
+
+def test_write_todo_from_listing(tmp_path):
+    """Nested-key run seeding (reference: src/runner.rs:238-295): a
+    live prefix listing becomes the todo manifest, marker files
+    filtered, hand-curated lists protected from clobbering."""
+    from s3_parquet_to_postgres_spark.sources.s3http import (
+        write_todo_from_listing,
+    )
+
+    root = tmp_path / "objects"
+    for i in range(3):
+        p = root / "lake/year=2024" / f"d={i}"
+        p.mkdir(parents=True)
+        (p / "part-0.parquet").write_bytes(b"x")
+    (root / "lake/year=2024/_SUCCESS").write_bytes(b"")
+    work = tmp_path / "work"
+    with FakeS3Server(str(root), bucket="b") as srv:
+        cli = S3HttpClient(srv.endpoint)
+        n = write_todo_from_listing(cli, "b", "lake/year=2024/", str(work))
+        assert n == 3
+        lines = (work / "todo").read_text().strip().splitlines()
+        assert len(lines) == 3
+        assert all(ln.endswith(".parquet") for ln in lines)
+        assert not any("_SUCCESS" in ln for ln in lines)
+        # non-empty todo is protected
+        with pytest.raises(S3HttpError, match="refusing"):
+            write_todo_from_listing(cli, "b", "lake/year=2024/", str(work))

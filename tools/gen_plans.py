@@ -24,10 +24,12 @@ MAX_LINE = 118
 SECTIONS = [
     (
         "agg_bootstrap_ci",
-        "Poisson bootstrap as ONE whole-stage-codegen pass: all 33"
-        " replicate moments are partial-aggregated map-side, so the only"
-        " exchange carries a single 33-number state row; the 16-replicate"
-        " fan-out happens after aggregation on scalars, never on rows.",
+        "Poisson bootstrap as ONE Arrow-batched partial-sum pass: the"
+        " per-row hash + 16-weight ladder runs in a mapInPandas kernel"
+        " emitting one 34-cell int64 state row per partition, so the only"
+        " exchange after the explicit rebalance carries partition-count"
+        " rows; the 16-replicate fan-out happens after aggregation on"
+        " scalars, never on rows.",
     ),
     (
         "tpch_q3_shipping_priority",

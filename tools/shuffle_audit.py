@@ -214,10 +214,12 @@ def main() -> None:
         " `agg_count_min`) shuffle fixed-size partial state, orders of"
         " magnitude below corpus volume; joins move only their partial"
         " aggregates or key+payload columns, with every dimension side"
-        " broadcast. `dedup_containment`/`text_tfidf` re-derive exploded"
-        " token tables by declared design (df-capped posting lists), so"
-        " they sit at the top -- still bounded well under one corpus"
-        " width.",
+        " broadcast. `dedup_containment`/`text_tfidf` shuffle exploded"
+        " token/posting tables by declared design (df-capped posting"
+        " lists; the containment bucket table is materialized ONCE via"
+        " localCheckpoint, so its explode tree is no longer re-derived"
+        " per consumer), so they sit at the top -- still bounded well"
+        " under one corpus width.",
     ]
     with open(os.path.join(ROOT, "SHUFFLE_AUDIT.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
