@@ -494,12 +494,13 @@ def _jaccard_inverted(
     # below (sizes, pair_inter) would otherwise re-derive the whole
     # corpus explode + df-prune tree, doubling the scan and shuffle
     # work. Post-cap buckets are bounded (distinct shingles x <=cap
-    # ids), so an eager localCheckpoint is cheap and truncates the
-    # expensive lineage.
+    # ids), so the localCheckpoint is cheap and truncates the
+    # expensive lineage; lazy (eager=False) so building the plan
+    # stays job-free and the persist folds into the first action.
     buckets = (
         sh.groupBy("shingle")
         .agg(F.collect_list("id").alias("ids"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Doc sizes from the (capped) posting lists -- no corpus rescan.
     sizes = (
@@ -568,12 +569,13 @@ def containment_pairs(
     # below (sizes, pair_inter) would otherwise re-derive the whole
     # corpus explode + df-prune tree, doubling the scan and shuffle
     # work. Post-cap buckets are bounded (distinct shingles x <=cap
-    # ids), so an eager localCheckpoint is cheap and truncates the
-    # expensive lineage.
+    # ids), so the localCheckpoint is cheap and truncates the
+    # expensive lineage; lazy (eager=False) so building the plan
+    # stays job-free and the persist folds into the first action.
     buckets = (
         sh.groupBy("shingle")
         .agg(F.collect_list("id").alias("ids"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sizes = (
         buckets.select(F.explode("ids").alias("id"))
