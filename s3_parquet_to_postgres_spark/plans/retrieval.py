@@ -224,9 +224,13 @@ def ml_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()
     w = Window.partitionBy("ok").orderBy("pk")
+    # Materialize the capped basket table ONCE (lazy checkpoint): it
+    # is consumed THREE times below (both self-join sides + the na
+    # counts) and Catalyst does not deduplicate a self-join's common
+    # subplan, so the distinct + window tree would otherwise run 3x.
     li = li.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") <= _CF_MAX_BASKET
-    ).drop("__rn")
+    ).drop("__rn").localCheckpoint(eager=False)
     na = li.groupBy("pk").agg(F.count("*").alias("n"))
     a = li.select("ok", F.col("pk").alias("pa"))
     b = li.select("ok", F.col("pk").alias("pb"))
