@@ -477,10 +477,16 @@ def bigram_lm_scores(
     cb = tf.withColumn(
         "cb", F.sum("tf").over(Window.partitionBy("w1", "w2"))
     )
+    # Vocabulary-sized and consumed by BOTH join sides below:
+    # materialize once (lazy checkpoint) or the unigram corpus
+    # explode + count re-runs per side (Catalyst does not dedupe a
+    # join's shared subplan). toks itself stays unmaterialized by
+    # design -- corpus-sized, cheaper to re-derive than to spill.
     uni = (
         toks.select(F.explode("w").alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("c1"))
+        .localCheckpoint(eager=False)
     )
     ua = uni.select(F.col("term").alias("w1"), F.col("c1").alias("ca"))
     ub = uni.select(F.col("term").alias("w2"), F.col("c1").alias("c2"))
@@ -537,10 +543,16 @@ def pmi_collocations(
     toks = spread(df).select(
         F.filter(ws_tokens(F.lower(F.col(text_col))), lambda x: x != "").alias("w")
     )
+    # Vocabulary-sized and consumed by BOTH join sides below:
+    # materialize once (lazy checkpoint) or the unigram corpus
+    # explode + count re-runs per side (Catalyst does not dedupe a
+    # join's shared subplan). toks itself stays unmaterialized by
+    # design -- corpus-sized, cheaper to re-derive than to spill.
     uni = (
         toks.select(F.explode("w").alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("c1"))
+        .localCheckpoint(eager=False)
     )
     bi = (
         toks.filter(F.size("w") >= 2)

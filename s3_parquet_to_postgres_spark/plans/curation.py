@@ -1690,9 +1690,12 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.textstats import unigram_lm_scores
 
+    # Per-doc scores are narrow (|docs| x 3) and consumed twice
+    # (percentile bounds + bucketing): materialize once or the whole
+    # unigram-LM explode/vocab-join pipeline runs per consumer.
     scores = unigram_lm_scores(t(spark, sf_dir, "documents")).select(
         "doc_id", "n_tokens", "avg_logprob"
-    )
+    ).localCheckpoint(eager=False)
     bounds = scores.agg(
         dround(F.percentile("avg_logprob", F.lit(0.33)), 6).alias("t_tail"),
         dround(F.percentile("avg_logprob", F.lit(0.67)), 6).alias("t_head"),

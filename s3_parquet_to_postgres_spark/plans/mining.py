@@ -155,9 +155,14 @@ def _nb_confusion(
     occ_score = all_occ.filter(score_pred) if score_pred is not None \
         else all_occ
     occ = occ_train
+    # The (class, token) count table is BOUNDED (vocab x classes) and
+    # feeds four consumers (ctot, vocab, lik, dflt): materialize it
+    # once (lazy checkpoint) or the corpus explode re-runs per
+    # consumer -- the pre-checkpoint executed plan showed 8 parquet
+    # scans of the corpus for this one query.
     cc = occ.groupBy(F.col("lang").alias("cls"), "tok").agg(
         F.count("*").alias("c")
-    )
+    ).localCheckpoint(eager=False)
     ctot = cc.groupBy("cls").agg(F.sum("c").alias("tot"))
     vdf = cc.select("tok").distinct().agg(F.count("*").alias("vocab"))
     q = F.lit(1.0e9)
@@ -178,7 +183,14 @@ def _nb_confusion(
         "cls",
         _lnq(F.lit(1.0) / (F.col("tot") + F.col("vocab"))).alias("dq"),
     )
-    dd = occ.select("doc_id", "lang").distinct()
+    # Priors need only (doc_id, lang) of training docs with >= 1
+    # token -- derivable from the UN-exploded doc table (the filter
+    # predicates are doc-level by contract), skipping a whole corpus
+    # explode; checkpointed because ndocs and pri both consume it.
+    docs_l = d.filter(F.size("w") >= 1).select("doc_id", "lang")
+    if train_pred is not None:
+        docs_l = docs_l.filter(train_pred)
+    dd = docs_l.distinct().localCheckpoint(eager=False)
     ndocs = dd.agg(F.count("*").alias("n"))
     pri = (
         dd.groupBy(F.col("lang").alias("cls"))

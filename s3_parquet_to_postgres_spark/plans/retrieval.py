@@ -45,11 +45,20 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_WS_TOKS_SPARK).alias("w")
     )
-    dl = d.select("doc_id", F.size("w").alias("dl")).filter(F.col("dl") > 0)
+    # dl is consumed by stats AND the scored join; tf by the df
+    # aggregate AND the scored join -- both bounded (|docs| x 2 and
+    # |matching docs| x |query terms|), so materialize each once
+    # instead of re-running the tokenize/explode tree per consumer.
+    dl = (
+        d.select("doc_id", F.size("w").alias("dl"))
+        .filter(F.col("dl") > 0)
+        .localCheckpoint(eager=False)
+    )
     occ = d.select(
         "doc_id", F.explode("w").alias("term")
     ).filter(F.expr(f"term IN ({terms_lit})"))
-    tf = occ.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = occ.groupBy("doc_id", "term").agg(F.count("*").alias("tf")) \
+        .localCheckpoint(eager=False)
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.sum("dl").cast("double").alias("sum_dl"),
@@ -426,11 +435,14 @@ def ml_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = d.select("doc_id", F.explode("w").alias("term")).filter(
         F.expr(f"term IN ({terms_lit})")
     )
+    # Bounded by the query-term postings and consumed twice (actual
+    # top-10 join + ideal top-10): materialize once so the grade
+    # explode doesn't re-run per consumer.
     grades = occ.groupBy("doc_id").agg(
         F.countDistinct("term").alias("g")
     ).withColumn(
         "gain", F.expr("CAST(shiftleft(1, g) - 1 AS BIGINT)")
-    )
+    ).localCheckpoint(eager=False)
     warr = F.array(*[F.lit(w) for w in _NDCG_W])
 
     def dcg_of(ranked: DataFrame) -> DataFrame:
