@@ -1564,15 +1564,25 @@ def table_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             (viol == 0).alias("passed"),
         )
 
-    not_null = li.agg(
+    # Same-table checks FUSE into one aggregate each (one scan of
+    # lineitem for not-null + range, one scan of orders for unique +
+    # accepted-values): the one-scan-per-check form read lineitem
+    # twice and orders three times for no added parallelism.
+    li_checks = li.agg(
         row("not_null:l_orderkey", "lineitem",
             F.count(F.when(F.col("l_orderkey").isNull(), 1)))
-        .alias("r")
-    )
-    unique = o.agg(
+        .alias("r1"),
+        row("range:l_discount[0,1]", "lineitem",
+            F.count(F.when(~F.col("l_discount").between(0.0, 1.0), 1)))
+        .alias("r2"),
+    ).select(F.explode(F.array("r1", "r2")).alias("r"))
+    o_checks = o.agg(
         row("unique:o_orderkey", "orders",
-            F.count("*") - F.countDistinct("o_orderkey")).alias("r")
-    )
+            F.count("*") - F.countDistinct("o_orderkey")).alias("r1"),
+        row("accepted:o_orderstatus", "orders",
+            F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)))
+        .alias("r2"),
+    ).select(F.explode(F.array("r1", "r2")).alias("r"))
     orphans = (
         o.join(
             F.broadcast(c.select("c_custkey")),
@@ -1580,18 +1590,8 @@ def table_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         ).agg(row("fk:o_custkey->customer", "orders", F.count("*")).alias("r"))
     )
-    rng = li.agg(
-        row("range:l_discount[0,1]", "lineitem",
-            F.count(F.when(~F.col("l_discount").between(0.0, 1.0), 1)))
-        .alias("r")
-    )
-    vals = o.agg(
-        row("accepted:o_orderstatus", "orders",
-            F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)))
-        .alias("r")
-    )
-    out = not_null
-    for d in (unique, orphans, rng, vals):
+    out = li_checks
+    for d in (o_checks, orphans):
         out = out.unionAll(d)
     return out.select("r.check_name", "r.table_name", "r.n_violations",
                       "r.passed")
