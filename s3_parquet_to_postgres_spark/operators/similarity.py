@@ -509,6 +509,9 @@ def ivf_topk(
     centroid tables are tiny broadcasts, so the corpus never shuffles
     until the (much smaller) candidate re-rank.
     """
+    # n_centroids rows, consumed by BOTH broadcast sides (corpus
+    # assignment + query probing): materialize once or the corpus
+    # TakeOrdered hash-sample re-runs per consumer.
     cent = (
         corpus.select(
             F.col(id_col).alias("centroid_id"), as_double(vec_col).alias("cent_vec")
@@ -517,6 +520,7 @@ def ivf_topk(
         .orderBy("__h")
         .limit(n_centroids)
         .drop("__h")
+        .localCheckpoint(eager=False)
     )
     if refine_iters > 0:
         cent = kmeans_refine_centroids(corpus, cent, vec_col, refine_iters)

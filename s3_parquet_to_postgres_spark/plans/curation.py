@@ -1350,7 +1350,12 @@ def ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = e.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
     )
-    j = preds.join(F.broadcast(truth), "query_id")
+    # Bounded (|eval queries| rows) and consumed three times (support,
+    # predicted_n, tp): materialize once or the whole kNN scan+top-k
+    # re-runs per aggregate (pre-checkpoint plan: 9 corpus scans).
+    j = preds.join(F.broadcast(truth), "query_id").localCheckpoint(
+        eager=False
+    )
     per_class = []
     for side, name in ((F.col("true_label"), "support"),
                        (F.col("pred_label"), "predicted_n")):
@@ -2511,6 +2516,10 @@ def sample_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.md5(F.col("doc_id").cast("string"))
     wl = Window.partitionBy("lang").orderBy("key", "doc_id")
     wp = Window.partitionBy("lang")
+    # Materialized once: the ranked table feeds langs, anchors AND the
+    # negative side -- without the checkpoint each consumer re-runs
+    # the scan + lang-partitioned window (3 corpus passes for a table
+    # the docstring promises is built in one shuffle).
     rk = (
         d.withColumn("key", key)
         .select(
@@ -2523,6 +2532,7 @@ def sample_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.first("doc_id").over(wl),
             ).alias("pos_doc_id"),
         )
+        .localCheckpoint(eager=False)
     )
     langs = rk.select("lang", "cnt").distinct()
     wlang = Window.orderBy("lang")

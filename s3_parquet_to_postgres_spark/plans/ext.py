@@ -1347,15 +1347,18 @@ def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # graph: how far does copied boilerplate spread from the seed
     # docs (doc_id % 10 == 0)? Three frontier-expansion rounds, each
     # ONE edge equi-join + min-hop aggregate -- the Pregel shape
-    # without per-vertex state; depth is bounded (3), so lineage
-    # stays flat and no checkpoint is needed. The oracle unrolls the
+    # without per-vertex state; depth is bounded (3), so the DIST
+    # lineage stays flat. The edge list IS checkpointed: it feeds the
+    # seed scan plus one join per round, and each consumer otherwise
+    # re-derives the whole winnowing pipeline (the pre-checkpoint
+    # executed plan showed 30 corpus scans). The oracle unrolls the
     # same three rounds.
     pairs = T.passage_overlap_pairs(t(spark, sf_dir, "documents"))
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    )
+    ).localCheckpoint(eager=False)
     dist = (
         edges.select("src")
         .distinct()
@@ -1407,11 +1410,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edge equi-join + one vote aggregate sharing the dst
     # partitioning; the oracle replays all rounds.
     pairs = T.passage_overlap_pairs(t(spark, sf_dir, "documents"))
+    # Checkpointed for the same reason as graph_shortest_hops: one
+    # consumer per round plus the seed scan would otherwise re-derive
+    # the winnowing pipeline each time.
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    )
+    ).localCheckpoint(eager=False)
     labels = edges.select("src").distinct().select(
         F.col("src").alias("id"), F.col("src").alias("label")
     )
@@ -2429,10 +2435,16 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounds at 7 lineitems, and a real deployment caps with the same
     # oversize guard as the dedup buckets. Part supports join back
     # onto the (vocabulary-sized) pair table, AQE picking broadcast.
+    # The distinct basket-item table feeds THREE consumers (baskets,
+    # part supports, order total): materialize it once -- each
+    # consumer otherwise repeats the fact scan AND the distinct
+    # shuffle. The checkpoint is one disk copy of data the distinct
+    # already shuffled once.
     li = (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .dropDuplicates(["l_orderkey", "l_partkey"])
+        .localCheckpoint(eager=False)
     )
     baskets = (
         li.groupBy("l_orderkey")
@@ -2450,7 +2462,10 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("pair_orders"))
         .filter(F.col("pair_orders") >= 3)
     )
-    sup = li.groupBy("l_partkey").agg(F.count("*").alias("part_orders"))
+    # Part-vocabulary-sized, consumed by both join sides.
+    sup = li.groupBy("l_partkey").agg(
+        F.count("*").alias("part_orders")
+    ).localCheckpoint(eager=False)
     sa = sup.select(F.col("l_partkey").alias("pa"),
                     F.col("part_orders").alias("orders_a"))
     sb = sup.select(F.col("l_partkey").alias("pb"),

@@ -2271,7 +2271,13 @@ def agg_contingency_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     |source| rows regardless of corpus size.
     """
     d = t(spark, sf_dir, "documents")
-    cells = d.groupBy("lang", "source").agg(F.count("*").alias("observed"))
+    # Bounded by the label domains and consumed by rowm/colm/j:
+    # materialized once so "never a second corpus scan" holds in the
+    # executed plan, not just in intent (Catalyst re-derived the cell
+    # aggregate per consumer -- 4 corpus scans pre-checkpoint).
+    cells = d.groupBy("lang", "source").agg(
+        F.count("*").alias("observed")
+    ).localCheckpoint(eager=False)
     rowm = cells.groupBy("lang").agg(F.sum("observed").alias("row_n"))
     colm = cells.groupBy("source").agg(F.sum("observed").alias("col_n"))
     tot = rowm.agg(F.sum("row_n").alias("n"))
