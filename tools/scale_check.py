@@ -85,6 +85,15 @@ QUERIES = [
     "ml_adaboost_stumps",
     "agg_bootstrap_ci",
     "ml_item_cf",
+    # Round-4 additions: the redundant-scan-sweep queries, so the
+    # scan-count fixes are held to their scaling claim.
+    "ml_naive_bayes",
+    "text_bm25",
+    "text_collocations",
+    "text_perplexity_buckets",
+    "event_concurrency",
+    "graph_shortest_hops",
+    "ml_logreg_train",
 ]
 
 
