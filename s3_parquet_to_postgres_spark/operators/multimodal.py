@@ -135,7 +135,10 @@ def resize_images(
                     "content_sha256": pdf["content_sha256"].values,
                     "width": width,
                     "height": height,
+                    # NULL payload (e.g. NULL source text) stays
+                    # NULL -- codecs cannot resize missing bytes.
                     "resized": [fn(bytes(p), width, height)
+                                if p is not None else None
                                 for p in pdf["payload"]],
                 }
             )
@@ -161,6 +164,8 @@ def sample_frames(
         for pdf in batches:
             ids, nos, frames = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # no bytes, no frames
                 raw = bytes(payload)
                 for i in range(min(max_frames, max(len(raw), 1) // every_n_bytes + 1)):
                     ids.append(doc_id)
@@ -192,8 +197,10 @@ def extract_features(
                         "doc_id": chunk["doc_id"].values,
                         "content_sha256": chunk["content_sha256"].values,
                         "n_bytes": chunk["n_bytes"].values,
+                        # NULL payload -> NULL features.
                         "features": [
-                            decode_fn(bytes(p)) for p in chunk["payload"]
+                            decode_fn(bytes(p)) if p is not None else None
+                            for p in chunk["payload"]
                         ],
                     }
                 )

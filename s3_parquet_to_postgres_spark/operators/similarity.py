@@ -373,6 +373,10 @@ def assign_nearest_centroid(
     import numpy as np
 
     rows = cent.select("centroid_id", "cent_vec").collect()
+    # A NULL centroid vector can never win the strict-> fold (its
+    # cosine is NULL); dropping it here is value-identical and keeps
+    # the kernel's np.array build rectangular on NULL-bearing corpora.
+    rows = [r for r in rows if r["cent_vec"] is not None]
     if not rows:
         # No centroids (empty corpus sample): nothing is assignable,
         # mirroring the column fold's NULL result over an empty array.
@@ -516,6 +520,7 @@ def ivf_topk(
         corpus.select(
             F.col(id_col).alias("centroid_id"), as_double(vec_col).alias("cent_vec")
         )
+        .filter(F.col("cent_vec").isNotNull())  # seeds must be encodable
         .withColumn("__h", F.xxhash64(F.col("centroid_id").cast("string")))
         .orderBy("__h")
         .limit(n_centroids)
@@ -672,7 +677,9 @@ def pq_topk(
     import numpy as np
 
     sub = dim // m
-    e = corpus.select(F.col(id_col).alias("cid"), as_double(vec_col).alias("cv"))
+    e = corpus.select(
+        F.col(id_col).alias("cid"), as_double(vec_col).alias("cv")
+    ).filter(F.col("cv").isNotNull())  # NULL vectors are unencodable
     # Deterministic md5-ordered sample -> driver-held codebook. Same
     # bounded-state class as the broadcast query side below: m *
     # n_codes * sub doubles, corpus-size-independent. An earlier
@@ -856,6 +863,7 @@ def semantic_dedup(
             F.col(id_col).alias("centroid_id"),
             as_double(vec_col).alias("cent_vec"),
         )
+        .filter(F.col("cent_vec").isNotNull())  # seeds must be encodable
         .withColumn(
             "__h",
             F.conv(

@@ -559,7 +559,11 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    e = t(spark, sf_dir, "embeddings").withColumn(
+    # NULL embeddings are unclusterable (MLlib's array_to_vector UDF
+    # throws on them): exclude up front, like every ANN entry.
+    e = t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    ).withColumn(
         "features",
         array_to_vector(F.transform("embedding", lambda x: x.cast("double"))),
     )

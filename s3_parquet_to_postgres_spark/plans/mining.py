@@ -536,6 +536,10 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         acc = np.zeros((dim, dim), dtype=np.int64)
         for pdf in batches:
+            # NULL embeddings are un-quantizable: drop them (matches
+            # the oracle's behavior of NULL products vanishing from
+            # SUM) before the rectangular stack.
+            pdf = pdf[pdf["embedding"].notna()]
             if len(pdf) == 0:
                 continue
             e = np.stack(
@@ -2412,6 +2416,10 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         thr = np.array(thrs)
         acc = np.zeros(2 + 2 * boot_r, dtype=np.int64)
         for pdf in batches:
+            # SQL SUM semantics: NULL amounts contribute nothing --
+            # and a NaN smuggled through to_numpy(int64) becomes int64
+            # garbage that overflows the merge sum.
+            pdf = pdf[pdf["c"].notna()]
             if len(pdf) == 0:
                 continue
             c = pdf["c"].to_numpy(np.int64)
@@ -2658,7 +2666,10 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import math
 
-    e = t(spark, sf_dir, "events")
+    # NULL event types are not states: drop them before the lag so
+    # neither side of a transition is NULL (the driver-side state
+    # sort cannot order None against str).
+    e = t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     big = e.select(
         "event_type", F.lag("event_type").over(w).alias("prev")
@@ -2963,7 +2974,12 @@ def agg_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import math
 
-    d = t(spark, sf_dir, "documents")
+    # Unlabeled rows (NULL lang/source) have no raking cell; drop
+    # them before the bounded collect (the driver-side cell sort
+    # cannot order None against str).
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
     rows = (
         d.groupBy("lang", "source")
         .agg(F.count("*").alias("n"))
