@@ -276,3 +276,27 @@ def test_kmeans_refine_empty_cluster_keeps_seed(spark):
     }
     assert out[2] == [-5.0, -5.0]  # empty cluster kept its seed
     assert out[0] == [10.0, 0.0] and out[1] == [0.0, 10.0]
+
+
+def test_adversarial_mega_duplicate_corpus_stays_bounded(spark):
+    """A corpus that is ONE document repeated far past every cap -- the
+    boilerplate pathology the cap parameters exist for. Every capped
+    candidate generator must (a) complete without the quadratic pair
+    explosion and (b) apply its declared cap semantics: the mega-group
+    exceeds max_bucket_size / max_shingle_df, so it contributes NO
+    candidate pairs (it is exact-dedup's job, not near-dup's). Exact
+    dedup must still collapse it to the min-id survivor."""
+    n = 2000  # >> bucket cap 1024 and df cap 100
+    text = "the same boilerplate paragraph repeated in every document"
+    df = spark.createDataFrame(
+        [(i, text) for i in range(n)], "doc_id long, text string"
+    )
+    lsh = D.minhash_lsh_pairs(df, max_bucket_size=1024)
+    assert lsh.count() == 0  # bucket of 2000 > cap -> dropped
+    jac = D.ngram_jaccard_pairs(df, threshold=0.5, strategy="inverted",
+                                max_shingle_df=100)
+    assert jac.count() == 0  # every shingle has df 2000 > 100
+    cont = D.containment_pairs(df, threshold=0.5, max_shingle_df=100)
+    assert cont.count() == 0
+    kept = D.exact_dedup(df, ["text"], "doc_id")
+    assert [r["doc_id"] for r in kept.collect()] == [0]
