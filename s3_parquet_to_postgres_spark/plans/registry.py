@@ -84,6 +84,48 @@ FLAGSHIP: list[str] = [
     "event_ewma",
     "scalar_url",
     "agg_histogram_quantiles",
+    # ROUND-5 QUEUE (the final 39 never-driver-verified entries, in
+    # catalog order -- rotate these into the window next round; all 89
+    # of this round's remainder pre-verified green in one sweep):
+    #     "ml_knn_eval",
+    #     "scalar_inet",
+    #     "dedup_rate_by_source",
+    #     "text_perplexity_buckets",
+    #     "multimodal_dedup",
+    #     "ml_user_features",
+    #     "event_survival",
+    #     "ml_ab_test",
+    #     "text_ngram_novelty",
+    #     "event_running_unique",
+    #     "corpus_report",
+    #     "scalar_geo",
+    #     "scalar_geohash",
+    #     "agg_spatial_density",
+    #     "text_textrank",
+    #     "agg_timeseries_acf",
+    #     "text_rake",
+    #     "agg_ipf_raking",
+    #     "ml_adaboost_stumps",
+    #     "ml_naive_bayes_holdout",
+    #     "table_dp_counts",
+    #     "event_changepoint",
+    #     "ml_tree_stump",
+    #     "event_attribution_ushape",
+    #     "event_bot_signals",
+    #     "text_readability",
+    #     "agg_gini_segment",
+    #     "event_forecast_linear",
+    #     "table_drift_psi",
+    #     "ml_rfm_segments",
+    #     "agg_entropy_categorical",
+    #     "ml_cluster_purity",
+    #     "event_seasonality",
+    #     "event_concurrency",
+    #     "agg_contingency_chi2",
+    #     "ml_ndcg_eval",
+    #     "text_phrase_search",
+    #     "text_chunk_split",
+    #     "ml_item_cf",
 ]
 
 
