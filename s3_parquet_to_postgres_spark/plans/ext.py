@@ -607,7 +607,7 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ML_KMEANS_SQL = """
-SELECT count(*) AS n_vectors,
+SELECT count(embedding) AS n_vectors,
        CAST(10 AS BIGINT) AS k,
        CAST(10 AS BIGINT) AS clusters_nonempty,
        TRUE AS sse_improved_ok

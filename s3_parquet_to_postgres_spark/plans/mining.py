@@ -1367,10 +1367,16 @@ def ml_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     into quintiles by ntile(5) over a total order (metric, user_id),
     recency inverted so 5 = best. Segment = r*100 + f*10 + m.
 
-    Scale shape: ONE shuffle builds the per-user rollup; the three
-    ntile windows run over the per-user table (users, not events) with
-    identical-definition ntile on both engines given the total order.
+    Scale shape: ONE shuffle builds the per-user rollup; each ntile
+    is then computed WITHOUT an unpartitioned Window via the
+    distributed exact global row_number (range-repartition +
+    per-partition offsets, operators/ranking.py) and the
+    position-based ntile formula — bit-identical to the oracle's
+    single-task ``ntile(5) OVER (ORDER BY metric, user_id)`` at any
+    scale, with every task bounded by one range slice even when the
+    per-user table is billions of rows.
     """
+    from ..operators.ranking import global_row_number, ntile_from_row_number
     e = t(spark, sf_dir, "events").select(
         "user_id",
         F.floor(
@@ -1390,18 +1396,29 @@ def ml_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("maxd") - F.col("last_day")).alias("recency_days"),
         "freq", "money_q",
     )
-    w_r = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
-    w_f = Window.orderBy(F.desc("freq"), F.asc("user_id"))
-    w_m = Window.orderBy(F.desc("money_q"), F.asc("user_id"))
-    scored = base.select(
+    base = base.select(
         "user_id",
         F.col("recency_days").cast("long").alias("recency_days"),
         F.col("freq").cast("long").alias("freq"),
         F.col("money_q").cast("long").alias("money_cents"),
-        (F.lit(6) - F.ntile(5).over(w_r)).cast("long").alias("r"),
-        (F.lit(6) - F.ntile(5).over(w_f)).cast("long").alias("f"),
-        (F.lit(6) - F.ntile(5).over(w_m)).cast("long").alias("m"),
     )
+    orders = {
+        "r": [F.asc("recency_days"), F.asc("user_id")],
+        "f": [F.desc("freq"), F.asc("user_id")],
+        "m": [F.desc("money_cents"), F.asc("user_id")],
+    }
+    scored = base
+    n_users = 0
+    for tag, order in orders.items():
+        scored, n_users = global_row_number(scored, order, out=f"_rn_{tag}")
+    for tag in orders:
+        scored = scored.withColumn(
+            tag,
+            (F.lit(6)
+             - ntile_from_row_number(F.col(f"_rn_{tag}"), 5, n_users))
+            .cast("long"),
+        )
+    scored = scored.drop("_rn_r", "_rn_f", "_rn_m")
     return scored.withColumn(
         "segment",
         (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("long"),
@@ -2715,7 +2732,8 @@ def _markov_sql() -> str:
   SELECT event_type,
          lag(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS prev
-  FROM events QUALIFY prev IS NOT NULL)""",
+  FROM events WHERE event_type IS NOT NULL
+  QUALIFY prev IS NOT NULL)""",
         "cnt AS (SELECT prev, event_type, count(*) AS c"
         " FROM big GROUP BY 1, 2)",
         "rowsum AS (SELECT prev, sum(c) AS rs FROM cnt GROUP BY 1)",
@@ -3025,7 +3043,8 @@ def _ipf_sql() -> str:
     prev = "c0"
     ctes = [
         "c0 AS (SELECT lang, source, count(*) AS n,"
-        " CAST(count(*) AS DOUBLE) AS w FROM documents GROUP BY 1, 2)",
+        " CAST(count(*) AS DOUBLE) AS w FROM documents"
+        " WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2)",
         "tot AS (SELECT CAST(sum(n) AS DOUBLE) AS grand,"
         " CAST(count(DISTINCT lang) AS DOUBLE) AS nl,"
         " CAST(count(DISTINCT source) AS DOUBLE) AS ns FROM c0)",
