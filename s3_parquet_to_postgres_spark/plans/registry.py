@@ -22,110 +22,74 @@ from .base import QuerySpec
 # agg / sketch / window / scalar / subquery). Everything else follows
 # in module order and stays covered by tests/test_oracle_parity.py.
 FLAGSHIP: list[str] = [
-    # ROUND-4 ROTATION (full-window): rounds 1-3 drove 141 unique
-    # entries green through the driver's 50-entry verification window
-    # (CORRECTNESS_r01/r02/r03, zero failures since r1's two fixed
-    # ones). Every entry below is one the driver has NEVER verified
-    # -- the first 50 of the 89 remaining, in catalog order,
-    # pre-verified this session against the same DuckDB oracle at
-    # sf0.01 via tools/drive_entry.py (RESULT ok=89 fail=0 over the
-    # full remainder) before rotation. The final 39 rotate in next
-    # round. Rotated-out entries keep their green CORRECTNESS rows
-    # from prior rounds and stay continuously oracle-verified by
-    # tests/test_oracle_parity.py (sf0.001) and the dual-scale
-    # drive_entry sweeps.
-    "agg_percentile_disc",
-    "scalar_winsorize",
-    "agg_mad_outliers",
-    "scalar_timestamp",
-    "scalar_map",
-    "event_funnel_windowed",
-    "basket_part_pairs",
-    "event_enrich_customer",
-    "event_user_anomaly",
-    "event_top_paths",
-    "value_histogram",
-    "sample_pack_sequences",
-    "text_decontaminate",
-    "text_top_bigrams",
-    "dedup_keep_first_by_key",
-    "dedup_corpus_pipeline",
-    "dedup_semantic",
-    "sample_group_fixed",
-    "corpus_diff",
-    "sample_split",
-    "text_token_stats",
-    "text_quality",
-    "text_repetition",
-    "text_bigram_lm",
-    "text_collocations",
-    "text_fingerprint",
-    "text_winnow_fingerprints",
-    "dedup_passage_pairs",
-    "graph_triangles",
-    "text_pii_scrub",
-    "multimodal_frames",
-    "multimodal_resize",
-    "multimodal_features",
-    "table_skew_profile",
-    "event_lookback_attribution",
-    "event_gapfill_interp",
-    "event_window_tumbling",
-    "event_window_sliding",
-    "multimodal_phash_pairs",
+    # ROUND-5 ROTATION (closing the catalog): rounds 1-4 drove 191
+    # unique entries green through the driver's 50-entry window with
+    # zero failures since r1. This window holds (a) the FINAL 39
+    # never-driver-verified entries, in catalog order -- after this
+    # round every one of the 230 catalog entries has a green driver
+    # CORRECTNESS row -- and (b) 11 re-picks that re-prove entries
+    # whose physical plans or oracle SQLs changed since their last
+    # driver check: the r4 checkpoint/posting-list rewrites
+    # (graph_shortest_hops, ml_naive_bayes, text_bm25, graph_pagerank,
+    # dedup_containment, dedup_ngram_jaccard, ml_logreg_train), the
+    # bench headline (agg_pricing_summary), the two entries whose
+    # oracle SQL gained NULL-exclusion predicates this round
+    # (ml_kmeans_embeddings, event_markov_stationary), and one
+    # phantom-regression bench query (agg_bootstrap_ci).
+    # ml_rfm_segments (in the 39) runs its NEW distributed-ranking
+    # plan. Rotated-out entries keep their green CORRECTNESS rows and
+    # stay continuously oracle-verified by tests/test_oracle_parity.py
+    # and the dual-scale drive_entry sweeps.
+    "ml_knn_eval",
+    "scalar_inet",
+    "dedup_rate_by_source",
+    "text_perplexity_buckets",
+    "multimodal_dedup",
+    "ml_user_features",
+    "event_survival",
+    "ml_ab_test",
+    "text_ngram_novelty",
+    "event_running_unique",
+    "corpus_report",
+    "scalar_geo",
+    "scalar_geohash",
+    "agg_spatial_density",
+    "text_textrank",
+    "agg_timeseries_acf",
+    "text_rake",
+    "agg_ipf_raking",
+    "ml_adaboost_stumps",
+    "ml_naive_bayes_holdout",
+    "table_dp_counts",
+    "event_changepoint",
+    "ml_tree_stump",
+    "event_attribution_ushape",
+    "event_bot_signals",
+    "text_readability",
+    "agg_gini_segment",
+    "event_forecast_linear",
+    "table_drift_psi",
+    "ml_rfm_segments",
+    "agg_entropy_categorical",
+    "ml_cluster_purity",
+    "event_seasonality",
+    "event_concurrency",
+    "agg_contingency_chi2",
+    "ml_ndcg_eval",
+    "text_phrase_search",
+    "text_chunk_split",
+    "ml_item_cf",
     "graph_shortest_hops",
-    "ml_pr_curve",
-    "sample_contrastive_pairs",
-    "sample_mixture",
-    "text_entropy",
-    "ml_linear_score",
-    "ml_calibration_bins",
-    "event_rollup_incremental",
-    "event_ewma",
-    "scalar_url",
-    "agg_histogram_quantiles",
-    # ROUND-5 QUEUE (the final 39 never-driver-verified entries, in
-    # catalog order -- rotate these into the window next round; all 89
-    # of this round's remainder pre-verified green in one sweep):
-    #     "ml_knn_eval",
-    #     "scalar_inet",
-    #     "dedup_rate_by_source",
-    #     "text_perplexity_buckets",
-    #     "multimodal_dedup",
-    #     "ml_user_features",
-    #     "event_survival",
-    #     "ml_ab_test",
-    #     "text_ngram_novelty",
-    #     "event_running_unique",
-    #     "corpus_report",
-    #     "scalar_geo",
-    #     "scalar_geohash",
-    #     "agg_spatial_density",
-    #     "text_textrank",
-    #     "agg_timeseries_acf",
-    #     "text_rake",
-    #     "agg_ipf_raking",
-    #     "ml_adaboost_stumps",
-    #     "ml_naive_bayes_holdout",
-    #     "table_dp_counts",
-    #     "event_changepoint",
-    #     "ml_tree_stump",
-    #     "event_attribution_ushape",
-    #     "event_bot_signals",
-    #     "text_readability",
-    #     "agg_gini_segment",
-    #     "event_forecast_linear",
-    #     "table_drift_psi",
-    #     "ml_rfm_segments",
-    #     "agg_entropy_categorical",
-    #     "ml_cluster_purity",
-    #     "event_seasonality",
-    #     "event_concurrency",
-    #     "agg_contingency_chi2",
-    #     "ml_ndcg_eval",
-    #     "text_phrase_search",
-    #     "text_chunk_split",
-    #     "ml_item_cf",
+    "ml_naive_bayes",
+    "text_bm25",
+    "graph_pagerank",
+    "dedup_containment",
+    "dedup_ngram_jaccard",
+    "ml_logreg_train",
+    "agg_pricing_summary",
+    "ml_kmeans_embeddings",
+    "event_markov_stationary",
+    "agg_bootstrap_ci",
 ]
 
 
