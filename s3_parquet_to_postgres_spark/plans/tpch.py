@@ -342,16 +342,22 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
     )
-    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        _revenue().alias("total_revenue")
+    # Lazy checkpoint: the revenue rollup feeds both the scalar max
+    # and the equality filter from one materialization of one
+    # lineitem scan. The earlier global-window max put the whole
+    # supplier-count table through ONE task; the broadcast-join
+    # formulation without the checkpoint re-runs the scan +
+    # aggregation to build the max.
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            _revenue().alias("total_revenue")
+        )
+        .localCheckpoint(eager=False)
     )
-    # Scalar max as a global window over the supplier-count-sized
-    # aggregate -- the broadcast-join formulation re-runs the lineitem
-    # scan + aggregation to build the max.
-    max_rev = F.max("total_revenue").over(Window.partitionBy(F.lit(1)))
+    max_rev = rev.agg(F.max("total_revenue").alias("m"))
     s = t(spark, sf_dir, "supplier")
     return (
-        rev.withColumn("m", max_rev)
+        rev.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("m"))
         .join(s, rev.supplier_no == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
@@ -665,19 +671,24 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     val = F.col("l_extendedprice") * F.col("l_quantity")
-    per_part = eu_li.groupBy("l_partkey").agg(dsum(val, 2).alias("value"))
-    # Grand total as a global window over the per-part aggregate, not
-    # a second aggregate joined back: the join-back would re-run the
-    # lineitem scan + dimension joins. Per-part values are exact
+    # The per-part rollup is lazily checkpointed so BOTH consumers
+    # (the grand-total aggregate and the filter) read one
+    # materialization of one lineitem scan — the join-back without it
+    # would re-run the scan + dimension joins, and the earlier global
+    # window form funneled the whole part-count table (20B rows at
+    # TPC-H SF100k) through ONE task. Per-part values are exact
     # multiples of 0.01 (scaled-integer sums), so re-quantizing and
-    # summing them equals the direct total exactly. The single window
-    # partition holds only part-count rows.
-    total = (
-        F.sum(sint("value", 2)).over(Window.partitionBy(F.lit(1)))
-        .cast("double") / F.lit(100.0)
+    # summing them equals the direct total exactly.
+    per_part = (
+        eu_li.groupBy("l_partkey").agg(dsum(val, 2).alias("value"))
+        .localCheckpoint(eager=False)
+    )
+    total = per_part.agg(
+        (F.sum(sint("value", 2)).cast("double") / F.lit(100.0))
+        .alias("total")
     )
     return (
-        per_part.withColumn("total", total)
+        per_part.crossJoin(F.broadcast(total))
         .filter(F.col("value") > 0.001 * F.col("total"))
         .select("l_partkey", "value")
         .orderBy(F.col("value").desc(), "l_partkey")

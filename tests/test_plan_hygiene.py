@@ -31,6 +31,88 @@ def _plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+# Entries whose executed plan contains a Window with EMPTY partitioning
+# (after constant-folding) — every row of that window's input through
+# ONE task. Tolerable only when the input is bounded by construction,
+# independent of corpus size; each entry documents its bound. Anything
+# not listed here that plans an unpartitioned, non-rank-limited Window
+# is a 100 TB scale bug (the ml_rfm_segments class — fixed via
+# operators/ranking.global_row_number; tpch_q11/q15's rollup windows
+# were the same class, fixed via lazy checkpoint + broadcast join-back).
+GLOBAL_WINDOW_OK = {
+    "agg_benford",              # 9 leading-digit bins
+    "agg_bootstrap_ci",         # fixed bootstrap replicate count
+    "agg_entropy_categorical",  # |event_type| category rows
+    "agg_exact_median_twophase",  # 64/4096 histogram bins (two-phase)
+    "agg_histogram_quantiles",  # fixed histogram bins
+    "agg_timeseries_acf",       # daily series (observation-window days)
+    "event_changepoint",        # daily series
+    "event_seasonality",        # 7 weekday rows
+    "event_survival",           # per-day churn table (window days)
+    "ml_adaboost_stumps",       # quantized threshold candidates
+    "ml_auc_eval",              # <=1e6+1 distinct quantized scores
+    "ml_ndcg_eval",             # top-k-limited ranking per query
+    "ml_pr_curve",              # <=1e6+1 distinct quantized scores
+    "ml_tree_stump",            # quantized threshold candidates
+    "sample_contrastive_pairs",  # |langs| rotation table
+    "similarity_rrf",           # top-k-limited ranked lists
+    "table_drift_ks",           # distinct quantized cent values
+    "table_drift_psi",          # fixed PSI bins
+    "text_collocations",        # LIMIT-25 frame rank
+}
+
+
+def _empty_partition_windows(plan: str) -> list[str]:
+    """Window nodes whose windowspecdefinition has no partition
+    columns: the first argument is already an order column
+    (`... ASC/DESC NULLS ...`) or the frame itself."""
+    import re
+
+    hits = []
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window" not in ln:
+            continue
+        for m in re.finditer(r"windowspecdefinition\(", ln):
+            depth, cur = 0, []
+            for ch in ln[m.end():]:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    break
+                cur.append(ch)
+            first = "".join(cur).strip()
+            if (" ASC" in first or " DESC" in first
+                    or first.startswith("specifiedwindowframe")):
+                # Rank-limited global windows are rescued at runtime:
+                # the executed plan inserts WindowGroupLimit beside
+                # the Window, bounding each task's input to k.
+                ctx = "\n".join(lines[max(0, i - 2):i + 3])
+                if "WindowGroupLimit" not in ctx:
+                    hits.append(ln.strip()[:140])
+    return hits
+
+
+@pytest.mark.parametrize("name", sorted(all_queries().keys()))
+def test_no_unpartitioned_corpus_window(name, spark):
+    df = all_queries()[name](spark, SF)
+    hits = _empty_partition_windows(_plan_of(df))
+    if name in GLOBAL_WINDOW_OK:
+        assert hits, (
+            f"{name}: allowlisted but plans no unpartitioned Window "
+            "anymore — remove it from GLOBAL_WINDOW_OK"
+        )
+        return
+    assert not hits, (
+        f"{name}: unpartitioned non-rank-limited Window — every row "
+        f"through ONE task at scale:\n" + "\n".join(hits)
+    )
+
+
 @pytest.mark.parametrize("name", sorted(all_queries().keys()))
 def test_no_accidental_cartesian(name, spark):
     df = all_queries()[name](spark, SF)
@@ -77,6 +159,12 @@ SINGLE_LINEITEM_SCAN = [
 def test_single_lineitem_scan(name, spark):
     plan = _plan_of(all_queries()[name](spark, SF))
     scans = plan.count("lineitem.parquet")
+    if scans == 0:
+        # q11/q15 route both consumers through a lazily-checkpointed
+        # rollup: the single lineitem scan lives in the checkpoint
+        # materialization job, and the final plan reads the RDD.
+        assert "ExistingRDD" in plan, f"{name}: no lineitem scan at all"
+        return
     assert scans == 1, f"{name}: {scans} lineitem scans (want 1)"
 
 
