@@ -67,6 +67,7 @@ def run(
         raise ValueError("spec.source.work_lists_dir is required for run()")
     wl = WorkList(spec.source.work_lists_dir)
     stage_root: str | None = None
+    own_stage_root = False
     client = None
     if spec.source.endpoint is not None:
         # Endpoint mode: the reference's download-then-read path
@@ -74,33 +75,73 @@ def run(
         # src/runner.rs:47-112) for Spark images without S3A jars.
         # ETag-verified staging, <=5 concurrent GETs, per-batch delete
         # after the completed log commits.
+        #
+        # Staging writes to a DRIVER-local directory, so executors on
+        # other nodes cannot read it: endpoint mode is only valid
+        # under a local master, unless the operator points stage_dir
+        # at a filesystem shared with every executor (NFS/EFS-class)
+        # and thereby asserts readability. Fail fast here rather than
+        # let executors die on FileNotFound mid-scan.
         import tempfile
 
+        from .config import ConfigError
         from .sources.s3http import S3HttpClient
 
+        master = spark.sparkContext.master or ""
+        if not master.startswith("local") and spec.source.stage_dir is None:
+            raise ConfigError(
+                "s3.endpoint staging downloads to a driver-local "
+                f"directory, but master is {master!r}: executors on "
+                "other nodes cannot read driver-local files. Either "
+                "run under a local master, set s3.stage_dir to a "
+                "filesystem shared with every executor, or drop "
+                "s3.endpoint and use the direct s3a:// read path."
+            )
+        if spec.source.bucket is None:
+            raise ConfigError(
+                "s3.endpoint staging requires s3.bucket (work-list "
+                "keys resolve to s3a:// URLs via the bucket; without "
+                "it bare keys cannot be staged)."
+            )
         client = S3HttpClient(spec.source.endpoint)
         stage_root = spec.source.stage_dir or tempfile.mkdtemp(
             prefix="s3stage-"
         )
+        own_stage_root = spec.source.stage_dir is None
     results: list[BatchResult] = []
     batch_no = 0
-    while True:
-        batch = wl.next_batch(spec.source.download_batch_size)
-        if not batch:
-            break
-        paths = [spec.source.key_to_path(k) for k in batch]
-        batch_dir = None
-        if client is not None:
-            batch_dir = f"{stage_root}/batch-{batch_no}"
-            paths = client.stage(paths, batch_dir)
-        df = transform(scan_parquet(spark, paths), spec, column_targets)
-        rows = sink_fn(df)
-        for key in batch:
-            wl.mark_completed(key)
-        if batch_dir is not None:
+    batch_dir: str | None = None
+    try:
+        while True:
+            batch = wl.next_batch(spec.source.download_batch_size)
+            if not batch:
+                break
+            paths = [spec.source.key_to_path(k) for k in batch]
+            batch_dir = None
+            if client is not None:
+                batch_dir = f"{stage_root}/batch-{batch_no}"
+                paths = client.stage(paths, batch_dir)
+            df = transform(scan_parquet(spark, paths), spec, column_targets)
+            rows = sink_fn(df)
+            for key in batch:
+                wl.mark_completed(key)
+            if batch_dir is not None:
+                from .sources.s3http import unstage
+
+                unstage(batch_dir)
+                batch_dir = None
+            results.append(BatchResult(keys=batch, rows_written=rows))
+            batch_no += 1
+    finally:
+        # A mid-batch failure must not leak partially staged files:
+        # drop the in-flight batch dir, and the whole stage root when
+        # this run created it (an operator-provided stage_dir is
+        # theirs to keep).
+        if batch_dir is not None or own_stage_root:
             from .sources.s3http import unstage
 
-            unstage(batch_dir)
-        results.append(BatchResult(keys=batch, rows_written=rows))
-        batch_no += 1
+            if batch_dir is not None:
+                unstage(batch_dir)
+            if own_stage_root and stage_root is not None:
+                unstage(stage_root)
     return results

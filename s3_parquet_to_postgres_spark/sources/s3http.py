@@ -33,9 +33,11 @@ replicas). It never reads or embeds credentials.
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import os
 import shutil
+import uuid
 import xml.etree.ElementTree as ET
 from concurrent.futures import ThreadPoolExecutor
 from urllib.parse import quote, urlparse
@@ -143,20 +145,33 @@ class S3HttpClient:
         (nested keys keep their directory structure), bounded at
         ``max_concurrency`` concurrent GETs. Returns local paths in
         input order. Writes are temp-file + rename so a torn download
-        never masquerades as a staged object."""
-        def fetch(url: str) -> str:
-            bucket, key = parse_s3_url(url)
+        never masquerades as a staged object; temp names are
+        per-fetch unique (uuid suffix) so duplicate keys in one batch
+        can never tear each other's in-flight file, and duplicates
+        (by parsed bucket/key, so ``s3://`` and ``s3a://`` spellings
+        of one object coincide) are fetched once. A failed fetch
+        removes its own temp file before propagating."""
+        def fetch(loc: tuple[str, str]) -> str:
+            bucket, key = loc
             body = self.get_object(bucket, key)
             local = os.path.join(dest_dir, bucket, key)
             os.makedirs(os.path.dirname(local), exist_ok=True)
-            tmp = local + ".part"
-            with open(tmp, "wb") as fh:
-                fh.write(body)
-            os.replace(tmp, local)
+            tmp = f"{local}.{uuid.uuid4().hex}.part"
+            try:
+                with open(tmp, "wb") as fh:
+                    fh.write(body)
+                os.replace(tmp, local)
+            except BaseException:
+                with contextlib.suppress(OSError):
+                    os.unlink(tmp)
+                raise
             return local
 
+        locs = [parse_s3_url(u) for u in urls]
+        unique = list(dict.fromkeys(locs))
         with ThreadPoolExecutor(self.max_concurrency) as pool:
-            return list(pool.map(fetch, urls))
+            by_loc = dict(zip(unique, pool.map(fetch, unique)))
+        return [by_loc[loc] for loc in locs]
 
 
 def write_todo_from_listing(
