@@ -103,6 +103,7 @@ def test_conn_string_forms():
     assert url == {
         "host": "db.example", "port": "6432", "user": "u",
         "password": "p@ss", "dbname": "warehouse", "sslmode": "prefer",
+        "channel_binding": "prefer",
     }
     dsn = pgwire.parse_conn_string(
         "host=h port=5433 user=u password=p dbname=d"
@@ -253,3 +254,110 @@ def test_copy_in_tolerates_notice_before_copy_response(tmp_path):
         conn.commit()
         conn.close()
         assert srv.committed_copies() == [b"1\n"]
+
+
+# ------------------------------------------- TLS + channel binding
+
+
+@pytest.fixture(scope="module")
+def tls_cert(tmp_path_factory):
+    """Self-signed RSA-SHA256 test cert via the openssl CLI (test-only
+    tooling; the product client is pure-stdlib)."""
+    import shutil
+    import subprocess
+
+    if shutil.which("openssl") is None:
+        pytest.skip("openssl CLI not available for test cert")
+    d = tmp_path_factory.mktemp("tlscert")
+    crt, key = str(d / "srv.crt"), str(d / "srv.key")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", key, "-out", crt, "-days", "2", "-subj",
+         "/CN=127.0.0.1", "-sha256"],
+        check=True, capture_output=True,
+    )
+    return crt, key
+
+
+def _tls_scram_server(tmp_path, tls_cert, **kw):
+    crt, key = tls_cert
+    return FakePgServer(str(tmp_path / "spool"), auth="scram",
+                        certfile=crt, keyfile=key, **kw)
+
+
+def test_scram_plus_binds_over_tls(tmp_path, tls_cert):
+    """Server advertises SCRAM-SHA-256-PLUS over TLS; default
+    channel_binding=prefer picks -PLUS and the server verifies the
+    tls-server-end-point hash (computed independently in the fake)."""
+    with _tls_scram_server(tmp_path, tls_cert, advertise_plus=True) as srv:
+        conn = pgwire.connect(srv.tls_conn_string())
+        conn.close()
+        assert srv.last_mech == "SCRAM-SHA-256-PLUS"
+        assert srv.last_gs2 == "p=tls-server-end-point"
+
+
+def test_scram_plus_require_matrix(tmp_path, tls_cert):
+    """channel_binding=require: succeeds when -PLUS is offered over
+    TLS, hard-fails when the server does not offer it."""
+    with _tls_scram_server(tmp_path, tls_cert, advertise_plus=True) as srv:
+        conn = pgwire.connect(
+            srv.tls_conn_string(channel_binding="require"))
+        conn.close()
+        assert srv.last_mech == "SCRAM-SHA-256-PLUS"
+    with _tls_scram_server(tmp_path, tls_cert, advertise_plus=False) as srv:
+        with pytest.raises(pgwire.PgWireError, match="channel_binding"):
+            pgwire.connect(srv.tls_conn_string(channel_binding="require"))
+
+
+def test_scram_require_fails_without_tls(tmp_path):
+    """channel_binding=require over a plaintext session cannot bind."""
+    with FakePgServer(str(tmp_path / "spool"), auth="scram") as srv:
+        dsn = srv.conn_string + "&channel_binding=require"
+        with pytest.raises(pgwire.PgWireError, match="not TLS"):
+            pgwire.connect(dsn)
+
+
+def test_scram_y_flag_when_plus_not_offered(tmp_path, tls_cert):
+    """TLS session, server does NOT advertise -PLUS: the client sends
+    gs2 flag 'y' (could-bind) so a stripped advertisement is
+    detectable; auth still succeeds against an honest server."""
+    with _tls_scram_server(tmp_path, tls_cert, advertise_plus=False) as srv:
+        conn = pgwire.connect(srv.tls_conn_string())
+        conn.close()
+        assert srv.last_mech == "SCRAM-SHA-256"
+        assert srv.last_gs2 == "y"
+
+
+def test_scram_binding_disable_over_tls(tmp_path, tls_cert):
+    """channel_binding=disable: plain SCRAM with the 'n' flag even
+    when the server offers -PLUS over TLS."""
+    with _tls_scram_server(tmp_path, tls_cert, advertise_plus=True) as srv:
+        conn = pgwire.connect(
+            srv.tls_conn_string(channel_binding="disable"))
+        conn.close()
+        assert srv.last_mech == "SCRAM-SHA-256"
+        assert srv.last_gs2 == "n"
+
+
+def test_scram_plaintext_unchanged(tmp_path):
+    """Plaintext SCRAM (sslmode=disable) still sends the historic 'n'
+    gs2 flag / c=biws -- byte-compatible with the pre-binding client."""
+    with FakePgServer(str(tmp_path / "spool"), auth="scram") as srv:
+        conn = pgwire.connect(srv.conn_string)
+        conn.close()
+        assert srv.last_mech == "SCRAM-SHA-256"
+        assert srv.last_gs2 == "n"
+
+
+def test_tls_server_end_point_hash_der_parse(tls_cert):
+    """The stdlib DER walk extracts the signature OID and hashes the
+    whole DER cert: for an RSA-SHA256 test cert this must equal plain
+    sha256(DER)."""
+    import hashlib
+    import ssl as _ssl
+
+    crt, _ = tls_cert
+    der = _ssl.PEM_cert_to_DER_cert(open(crt).read())
+    assert pgwire.tls_server_end_point_hash(der) == hashlib.sha256(der).digest()
+    with pytest.raises(pgwire.PgWireError, match="certificate"):
+        pgwire.tls_server_end_point_hash(b"\x30\x03\x02\x01\x01")
