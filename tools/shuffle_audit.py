@@ -83,6 +83,13 @@ QUERIES = [
     "agg_ipf_raking",
 ]
 
+# Round-5: the driver window IS the audit surface -- every entry the
+# driver will verify this round gets measured shuffle bytes on the
+# record before the driver sees it (round-4 verdict item 8).
+from s3_parquet_to_postgres_spark.plans.registry import FLAGSHIP  # noqa: E402
+
+QUERIES += [q for q in FLAGSHIP if q not in QUERIES]
+
 
 def _walk(node):
     yield node
