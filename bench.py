@@ -207,10 +207,26 @@ def main() -> None:
     root = os.path.dirname(os.path.abspath(__file__))
     try:
         import subprocess
+        # Key samples by the last commit touching PLAN-RELEVANT source,
+        # not HEAD: committing BENCH_HISTORY.jsonl / docs must not
+        # split otherwise-identical samples into unmergeable groups.
         rev = subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"],
+            ["git", "log", "-1", "--format=%h", "--",
+             "s3_parquet_to_postgres_spark", "bench.py",
+             "__spark_entry__.py"],
             capture_output=True, text=True, cwd=root,
         ).stdout.strip() or None
+        # A dirty tree under those paths means the running plans may
+        # not match the committed rev -- do not tag (and so never
+        # merge) such samples.
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--",
+             "s3_parquet_to_postgres_spark", "bench.py",
+             "__spark_entry__.py"],
+            capture_output=True, text=True, cwd=root,
+        ).stdout.strip()
+        if dirty:
+            rev = None
     except OSError:
         rev = None
     history = os.path.join(root, "BENCH_HISTORY.jsonl")
