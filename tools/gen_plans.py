@@ -173,6 +173,36 @@ SECTIONS = [
         " the normalized 4096-row Gram against a 64-row BROADCAST vector"
         " -- the corpus is never rescanned or reshuffled.",
     ),
+    # Round-5 rewrites: the three plans changed to remove the
+    # unpartitioned-global-window class / self-join pair machinery.
+    (
+        "ml_rfm_segments",
+        "Distributed exact quintiles with NO unpartitioned Window (the"
+        " round-4 verdict's one perf-weak flag): each RFM axis gets a"
+        " range-repartitioned sort whose per-partition row_number is"
+        " offset by a bounded (num-partitions-sized) collected prefix"
+        " table, then ntile derives positionally from (row, N). Every"
+        " stage is many-task; nothing corpus-sized crosses one task.",
+    ),
+    (
+        "tpch_q15_top_supplier",
+        "Scalar-max-of-rollup without a global window: the revenue"
+        " rollup is lazily checkpointed ONCE (Scan ExistingRDD in this"
+        " plan -- the single lineitem scan lives in the checkpoint's"
+        " materialization job) and both consumers read it: the 1-row max"
+        " aggregate broadcast-joins back onto the rollup for the"
+        " equality filter. tpch_q11 uses the same shape for its"
+        " value-share threshold.",
+    ),
+    (
+        "ml_item_cf",
+        "Bounded item-pair generation entirely map-side: capped baskets"
+        " become sorted arrays (groupBy reuses the cap-window's"
+        " ok-partitioning) and each emits exactly its C(b,2) i<j pair"
+        " structs via nested array transforms -- no self-join operator,"
+        " no b^2 transient rows, and the only corpus-width exchanges are"
+        " the distinct + cap-window prefix feeding the checkpoint.",
+    ),
 ]
 
 
