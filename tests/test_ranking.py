@@ -1,0 +1,96 @@
+"""operators/ranking.py: distributed exact ranking must be
+bit-identical to the single-task ``row_number()/ntile() OVER
+(ORDER BY ...)`` it replaces (the ml_rfm_segments / round-4-verdict
+class). At test scale the global window is cheap, so it serves as
+the oracle."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from s3_parquet_to_postgres_spark.operators.ranking import (
+    global_row_number,
+    ntile_from_row_number,
+)
+
+
+def _df(spark, n, dup_every=3, seed=7, parts=5):
+    rng = random.Random(seed)
+    rows = [
+        (i, rng.randrange(max(1, n // dup_every)), rng.random())
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "id long, key long, noise double"
+    ).repartition(parts)
+
+
+@pytest.mark.parametrize("n,num_partitions", [
+    (0, 4),        # empty input
+    (1, 4),        # single row
+    (5, 8),        # fewer rows than partitions
+    (97, 3),
+    (1000, 16),
+])
+def test_global_row_number_matches_global_window(spark, n, num_partitions):
+    df = _df(spark, n)
+    order = [F.col("key").asc(), F.col("id").asc()]  # total order
+    got, total = global_row_number(
+        df, order, out="rn", num_partitions=num_partitions
+    )
+    assert total == n
+    want = df.withColumn(
+        "rn_ref",
+        F.row_number().over(Window.orderBy(*order)).cast("long"),
+    )
+    joined = got.join(want.select("id", "rn_ref"), "id")
+    assert joined.filter(F.col("rn") != F.col("rn_ref")).count() == 0
+    if n:
+        agg = joined.agg(
+            F.min("rn").alias("lo"), F.max("rn").alias("hi"),
+            F.countDistinct("rn").alias("d"),
+        ).first()
+        assert (agg["lo"], agg["hi"], agg["d"]) == (1, n, n)
+
+
+def test_global_row_number_all_equal_keys(spark):
+    """Degenerate order key (every row identical): the tiebreak column
+    must still produce a dense 1..N permutation."""
+    df = spark.createDataFrame(
+        [(i, 42) for i in range(200)], "id long, key long"
+    ).repartition(7)
+    got, total = global_row_number(
+        df, [F.col("key").asc(), F.col("id").asc()],
+        out="rn", num_partitions=5,
+    )
+    assert total == 200
+    rows = got.select("id", "rn").collect()
+    assert sorted(r["rn"] for r in rows) == list(range(1, 201))
+    # key is constant, so rank order == id order
+    assert all(r["rn"] == r["id"] + 1 for r in rows)
+
+
+@pytest.mark.parametrize("n,buckets", [
+    (1000, 5),   # even split
+    (997, 5),    # remainder buckets
+    (7, 10),     # total < buckets (q == 0 branch)
+    (10, 10),
+    (1, 5),
+])
+def test_ntile_from_row_number_matches_ansi_ntile(spark, n, buckets):
+    df = _df(spark, n, parts=4)
+    order = [F.col("noise").asc(), F.col("id").asc()]
+    got, total = global_row_number(df, order, out="rn", num_partitions=6)
+    mine = got.withColumn(
+        "nt", ntile_from_row_number(F.col("rn"), buckets, total)
+    )
+    ref = df.withColumn(
+        "nt_ref",
+        F.ntile(buckets).over(Window.orderBy(*order)).cast("long"),
+    )
+    j = mine.join(ref.select("id", "nt_ref"), "id")
+    assert j.filter(F.col("nt") != F.col("nt_ref")).count() == 0
