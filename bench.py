@@ -182,6 +182,11 @@ def main() -> None:
     # Warm-up: JVM JIT + codegen + parquet footer caches.
     _force(queries["ref_count"](spark, SF_DIR))
 
+    # Calibrate BEFORE and AFTER the timed block: the pair brackets
+    # the host load during the actual measurements (a single probe
+    # can hit a quiet moment inside a noisy session, or vice versa).
+    calibration_pre = _calibrate(spark)
+
     # Best-of-3 per query: one JSON line is recorded per round, and
     # both transient host hiccups (observed: a 15x outlier on an
     # otherwise 1s query) and sustained noisy-neighbor inflation
@@ -196,7 +201,9 @@ def main() -> None:
             runs.append(time.perf_counter() - start)
         timings[name] = round(min(runs), 3)
 
-    calibration = _calibrate(spark)
+    calibration_post = _calibrate(spark)
+    # Conservative noise estimate: the mean of the brackets.
+    calibration = round((calibration_pre + calibration_post) / 2, 3)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -240,6 +247,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "calibration_pre_sec": calibration_pre,
+        "calibration_post_sec": calibration_post,
         "calibration_sec": calibration,
         "calibration_ref_sec": CALIBRATION_REF,
         "noise_factor": round(calibration / CALIBRATION_REF, 3),
