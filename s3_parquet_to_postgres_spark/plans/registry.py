@@ -40,6 +40,15 @@ FLAGSHIP: list[str] = [
     # plan. Rotated-out entries keep their green CORRECTNESS rows and
     # stay continuously oracle-verified by tests/test_oracle_parity.py
     # and the dual-scale drive_entry sweeps.
+    #
+    # ROUND-6 QUEUE (after this round closes the catalog at 230/230
+    # driver-proven): re-pick entries whose physical plans changed
+    # AFTER this window was frozen -- tpch_q11_important_stock and
+    # tpch_q15_top_supplier (global-window rollups rewritten to lazy
+    # checkpoint + broadcast join-back; driver rows date from r2) --
+    # plus any r6 plan rewrites. ml_item_cf's map-side pair rewrite
+    # and ml_rfm_segments' ranking rewrite are already driver-proven
+    # by THIS window.
     "ml_knn_eval",
     "scalar_inet",
     "dedup_rate_by_source",
