@@ -27,6 +27,19 @@ HISTORY = REPO / "BENCH_HISTORY.jsonl"
 FACTOR = 2.5
 SLACK_SEC = 0.3
 
+# Intentional re-baselines: entries whose plan was DELIBERATELY made
+# costlier at sf0.1 in exchange for the 100 TB posture. History
+# records before the stamp ran the old plan and are not comparable
+# bests. Every entry must cite the design decision.
+REBASELINED = {
+    # r5: distributed exact quintiles (operators/ranking.py) replaced
+    # the unpartitioned global ntile flagged perf-weak by the round-4
+    # verdict (whole corpus through ONE task at scale). sf0.1 cost
+    # rose ~0.3s -> ~1.0-1.5s by design; the new plan's 16x scale
+    # ratio is 1.06x (SCALE_CHECK.md round-5 supplement).
+    "ml_rfm_segments": 1786789000,
+}
+
 
 def _records():
     if not HISTORY.exists():
@@ -50,6 +63,8 @@ def test_latest_bench_not_regressed_vs_history_best():
     best: dict[str, float] = {}
     for rec in recs[:-1]:
         for name, sec in rec["queries"].items():
+            if rec.get("ts", 0) < REBASELINED.get(name, 0):
+                continue  # pre-rebaseline plan, not comparable
             if name not in best or sec < best[name]:
                 best[name] = sec
     regressions = []
