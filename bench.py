@@ -263,10 +263,18 @@ def main() -> None:
             ) + "\n")
     except OSError:
         pass
+    # Stdout contract: `value`/`queries` are per-query best-of-session
+    # minima merged across same-rev BENCH_HISTORY samples (the
+    # noise-honest record on a host with up to ~1.7x ambient noise);
+    # `raw_value`/`raw_queries` are THIS run's single sample, always
+    # present so the two are never conflated. Compare like with like:
+    # merged-vs-merged across rounds, raw-vs-raw within a session.
     result = {
         **raw,
         "value": round(sum(merged[n] for n in HEADLINE), 3),
         "queries": merged,
+        "raw_value": raw["value"],
+        "raw_queries": timings,
         "same_rev_samples_merged": n_prior,
     }
     print(json.dumps(result))

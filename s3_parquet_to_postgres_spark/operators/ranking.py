@@ -59,9 +59,14 @@ def global_row_number(
     """
     spark = df.sparkSession
     if num_partitions is None:
-        num_partitions = int(
-            spark.conf.get("spark.sql.shuffle.partitions", "32")
-        )
+        try:
+            num_partitions = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+        except ValueError:
+            # Distros that set the conf to "auto" (AQE-managed) are
+            # valid; fall back to the cluster's default parallelism.
+            num_partitions = spark.sparkContext.defaultParallelism or 32
     stamped = (
         df.repartitionByRange(num_partitions, *order_cols)
         .withColumn(_PID, F.spark_partition_id())
@@ -88,7 +93,35 @@ def global_row_number(
     out_df = stamped.withColumn(
         out, (F.row_number().over(w) + off).cast("long")
     ).drop(_PID)
+    # Handle to the pinned checkpoint blocks, for release_pinned():
+    # callers chaining several rankings can free ranking N-1's blocks
+    # once ranking N has materialized (N's checkpoint truncates the
+    # lineage, so N-1 is never read again). Best-effort private-API
+    # touch; absence of the attribute just means no early release.
+    try:
+        out_df._grn_pinned = (
+            stamped._jdf.queryExecution().optimizedPlan().rdd()
+        )
+    except Exception:
+        pass
     return out_df, acc
+
+
+def release_pinned(ranked: DataFrame) -> None:
+    """Free the checkpoint blocks pinned by a ``global_row_number``
+    result. ONLY safe when ``ranked`` will never be computed again —
+    i.e. after a later ranking chained from it has materialized its
+    own checkpoint (lineage is truncated there, so the released
+    blocks are unreachable from the final plan). Reading ``ranked``
+    itself after release raises (localCheckpoint lineage is gone);
+    that loud failure is the intended contract, not a recompute.
+    """
+    rdd = getattr(ranked, "_grn_pinned", None)
+    if rdd is not None:
+        try:
+            rdd.unpersist(False)
+        except Exception:
+            pass
 
 
 def ntile_from_row_number(rn: Column, n_buckets: int, total: int) -> Column:

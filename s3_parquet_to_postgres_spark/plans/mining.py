@@ -1375,8 +1375,22 @@ def ml_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-task ``ntile(5) OVER (ORDER BY metric, user_id)`` at any
     scale, with every task bounded by one range slice even when the
     per-user table is billions of rows.
+
+    Construction contract: building this DataFrame is EAGER — each of
+    the three ``global_row_number`` calls runs a real Spark job
+    (checkpoint materialization + bounded per-partition count
+    collect), so plan sweeps (gen_plans, shuffle_audit, hygiene
+    tests) execute cluster work for this entry. Only the FINAL
+    ranking's checkpoint stays pinned: each chained ranking releases
+    its predecessor's blocks as soon as its own checkpoint has
+    materialized (``release_pinned``), so peak pinned state is one
+    per-user rollup copy, not three.
     """
-    from ..operators.ranking import global_row_number, ntile_from_row_number
+    from ..operators.ranking import (
+        global_row_number,
+        ntile_from_row_number,
+        release_pinned,
+    )
     e = t(spark, sf_dir, "events").select(
         "user_id",
         F.floor(
@@ -1409,8 +1423,16 @@ def ml_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     scored = base
     n_users = 0
+    prev = None
     for tag, order in orders.items():
         scored, n_users = global_row_number(scored, order, out=f"_rn_{tag}")
+        if prev is not None:
+            # The new ranking's checkpoint is materialized (the count
+            # collect inside global_row_number ran), so the previous
+            # ranking's pinned blocks are unreachable from the final
+            # plan -- free them now.
+            release_pinned(prev)
+        prev = scored
     for tag in orders:
         scored = scored.withColumn(
             tag,

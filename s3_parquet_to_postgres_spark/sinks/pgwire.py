@@ -177,9 +177,17 @@ _SIG_OID_DIGEST = {
     "1.2.840.10045.4.3.2": "sha256",    # ecdsa-with-SHA256
     "1.2.840.10045.4.3.3": "sha384",    # ecdsa-with-SHA384
     "1.2.840.10045.4.3.4": "sha512",    # ecdsa-with-SHA512
-    "1.2.840.113549.1.1.10": "sha256",  # RSASSA-PSS (params carry the
-                                        # hash; PG certs in the wild
-                                        # use sha256 -- documented cap)
+}
+
+_PSS_OID = "1.2.840.113549.1.1.10"  # RSASSA-PSS: hash lives in params
+
+# RSASSA-PSS-params hashAlgorithm OID -> digest. SHA-1 (the DER
+# DEFAULT when [0] is absent) upgrades to SHA-256 per RFC 5929.
+_HASH_OID_DIGEST = {
+    "1.3.14.3.2.26": "sha256",          # sha1 -> sha256
+    "2.16.840.1.101.3.4.2.1": "sha256",  # sha256
+    "2.16.840.1.101.3.4.2.2": "sha384",  # sha384
+    "2.16.840.1.101.3.4.2.3": "sha512",  # sha512
 }
 
 
@@ -193,6 +201,35 @@ def _decode_oid(content: bytes) -> str:
             parts.append(str(val))
             val = 0
     return ".".join(parts)
+
+
+def _pss_digest(der: bytes, start: int, end: int) -> str | None:
+    """Digest named by an RSASSA-PSS AlgorithmIdentifier's params
+    (RFC 4055): RSASSA-PSS-params ::= SEQUENCE { hashAlgorithm [0]
+    EXPLICIT AlgorithmIdentifier DEFAULT sha1, ... }. ``start:end``
+    bounds the params region after the algorithm OID. Absent params
+    or absent [0] mean the DER DEFAULT sha1 (-> sha256 per RFC 5929);
+    an unrecognized hash OID returns None so the caller raises the
+    explicit unsupported-algorithm error instead of guessing.
+    """
+    if start >= end:
+        return "sha256"  # absent params: DEFAULT sha1 -> sha256
+    try:
+        tag, c, pend = _der_read_tlv(der, start)  # params SEQUENCE/NULL
+        if tag != 0x30:
+            return "sha256"  # NULL / malformed params: DEFAULT sha1
+        tag, c0, e0 = _der_read_tlv(der, c)
+        if tag != 0xA0:  # [0] absent: hashAlgorithm defaults to sha1
+            return "sha256"
+        tag, c1, e1 = _der_read_tlv(der, c0)      # AlgorithmIdentifier
+        if tag != 0x30:
+            return None
+        tag, c2, e2 = _der_read_tlv(der, c1)      # hash OID
+        if tag != 0x06:
+            return None
+        return _HASH_OID_DIGEST.get(_decode_oid(der[c2:e2]))
+    except (IndexError, ValueError):
+        return None
 
 
 def tls_server_end_point_hash(der_cert: bytes) -> bytes:
@@ -210,9 +247,13 @@ def tls_server_end_point_hash(der_cert: bytes) -> bytes:
         if tag != 0x06:
             raise ValueError(f"expected OID tag, got {tag:#x}")
         oid = _decode_oid(der_cert[c2:end2])
+        pss_params = (end2, end1) if oid == _PSS_OID else None
     except (IndexError, ValueError) as e:
         raise PgWireError(f"cannot parse server certificate: {e}") from e
-    digest = _SIG_OID_DIGEST.get(oid)
+    if pss_params is not None:
+        digest = _pss_digest(der_cert, *pss_params)
+    else:
+        digest = _SIG_OID_DIGEST.get(oid)
     if digest is None:
         raise PgWireError(
             f"unsupported certificate signature algorithm {oid} for "

@@ -63,8 +63,12 @@ class WorkList:
         if not os.path.exists(self.todo_path) and not os.path.exists(self.wip_path):
             raise WorkListError(f"no todo or wip file under {work_dir!r}")
         # Resume: whatever was in-flight when the last run died is the
-        # first batch of this run.
-        self.wip: list[str] = [ln for ln in _read_lines(self.wip_path) if _is_work(ln)]
+        # first batch of this run. Deduped (first occurrence wins):
+        # a key listed twice must not be scanned twice in one batch --
+        # downstream scan_parquet would double-count its rows.
+        self.wip: list[str] = list(dict.fromkeys(
+            ln for ln in _read_lines(self.wip_path) if _is_work(ln)
+        ))
 
     # -- batch lifecycle ------------------------------------------------
 
@@ -78,7 +82,12 @@ class WorkList:
             return list(self.wip)
 
         todo_lines = _read_lines(self.todo_path)
-        work = [ln for ln in todo_lines if _is_work(ln)]
+        # Collapse duplicate keys (first occurrence wins) before
+        # slicing the batch: a todo listing one object twice would
+        # otherwise stage and scan it twice -- double-counted rows.
+        work = list(dict.fromkeys(
+            ln for ln in todo_lines if _is_work(ln)
+        ))
         batch, remainder = work[:batch_size], work[batch_size:]
         if not batch:
             return []
@@ -110,7 +119,9 @@ class WorkList:
     # -- invariants ------------------------------------------------------
 
     def _check_wip_consistency(self) -> None:
-        on_disk = [ln for ln in _read_lines(self.wip_path) if _is_work(ln)]
+        on_disk = list(dict.fromkeys(
+            ln for ln in _read_lines(self.wip_path) if _is_work(ln)
+        ))
         if on_disk != self.wip:
             raise WorkListError(
                 "wip file and in-memory wip list diverged "

@@ -361,3 +361,66 @@ def test_tls_server_end_point_hash_der_parse(tls_cert):
     assert pgwire.tls_server_end_point_hash(der) == hashlib.sha256(der).digest()
     with pytest.raises(pgwire.PgWireError, match="certificate"):
         pgwire.tls_server_end_point_hash(b"\x30\x03\x02\x01\x01")
+
+
+def _der_tlv(tag, content):
+    n = len(content)
+    if n < 0x80:
+        return bytes([tag, n]) + content
+    lb = n.to_bytes((n.bit_length() + 7) // 8, "big")
+    return bytes([tag, 0x80 | len(lb)]) + lb + content
+
+
+def _der_oid(dotted):
+    parts = [int(p) for p in dotted.split(".")]
+    body = bytearray([parts[0] * 40 + parts[1]])
+    for v in parts[2:]:
+        chunk = bytearray([v & 0x7F])
+        v >>= 7
+        while v:
+            chunk.insert(0, 0x80 | (v & 0x7F))
+            v >>= 7
+        body += chunk
+    return _der_tlv(0x06, bytes(body))
+
+
+def _fake_pss_cert(hash_oid=None):
+    """Minimal DER Certificate with an RSASSA-PSS signatureAlgorithm.
+    hash_oid=None omits the params' [0] hashAlgorithm (DER DEFAULT
+    sha1)."""
+    tbs = _der_tlv(0x30, b"\x02\x01\x01")
+    if hash_oid is None:
+        params = _der_tlv(0x30, b"")
+    else:
+        halg = _der_tlv(0x30, _der_oid(hash_oid) + b"\x05\x00")
+        params = _der_tlv(0x30, _der_tlv(0xA0, halg))
+    alg = _der_tlv(0x30, _der_oid("1.2.840.113549.1.1.10") + params)
+    return _der_tlv(0x30, tbs + alg + _der_tlv(0x03, b"\x00\xab"))
+
+
+@pytest.mark.parametrize("hash_oid,digest", [
+    ("2.16.840.1.101.3.4.2.1", "sha256"),
+    ("2.16.840.1.101.3.4.2.2", "sha384"),
+    ("2.16.840.1.101.3.4.2.3", "sha512"),
+    ("1.3.14.3.2.26", "sha256"),   # sha1 upgrades per RFC 5929
+    (None, "sha256"),              # absent [0]: DEFAULT sha1
+])
+def test_tls_server_end_point_hash_pss_params(hash_oid, digest):
+    """RSASSA-PSS certs hash under the digest named in the params'
+    hashAlgorithm (RFC 4055), not a guessed sha256: a PSS/SHA-384 cert
+    previously produced wrong binding data and an opaque server-side
+    'channel binding check failed'."""
+    import hashlib
+
+    der = _fake_pss_cert(hash_oid)
+    expect = hashlib.new(digest, der).digest()
+    assert pgwire.tls_server_end_point_hash(der) == expect
+
+
+def test_tls_server_end_point_hash_pss_unknown_hash_raises():
+    """A PSS params hash we don't recognize raises the explicit
+    unsupported-algorithm error (fail closed, actionable) instead of
+    silently hashing under the wrong digest."""
+    der = _fake_pss_cert("2.16.840.1.101.3.4.2.7")  # sha3-224
+    with pytest.raises(pgwire.PgWireError, match="unsupported"):
+        pgwire.tls_server_end_point_hash(der)

@@ -94,3 +94,35 @@ def test_ntile_from_row_number_matches_ansi_ntile(spark, n, buckets):
     )
     j = mine.join(ref.select("id", "nt_ref"), "id")
     assert j.filter(F.col("nt") != F.col("nt_ref")).count() == 0
+
+
+def test_chained_rankings_release_predecessor_blocks(spark):
+    """Chained rankings keep ONE pinned checkpoint, not one per call:
+    release_pinned(prev) after the next ranking materializes frees the
+    predecessor's blocks (the ml_rfm_segments memory posture), and the
+    final result is still the exact chained ranking."""
+    from s3_parquet_to_postgres_spark.operators.ranking import (
+        release_pinned,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    df = _df(spark, 200)
+    r1, _ = global_row_number(
+        df, [F.col("key").asc(), F.col("id").asc()], out="rn1",
+        num_partitions=4,
+    )
+    r2, total = global_row_number(
+        r1, [F.col("noise").asc(), F.col("id").asc()], out="rn2",
+        num_partitions=4,
+    )
+    release_pinned(r1)
+    # exactly one NEW pinned RDD survives (r2's checkpoint)
+    assert jsc.getPersistentRDDs().size() == before + 1
+    assert total == 200
+    rows = r2.orderBy("rn2").collect()
+    assert [r["rn2"] for r in rows] == list(range(1, 201))
+    # rn1 column survives the chain and is itself a permutation
+    assert sorted(r["rn1"] for r in rows) == list(range(1, 201))
+    release_pinned(r2)
+    assert jsc.getPersistentRDDs().size() == before

@@ -82,3 +82,30 @@ def test_bad_batch_size(tmp_path):
     wl = make(tmp_path, todo="a\n")
     with pytest.raises(WorkListError, match="batch_size"):
         wl.next_batch(0)
+
+
+def test_duplicate_keys_collapsed_in_batch(tmp_path):
+    """A todo listing a key twice yields it ONCE per batch: duplicate
+    positions used to flow to scan_parquet and double-count that
+    object's rows (first occurrence wins, order otherwise kept)."""
+    wl = make(tmp_path, todo="a\nb\na\nc\nb\n")
+    assert wl.next_batch(10) == ["a", "b", "c"]
+    assert (tmp_path / "wip").read_text() == "a\nb\nc\n"
+
+
+def test_duplicate_keys_collapsed_across_batch_boundary(tmp_path):
+    """Dedup happens before the batch slice, so a duplicate cannot
+    smuggle a key into a later batch either."""
+    wl = make(tmp_path, todo="a\na\nb\n")
+    assert wl.next_batch(2) == ["a", "b"]
+    assert (tmp_path / "todo").read_text() == ""
+
+
+def test_duplicate_keys_collapsed_on_wip_resume(tmp_path):
+    """A crashed run's wip file with a duplicated key resumes as one
+    occurrence, and the consistency check accepts the on-disk dup."""
+    wl = make(tmp_path, todo="", wip="a\nb\na\n")
+    assert wl.next_batch(10) == ["a", "b"]
+    wl.mark_completed("a")
+    wl.mark_completed("b")
+    assert wl.is_drained()
