@@ -380,6 +380,57 @@ WHERE rnk <= 10
 """
 
 
+def similarity_topk_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 cosine neighbors returning the neighbor's RAW
+    embedding vector (`array<float>`) alongside the ids — the
+    fetch-the-vector shape an embeddings pipeline needs (retrieve
+    neighbors, then feed their vectors to a downstream stage without
+    a second lookup join at the caller).
+
+    Array-typed output: proven end-to-end by tools/drive_entry.py and
+    tests/test_oracle_parity.py (both canonicalize arrays
+    recursively); kept OUTSIDE the FLAGSHIP driver window because the
+    external driver's canonicalizer is not known to support array
+    cells (plans/registry.py). The vector is a pass-through of the
+    stored column — bitwise equal on both engines — so the hash
+    compares real array contents, not re-derived floats.
+
+    Scale shape: same broadcast-queries/scan-corpus plan as
+    similarity_topk_cosine; the join back to fetch vectors keys on
+    (query_id, neighbor_id) against the k·|Q| result — broadcast-able
+    at any corpus size since |Q| is bounded.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    topk = S.cosine_topk(e, e.filter(F.col("vec_id") < 3), k=3)
+    return (
+        topk.select("query_id", "neighbor_id", "rank")
+        .join(
+            e.select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("embedding").alias("neighbor_vec")),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id", "rank", "neighbor_vec")
+    )
+
+
+SIMILARITY_TOPK_VECTORS_SQL = """
+WITH e AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+sims AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(qv, e.v) AS sim, e.embedding
+  FROM q JOIN e ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+       embedding AS neighbor_vec
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+      FROM sims)
+WHERE rnk <= 3
+"""
+
+
 def _ann_verified(
     spark: SparkSession, sf_dir: str, approx: DataFrame, k: int,
     min_recall: float,
@@ -3455,6 +3506,10 @@ SPECS: list[QuerySpec] = [
               "assignment, in-cluster greedy-by-id removal"),
     QuerySpec("similarity_topk_cosine", similarity_topk_cosine,
               SIMILARITY_TOPK_SQL),
+    QuerySpec("similarity_topk_vectors", similarity_topk_vectors,
+              SIMILARITY_TOPK_VECTORS_SQL,
+              "array<float> output: raw neighbor vectors, hash-checked "
+              "via the recursive array canonicalizers"),
     QuerySpec("similarity_ann_lsh", similarity_ann_lsh, ANN_VERIFIED_SQL,
               "LSH ANN vs exact top-k: exact top-1 oracled, recall "
               "bound asserted as an oracle-checkable boolean"),

@@ -22,83 +22,79 @@ from .base import QuerySpec
 # agg / sketch / window / scalar / subquery). Everything else follows
 # in module order and stays covered by tests/test_oracle_parity.py.
 FLAGSHIP: list[str] = [
-    # ROUND-5 ROTATION (closing the catalog): rounds 1-4 drove 191
-    # unique entries green through the driver's 50-entry window with
-    # zero failures since r1. This window holds (a) the FINAL 39
-    # never-driver-verified entries, in catalog order -- after this
-    # round every one of the 230 catalog entries has a green driver
-    # CORRECTNESS row -- and (b) 11 re-picks that re-prove entries
-    # whose physical plans or oracle SQLs changed since their last
-    # driver check: the r4 checkpoint/posting-list rewrites
-    # (graph_shortest_hops, ml_naive_bayes, text_bm25, graph_pagerank,
-    # dedup_containment, dedup_ngram_jaccard, ml_logreg_train), the
-    # bench headline (agg_pricing_summary), the two entries whose
-    # oracle SQL gained NULL-exclusion predicates this round
-    # (ml_kmeans_embeddings, event_markov_stationary), and one
-    # phantom-regression bench query (agg_bootstrap_ci).
-    # ml_rfm_segments (in the 39) runs its NEW distributed-ranking
-    # plan. Rotated-out entries keep their green CORRECTNESS rows and
-    # stay continuously oracle-verified by tests/test_oracle_parity.py
-    # and the dual-scale drive_entry sweeps.
+    # ROUND-6 ROTATION (refreshing the oldest evidence): the catalog
+    # closed at 230/230 driver-checked in r5; this window (a) finally
+    # drives agg_hll_mergeable -- the ONE entry whose only driver row
+    # is a round-1 err:"no_oracle" (its oracle SQL was added later and
+    # has never been driver-checked), (b) re-proves the two TPC-H
+    # plans rewritten AFTER the r5 window froze (q11/q15: global
+    # grand-total windows replaced by lazy-checkpoint + broadcast
+    # join-back, commit 925ce61) and ml_rfm_segments (r6: chained
+    # rankings now release each predecessor checkpoint's blocks,
+    # operators/ranking.release_pinned), and (c) spends the remaining
+    # 46 slots on the entries with the OLDEST green driver rows: the
+    # 6 reference TEST-SQL queries (r2) and all 40 entries whose last
+    # green row dates from round 1 -- every one continuously
+    # oracle-verified since by tests/test_oracle_parity.py and the
+    # full drive_entry sweeps, but a fresh driver row on today's
+    # plans is strictly stronger evidence.
     #
-    # ROUND-6 QUEUE (after this round closes the catalog at 230/230
-    # driver-proven): re-pick entries whose physical plans changed
-    # AFTER this window was frozen -- tpch_q11_important_stock and
-    # tpch_q15_top_supplier (global-window rollups rewritten to lazy
-    # checkpoint + broadcast join-back; driver rows date from r2) --
-    # plus any r6 plan rewrites. ml_item_cf's map-side pair rewrite
-    # and ml_rfm_segments' ranking rewrite are already driver-proven
-    # by THIS window.
-    "ml_knn_eval",
-    "scalar_inet",
-    "dedup_rate_by_source",
-    "text_perplexity_buckets",
-    "multimodal_dedup",
-    "ml_user_features",
-    "event_survival",
-    "ml_ab_test",
-    "text_ngram_novelty",
-    "event_running_unique",
-    "corpus_report",
-    "scalar_geo",
-    "scalar_geohash",
-    "agg_spatial_density",
-    "text_textrank",
-    "agg_timeseries_acf",
-    "text_rake",
-    "agg_ipf_raking",
-    "ml_adaboost_stumps",
-    "ml_naive_bayes_holdout",
-    "table_dp_counts",
-    "event_changepoint",
-    "ml_tree_stump",
-    "event_attribution_ushape",
-    "event_bot_signals",
-    "text_readability",
-    "agg_gini_segment",
-    "event_forecast_linear",
-    "table_drift_psi",
+    # similarity_topk_vectors (new in r6, array<float> output) stays
+    # OUTSIDE this window deliberately: the external driver's
+    # canonicalizer is not known to handle array cells (the in-repo
+    # harnesses canonicalize arrays recursively and prove it at
+    # sf0.001 + sf0.01); rotate it in only if the driver gains array
+    # support.
+    "agg_hll_mergeable",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
     "ml_rfm_segments",
-    "agg_entropy_categorical",
-    "ml_cluster_purity",
-    "event_seasonality",
-    "event_concurrency",
-    "agg_contingency_chi2",
-    "ml_ndcg_eval",
-    "text_phrase_search",
-    "text_chunk_split",
-    "ml_item_cf",
-    "graph_shortest_hops",
-    "ml_naive_bayes",
-    "text_bm25",
-    "graph_pagerank",
-    "dedup_containment",
-    "dedup_ngram_jaccard",
-    "ml_logreg_train",
-    "agg_pricing_summary",
-    "ml_kmeans_embeddings",
-    "event_markov_stationary",
-    "agg_bootstrap_ci",
+    "ref_count",
+    "ref_null_filter",
+    "ref_project_rename_cast",
+    "ref_sort_limit",
+    "ref_star",
+    "ref_union_all",
+    "agg_argmax",
+    "agg_bitmap_distinct",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_mode",
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_skew_salted",
+    "agg_stats",
+    "agg_string_concat",
+    "filter_predicates",
+    "join_anti",
+    "join_bloom_pruned",
+    "join_cross",
+    "join_full_outer",
+    "join_left",
+    "join_range_bucketed",
+    "join_right",
+    "join_semi",
+    "join_skew_salted",
+    "join_theta",
+    "scalar_array",
+    "scalar_date",
+    "scalar_edit_distance",
+    "scalar_explode",
+    "scalar_math",
+    "scalar_string",
+    "scalar_unpivot",
+    "set_distinct",
+    "set_except",
+    "set_intersect",
+    "sort_multi_key_nulls",
+    "subquery_correlated",
+    "window_distribution",
+    "window_frames",
+    "window_lag_lead",
+    "window_ranking",
+    "window_topk_per_group",
 ]
 
 

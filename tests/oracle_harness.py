@@ -31,6 +31,16 @@ def _norm_value(v):
         return f"bool:{v}"
     if isinstance(v, int):
         return f"int:{v}"
+    # Arrays/maps canonicalize recursively and container-blind:
+    # Spark's toPandas yields numpy arrays / lists where DuckDB's
+    # .df() yields numpy arrays, so the container type must not leak
+    # into the rendering -- only element values (and NULL slots) do.
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_norm_value(e) for e in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{k}:{_norm_value(v[k])}" for k in sorted(v)
+        ) + "}"
     return f"{type(v).__name__}:{v}"
 
 
