@@ -1,0 +1,190 @@
+"""Chunk-and-stitch order-dependent per-key windows — the straggler
+mitigation for pathologically hot keys.
+
+``Window.partitionBy(user).orderBy(ts)`` puts EVERY row of one key
+through one task. At 100 TB a single key with billions of rows
+(a bot, a default/null user id, an instrumentation firehose) turns a
+per-key window into a one-task straggler that no amount of cluster
+buys back. These operators split each key's timeline into TIME
+BUCKETS, compute the order-dependent state per (key, bucket) — each
+task bounded by one bucket's rows — then stitch buckets with a second
+window over the per-bucket SUMMARY table (one row per (key, bucket),
+data-volume-independent), the same bounded-state + boundary-merge
+shape streaming/cep.py uses to keep micro-batch splits parity with
+the batch answer.
+
+Results are bit-identical to the single-task window at any bucket
+width (pinned by tests/test_chunked_window.py against the plain
+window on a pathological 80 %-of-rows key, across widths from
+narrower-than-gap to one-bucket-degenerate).
+
+Opt-in: the catalog's per-user windows (event_sessionize,
+event_running_unique, streaks) keep their plain formulation — at
+their audited shuffle sizes the extra bucket join costs more than it
+saves. Reach for these when a key's row count approaches what one
+task can sort.
+
+Reference parity note: the reference engine has no windowed analytics
+at all (src/ is row-at-a-time ETL); this module exists for the 100 TB
+posture of OUR window surface.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_BKT = "__cw_bucket"
+_LOC = "__cw_local"
+_OFF = "__cw_offset"
+_MRG = "__cw_merged"
+
+
+def _bucketed(df: DataFrame, ts_col: str, bucket_width_sec: float) -> DataFrame:
+    """Stamp the deterministic time bucket: floor(epoch_us / width_us).
+    Bucketing by VALUE (not row position) is what makes the split
+    reproducible without a global per-key sort."""
+    width_us = int(bucket_width_sec * 1_000_000)
+    if width_us <= 0:
+        raise ValueError(f"bucket_width_sec must be > 0, got {bucket_width_sec}")
+    return df.withColumn(
+        _BKT,
+        F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(width_us)
+        ).cast("long"),
+    )
+
+
+def chunked_cumsum(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    ts_col: str,
+    value_col: Column | str,
+    out: str,
+    bucket_width_sec: float,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Running SUM(value) per key ordered by (ts, *tiebreaks) — the
+    ``sum(x) OVER (PARTITION BY key ORDER BY ts ROWS UNBOUNDED
+    PRECEDING)`` shape (cumulative counts, running totals,
+    running-unique via first-occurrence flags) — with every task
+    bounded by one time bucket.
+
+    Three stages, none keyed on the bare hot key:
+    1. local running sum per (key, bucket) — hash-partitioned on the
+       COMPOSITE key, so a hot key spreads across its buckets;
+    2. per-bucket totals stitched by a window over the summary table
+       (rows = #non-empty buckets per key, independent of row count);
+    3. offsets joined back on (key, bucket).
+
+    ``(ts, *tiebreak_cols)`` must totally order rows within a key or
+    the cumulative values at ties are nondeterministic — same
+    contract as the plain window it replaces.
+    """
+    partition_cols = list(partition_cols)
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    b = _bucketed(df, ts_col, bucket_width_sec).withColumn("__cw_val", val)
+
+    w_local = (
+        Window.partitionBy(*partition_cols, _BKT)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = b.withColumn(_LOC, F.sum("__cw_val").over(w_local))
+
+    totals = local.groupBy(*partition_cols, _BKT).agg(
+        F.sum("__cw_val").alias("__cw_total")
+    )
+    w_buckets = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col(_BKT).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *partition_cols,
+        _BKT,
+        F.coalesce(F.sum("__cw_total").over(w_buckets), F.lit(0)).alias(_OFF),
+    )
+    return (
+        local.join(offsets, partition_cols + [_BKT])
+        .withColumn(out, F.col(_LOC) + F.col(_OFF))
+        .drop(_BKT, _LOC, _OFF, "__cw_val")
+    )
+
+
+def sessionize_chunked(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    ts_col: str,
+    gap_sec: float,
+    bucket_width_sec: float,
+    out: str = "session_id",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Gap-based session ids per key — ``new session when
+    ts - lag(ts) >= gap`` (the event_sessionize / F.session_window
+    semantics) — with bounded per-task state.
+
+    Stitch logic: sessionize each (key, bucket) locally (bucket's
+    first row opens local session 1), summarize each bucket as
+    (first_ts, last_ts, n_local_sessions), then one window over the
+    summary decides per bucket whether its first local session
+    CONTINUES the previous bucket's last session
+    (first_ts - lag(last_ts) < gap) and prefix-sums the effective
+    session counts into a starting offset. A session spanning k
+    buckets merges k-1 times and is counted once — global ids come
+    out identical to the single-task ``sum(new_session) OVER
+    (PARTITION BY key ORDER BY ts)``.
+
+    Returns the input rows plus ``out`` (1-based session id per key).
+    """
+    partition_cols = list(partition_cols)
+    gap_us = int(gap_sec * 1_000_000)
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    b = _bucketed(df, ts_col, bucket_width_sec).withColumn(
+        "__cw_us", F.unix_micros(F.col(ts_col).cast("timestamp"))
+    )
+
+    w_local = Window.partitionBy(*partition_cols, _BKT).orderBy(*order)
+    new_local = (
+        F.lag("__cw_us").over(w_local).isNull()
+        | (F.col("__cw_us") - F.lag("__cw_us").over(w_local) >= F.lit(gap_us))
+    ).cast("long")
+    local = b.withColumn(
+        _LOC,
+        F.sum(new_local).over(
+            w_local.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+
+    summary = local.groupBy(*partition_cols, _BKT).agg(
+        F.min("__cw_us").alias("__cw_first"),
+        F.max("__cw_us").alias("__cw_last"),
+        F.max(_LOC).alias("__cw_nloc"),
+    )
+    w_buckets = Window.partitionBy(*partition_cols).orderBy(F.col(_BKT).asc())
+    merged = (
+        F.lag("__cw_last").over(w_buckets).isNotNull()
+        & (F.col("__cw_first") - F.lag("__cw_last").over(w_buckets)
+           < F.lit(gap_us))
+    ).cast("long")
+    stitched = summary.withColumn(_MRG, merged).withColumn(
+        _OFF,
+        F.coalesce(
+            F.sum(F.col("__cw_nloc") - F.col(_MRG)).over(
+                w_buckets.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select(*partition_cols, _BKT, _MRG, _OFF)
+    return (
+        local.join(stitched, partition_cols + [_BKT])
+        .withColumn(
+            out, (F.col(_LOC) + F.col(_OFF) - F.col(_MRG)).cast("long")
+        )
+        .drop(_BKT, _LOC, _OFF, _MRG, "__cw_us")
+    )

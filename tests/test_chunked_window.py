@@ -1,0 +1,145 @@
+"""operators/chunked_window.py: chunk-and-stitch per-key windows must
+be BIT-IDENTICAL to the single-task window they replace, on data with
+a pathologically hot key (the 100 TB straggler scenario: one key
+owning most rows). Width sweep covers narrower-than-gap buckets
+(sessions span many buckets), wider-than-gap, and the one-bucket
+degenerate case (stitch reduces to the plain window)."""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from s3_parquet_to_postgres_spark.operators.chunked_window import (
+    chunked_cumsum,
+    sessionize_chunked,
+)
+
+GAP_SEC = 120.0
+BASE = datetime.datetime(2024, 1, 1)
+
+
+def _skewed_events(spark, n=3000, seed=11):
+    """~80% of rows on one hot key; inter-event gaps straddle the
+    session gap so sessions split and merge at many bucket widths;
+    duplicate timestamps included (tiebreak column required)."""
+    rng = random.Random(seed)
+    rows = []
+    t = 0.0
+    for i in range(n):
+        key = "hot" if rng.random() < 0.8 else f"u{rng.randrange(20)}"
+        # jumps: mostly small (< gap), sometimes >= gap, sometimes 0
+        r = rng.random()
+        if r < 0.1:
+            step = 0.0
+        elif r < 0.8:
+            step = rng.uniform(0.5, 90.0)
+        else:
+            step = rng.uniform(GAP_SEC, GAP_SEC * 4)
+        t += step
+        rows.append((i, key, BASE + datetime.timedelta(seconds=t),
+                     rng.randrange(5)))
+    return spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, v long"
+    ).repartition(7)
+
+
+def _collect_map(df, keys, val):
+    return {tuple(r[k] for k in keys): r[val] for r in df.collect()}
+
+
+@pytest.mark.parametrize("width_sec", [7.0, 60.0, 300.0, 10_000_000.0])
+def test_sessionize_chunked_matches_plain_window(spark, width_sec):
+    df = _skewed_events(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    new = (
+        F.lag(us).over(w).isNull()
+        | (us - F.lag(us).over(w) >= F.lit(int(GAP_SEC * 1_000_000)))
+    ).cast("long")
+    plain = df.withColumn(
+        "sid",
+        F.sum(new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    chunked = sessionize_chunked(
+        df, ["user_id"], "ts", gap_sec=GAP_SEC,
+        bucket_width_sec=width_sec, out="sid",
+        tiebreak_cols=["event_id"],
+    )
+    assert sorted(chunked.columns) == sorted(plain.columns)
+    got = _collect_map(chunked, ["event_id"], "sid")
+    want = _collect_map(plain, ["event_id"], "sid")
+    assert got == want
+
+
+@pytest.mark.parametrize("width_sec", [7.0, 300.0, 10_000_000.0])
+def test_chunked_cumsum_matches_plain_window(spark, width_sec):
+    df = _skewed_events(spark)
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    plain = df.withColumn("run", F.sum("v").over(w))
+    chunked = chunked_cumsum(
+        df, ["user_id"], "ts", "v", out="run",
+        bucket_width_sec=width_sec, tiebreak_cols=["event_id"],
+    )
+    assert _collect_map(chunked, ["event_id"], "run") == _collect_map(
+        plain, ["event_id"], "run"
+    )
+
+
+def test_chunked_running_unique_composition(spark):
+    """running-unique = chunked_cumsum over first-occurrence flags:
+    the composition the catalog's event_running_unique would use if a
+    key ever went pathological."""
+    df = _skewed_events(spark)
+    w_first = Window.partitionBy("user_id", "v").orderBy("ts", "event_id")
+    flagged = df.withColumn(
+        "is_first", (F.row_number().over(w_first) == 1).cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    plain = flagged.withColumn("n_uniq", F.sum("is_first").over(w))
+    chunked = chunked_cumsum(
+        flagged, ["user_id"], "ts", "is_first", out="n_uniq",
+        bucket_width_sec=45.0, tiebreak_cols=["event_id"],
+    )
+    assert _collect_map(chunked, ["event_id"], "n_uniq") == _collect_map(
+        plain, ["event_id"], "n_uniq"
+    )
+
+
+def test_hot_key_spreads_across_tasks(spark):
+    """The scale property itself: the order-dependent stage hash-
+    partitions on (key, bucket), so the hot key's rows land in MANY
+    shuffle partitions instead of one task's sort buffer."""
+    df = _skewed_events(spark)
+    chunked = sessionize_chunked(
+        df, ["user_id"], "ts", gap_sec=GAP_SEC, bucket_width_sec=30.0,
+        tiebreak_cols=["event_id"],
+    )
+    plan = chunked._jdf.queryExecution().executedPlan().toString()
+    assert "__cw_bucket" in plan, plan
+    # the hot key's rows occupy many distinct buckets at this width
+    from s3_parquet_to_postgres_spark.operators.chunked_window import (
+        _bucketed,
+    )
+    n_buckets = (
+        _bucketed(df.filter(F.col("user_id") == "hot"), "ts", 30.0)
+        .select("__cw_bucket").distinct().count()
+    )
+    assert n_buckets > 100
+
+
+def test_bad_bucket_width_raises(spark):
+    df = _skewed_events(spark, n=10)
+    with pytest.raises(ValueError, match="bucket_width_sec"):
+        sessionize_chunked(df, ["user_id"], "ts", 10.0, 0.0)
