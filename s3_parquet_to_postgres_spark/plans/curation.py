@@ -2259,6 +2259,50 @@ def event_running_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_running_unique_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`event_running_unique`'s cumulative-unique curve with BOTH
+    order-dependent stages made hot-key-proof: the per-(type, user)
+    first-occurrence window becomes a plain min-aggregate (no window
+    at all — first day = day of min ts), and the running sum over the
+    daily rollup goes through `chunked_cumsum` (weekly buckets +
+    bucket-offset stitch). Oracle shared with the plain entry — the
+    value-hash pins the chunked cumulative arithmetic exactly.
+    """
+    from ..operators.chunked_window import chunked_cumsum
+
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+        .alias("day"),
+    ).agg(F.count("*").alias("n_events"))
+    first_day = (
+        e.groupBy("event_type", "user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("first_ts")),
+                          "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count("*").alias("new_users"))
+    )
+    joined = daily.join(first_day, ["event_type", "day"], "left").select(
+        "event_type", "day", "n_events",
+        F.coalesce(F.col("new_users"), F.lit(0)).alias("new_users"),
+    )
+    run = chunked_cumsum(
+        joined, ["event_type"], "day", "new_users",
+        out="cumulative_unique_users", bucket_width_sec=7 * 86400.0,
+    )
+    return run.select(
+        "event_type", "day",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.col("cumulative_unique_users").cast("long")
+        .alias("cumulative_unique_users"),
+    )
+
+
 EVENT_RUNNING_UNIQUE_SQL = """
 WITH flagged AS (
   SELECT event_type,
@@ -2887,6 +2931,10 @@ SPECS: list[QuerySpec] = [
               EVENT_RUNNING_UNIQUE_SQL,
               "cumulative distinct users via first-occurrence flags + "
               "running sum: linear state, never a running COUNT(DISTINCT)"),
+    QuerySpec("event_running_unique_chunked", event_running_unique_chunked,
+              EVENT_RUNNING_UNIQUE_SQL,
+              "hot-key-proof cumulative uniques: first-occurrence via "
+              "min-aggregate, running sum via chunked_cumsum"),
     QuerySpec("dedup_exact_spans", dedup_exact_spans,
               DEDUP_EXACT_SPANS_SQL,
               "ExactSubstr-style maximal shared token spans: "

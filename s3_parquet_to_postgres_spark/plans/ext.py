@@ -2480,6 +2480,38 @@ FROM numbered GROUP BY user_id, session_id
 """
 
 
+def event_sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 30-minute-gap sessions as `event_sessionize`, computed
+    through the chunk-and-stitch operator
+    (`operators/chunked_window.sessionize_chunked`): each user's
+    timeline is split into 6-hour buckets, sessionized per
+    (user, bucket) — every task bounded by one bucket's rows — and
+    stitched via a window over the one-row-per-bucket summary. Output
+    and oracle are IDENTICAL to the plain entry, so the driver's
+    value-hash proves the chunked path bit-equal to the single-task
+    window at the catalog level (not just in unit tests). This is the
+    opt-in plan shape for a pathologically hot key (bot / null user)
+    whose row count exceeds what one task can sort.
+    """
+    from ..operators.chunked_window import sessionize_chunked
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts")
+    sess = sessionize_chunked(
+        e, ["user_id"], "ts", gap_sec=30 * 60.0,
+        bucket_width_sec=6 * 3600.0, out="session_id",
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("start_ts"), F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Market-basket association mining over orders: support /
     # confidence / lift for part pairs co-occurring in an order
@@ -3617,6 +3649,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("event_window_sliding", event_window_sliding,
               EVENT_WINDOW_SLIDING_SQL),
     QuerySpec("event_sessionize", event_sessionize, EVENT_SESSIONIZE_SQL),
+    QuerySpec("event_sessionize_chunked", event_sessionize_chunked,
+              EVENT_SESSIONIZE_SQL,
+              "chunk-and-stitch sessionization: bit-equal to the "
+              "single-task window, every task bounded by one bucket"),
     QuerySpec("multimodal_phash_pairs", multimodal_phash_pairs,
               MULTIMODAL_PHASH_PAIRS_SQL,
               "perceptual block-hash near-dup over binary payloads: "

@@ -39,6 +39,15 @@ FLAGSHIP: list[str] = [
     # full drive_entry sweeps, but a fresh driver row on today's
     # plans is strictly stronger evidence.
     #
+    # NEW r6 entries event_sessionize_chunked /
+    # event_running_unique_chunked (chunk-and-stitch windows sharing
+    # the plain entries' oracles -- the driver hash proves the chunked
+    # path bit-equal at catalog level) enter the window immediately;
+    # join_cross (broadcast 5x5 region self-pair) and set_distinct
+    # (plain distinct) ceded their refresh slots -- lowest
+    # current-plan risk of the r1 cohort, both still covered by
+    # test_oracle_parity and the full drive sweeps.
+    #
     # similarity_topk_vectors (new in r6, array<float> output) stays
     # OUTSIDE this window deliberately: the external driver's
     # canonicalizer is not known to handle array cells (the in-repo
@@ -49,6 +58,8 @@ FLAGSHIP: list[str] = [
     "tpch_q11_important_stock",
     "tpch_q15_top_supplier",
     "ml_rfm_segments",
+    "event_sessionize_chunked",
+    "event_running_unique_chunked",
     "ref_count",
     "ref_null_filter",
     "ref_project_rename_cast",
@@ -70,7 +81,6 @@ FLAGSHIP: list[str] = [
     "filter_predicates",
     "join_anti",
     "join_bloom_pruned",
-    "join_cross",
     "join_full_outer",
     "join_left",
     "join_range_bucketed",
@@ -85,7 +95,6 @@ FLAGSHIP: list[str] = [
     "scalar_math",
     "scalar_string",
     "scalar_unpivot",
-    "set_distinct",
     "set_except",
     "set_intersect",
     "sort_multi_key_nulls",
