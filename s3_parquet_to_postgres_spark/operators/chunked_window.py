@@ -24,6 +24,14 @@ their audited shuffle sizes the extra bucket join costs more than it
 saves. Reach for these when a key's row count approaches what one
 task can sort.
 
+Cost model (see PLANS.md `event_sessionize_chunked`): the summary
+branch re-derives the local stage — Catalyst does not dedupe a DAG's
+shared subplan — so the fact is scanned and bucket-shuffled twice.
+Deliberate: the rows are corpus-sized, and recomputing one extra
+scan+shuffle beats checkpointing a corpus to disk; both derivations
+are fully parallel, which is the point versus the one-task sort they
+replace.
+
 Reference parity note: the reference engine has no windowed analytics
 at all (src/ is row-at-a-time ETL); this module exists for the 100 TB
 posture of OUR window surface.

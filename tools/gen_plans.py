@@ -68,6 +68,16 @@ SECTIONS = [
         " shuffle volume by session count, not event count.",
     ),
     (
+        "event_sessionize_chunked",
+        "The straggler-proof variant (operators/chunked_window.py): rows"
+        " hash-shuffle on (user_id, time-bucket) so a pathologically hot"
+        " key spreads across tasks; the stitch window runs over the"
+        " one-row-per-(key,bucket) summary aggregate -- data-volume-"
+        "independent -- and the offsets join back on the composite key."
+        " Same oracle, bit-equal output to event_sessionize's"
+        " single-task-per-user window.",
+    ),
+    (
         "corpus_curation_pipeline",
         "The full curation funnel: every per-doc signal (token count, the"
         " five-language marker scores as ONE struct-fold traversal, the"
