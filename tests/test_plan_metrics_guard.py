@@ -36,8 +36,10 @@ from s3_parquet_to_postgres_spark.plans import all_queries
 PINS_PATH = pathlib.Path(__file__).with_name("plan_metrics_pins.json")
 PIN_MODE = os.environ.get("PIN_PLAN_METRICS") == "1"
 
-# The bench workload: bench.py's HEADLINE + EXTRA lists, imported so
-# the guard can never drift from what the driver times.
+# The bench workload (bench.py's HEADLINE + EXTRA, imported so the
+# guard can never drift from what the driver times) leads the list;
+# round-6 widening: the REST of the catalog follows, so every declared
+# plan's exchange/scan fingerprint is pinned, not just the timed ones.
 import importlib.util as _ilu  # noqa: E402
 
 _spec = _ilu.spec_from_file_location(
@@ -45,7 +47,9 @@ _spec = _ilu.spec_from_file_location(
 )
 _bench = _ilu.module_from_spec(_spec)
 _spec.loader.exec_module(_bench)
-BENCH_NAMES = list(dict.fromkeys(_bench.HEADLINE + _bench.EXTRA))
+BENCH_NAMES = list(dict.fromkeys(
+    _bench.HEADLINE + _bench.EXTRA + sorted(all_queries())
+))
 
 
 def _walk(node):
