@@ -143,3 +143,40 @@ def test_bad_bucket_width_raises(spark):
     df = _skewed_events(spark, n=10)
     with pytest.raises(ValueError, match="bucket_width_sec"):
         sessionize_chunked(df, ["user_id"], "ts", 10.0, 0.0)
+
+
+def test_sessionize_chunked_edge_cases(spark):
+    """Deterministic boundaries: a diff EXACTLY equal to the gap opens
+    a new session (>= semantics, matching the oracle's INTERVAL
+    comparison); pre-1970 timestamps bucket correctly (floor of a
+    negative epoch); all-identical timestamps collapse to one session
+    regardless of bucket width."""
+    rows = [
+        # user "a": diffs exactly 120s -> every event its own session
+        (0, "a", BASE, 0),
+        (1, "a", BASE + datetime.timedelta(seconds=120), 0),
+        (2, "a", BASE + datetime.timedelta(seconds=240), 0),
+        # user "b": pre-1970 (negative epoch), 1s apart -> one session
+        (3, "b", datetime.datetime(1969, 12, 31, 23, 59, 58), 0),
+        (4, "b", datetime.datetime(1969, 12, 31, 23, 59, 59), 0),
+        (5, "b", datetime.datetime(1970, 1, 1, 0, 0, 0), 0),
+        # user "c": identical timestamps -> one session
+        (6, "c", BASE, 0),
+        (7, "c", BASE, 0),
+        (8, "c", BASE, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, v long"
+    )
+    for width in (1.0, 120.0, 1e9):
+        got = {
+            (r["user_id"], r["event_id"]): r["sid"]
+            for r in sessionize_chunked(
+                df, ["user_id"], "ts", gap_sec=GAP_SEC,
+                bucket_width_sec=width, out="sid",
+                tiebreak_cols=["event_id"],
+            ).collect()
+        }
+        assert got[("a", 0)] == 1 and got[("a", 1)] == 2 and got[("a", 2)] == 3, (width, got)
+        assert got[("b", 3)] == got[("b", 4)] == got[("b", 5)] == 1, (width, got)
+        assert got[("c", 6)] == got[("c", 7)] == got[("c", 8)] == 1, (width, got)
