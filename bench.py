@@ -107,6 +107,12 @@ EXTRA = [
     "multimodal_phash_pairs",
     "ml_ndcg_eval",
     "agg_ipf_raking",
+    # round-6 additions: chunk-and-stitch windows + array-returning
+    # top-k (EXTRA only -- the frozen 19-query HEADLINE sum that the
+    # cross-round comparison binds against is unchanged)
+    "event_sessionize_chunked",
+    "event_running_unique_chunked",
+    "similarity_topk_vectors",
 ]
 
 
