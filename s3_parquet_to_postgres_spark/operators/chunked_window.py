@@ -51,6 +51,27 @@ _OFF = "__cw_offset"
 _MRG = "__cw_merged"
 
 
+def _null_safe_join(rows: DataFrame, summary: DataFrame,
+                    keys: Sequence[str]) -> DataFrame:
+    """Join per-row data to its (key..., bucket) summary with
+    NULL-SAFE key equality. A plain name-equi-join drops NULL-key
+    rows (NULL != NULL), silently diverging from the window being
+    replaced — and a NULL key (null user id) is precisely the hot-key
+    case these operators exist for. The summary side is renamed so
+    the eqNullSafe condition is unambiguous, then dropped."""
+    renamed = summary.select(
+        *[F.col(c).alias(f"__cw_r_{c}") for c in keys],
+        *[F.col(c) for c in summary.columns if c not in keys],
+    )
+    cond = None
+    for c in keys:
+        e = rows[c].eqNullSafe(renamed[f"__cw_r_{c}"])
+        cond = e if cond is None else cond & e
+    return rows.join(renamed, cond).drop(
+        *[f"__cw_r_{c}" for c in keys]
+    )
+
+
 def _bucketed(df: DataFrame, ts_col: str, bucket_width_sec: float) -> DataFrame:
     """Stamp the deterministic time bucket: floor(epoch_us / width_us).
     Bucketing by VALUE (not row position) is what makes the split
@@ -118,7 +139,7 @@ def chunked_cumsum(
         F.coalesce(F.sum("__cw_total").over(w_buckets), F.lit(0)).alias(_OFF),
     )
     return (
-        local.join(offsets, partition_cols + [_BKT])
+        _null_safe_join(local, offsets, partition_cols + [_BKT])
         .withColumn(out, F.col(_LOC) + F.col(_OFF))
         .drop(_BKT, _LOC, _OFF, "__cw_val")
     )
@@ -190,7 +211,7 @@ def sessionize_chunked(
         ),
     ).select(*partition_cols, _BKT, _MRG, _OFF)
     return (
-        local.join(stitched, partition_cols + [_BKT])
+        _null_safe_join(local, stitched, partition_cols + [_BKT])
         .withColumn(
             out, (F.col(_LOC) + F.col(_OFF) - F.col(_MRG)).cast("long")
         )

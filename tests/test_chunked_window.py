@@ -180,3 +180,34 @@ def test_sessionize_chunked_edge_cases(spark):
         assert got[("a", 0)] == 1 and got[("a", 1)] == 2 and got[("a", 2)] == 3, (width, got)
         assert got[("b", 3)] == got[("b", 4)] == got[("b", 5)] == 1, (width, got)
         assert got[("c", 6)] == got[("c", 7)] == got[("c", 8)] == 1, (width, got)
+
+
+def test_null_partition_key_rows_survive(spark):
+    """A NULL key (null user id -- the classic hot key) must behave
+    exactly like the plain window's single NULL partition, not get
+    dropped by a null-unsafe stitch join."""
+    rows = [
+        (0, None, BASE, 1),
+        (1, None, BASE + datetime.timedelta(seconds=50), 2),
+        (2, None, BASE + datetime.timedelta(seconds=400), 3),
+        (3, "u", BASE, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, v long"
+    )
+    sess = {
+        r["event_id"]: r["sid"]
+        for r in sessionize_chunked(
+            df, ["user_id"], "ts", gap_sec=GAP_SEC, bucket_width_sec=60.0,
+            out="sid", tiebreak_cols=["event_id"],
+        ).collect()
+    }
+    assert sess == {0: 1, 1: 1, 2: 2, 3: 1}
+    run = {
+        r["event_id"]: r["run"]
+        for r in chunked_cumsum(
+            df, ["user_id"], "ts", "v", out="run", bucket_width_sec=60.0,
+            tiebreak_cols=["event_id"],
+        ).collect()
+    }
+    assert run == {0: 1, 1: 3, 2: 6, 3: 4}
