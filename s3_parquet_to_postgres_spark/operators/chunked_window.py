@@ -112,6 +112,12 @@ def chunked_cumsum(
     ``(ts, *tiebreak_cols)`` must totally order rows within a key or
     the cumulative values at ties are nondeterministic — same
     contract as the plain window it replaces.
+
+    NULL semantics match the window exactly: SUM skips NULL values,
+    and a row whose whole frame is NULL-valued gets NULL. The stitch
+    is null-aware — a NULL local prefix falls back to the prior
+    buckets' total, and to NULL only when no prior bucket contributed
+    a non-null value.
     """
     partition_cols = list(partition_cols)
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
@@ -133,15 +139,28 @@ def chunked_cumsum(
         .orderBy(F.col(_BKT).asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # _OFF = sum of prior bucket totals (SUM-over-window already
+    # skips all-NULL buckets); the has-prior flag distinguishes
+    # "prior buckets summed to nothing" from "no non-null prior at
+    # all" so NULL local prefixes resolve exactly like the window.
+    prior_sum = F.sum("__cw_total").over(w_buckets)
     offsets = totals.select(
         *partition_cols,
         _BKT,
-        F.coalesce(F.sum("__cw_total").over(w_buckets), F.lit(0)).alias(_OFF),
+        F.coalesce(prior_sum, F.lit(0)).alias(_OFF),
+        prior_sum.isNotNull().alias("__cw_has_prior"),
+    )
+    stitched_val = (
+        F.when(
+            F.col(_LOC).isNull() & ~F.col("__cw_has_prior"), F.lit(None)
+        )
+        .when(F.col(_LOC).isNull(), F.col(_OFF))
+        .otherwise(F.col(_LOC) + F.col(_OFF))
     )
     return (
         _null_safe_join(local, offsets, partition_cols + [_BKT])
-        .withColumn(out, F.col(_LOC) + F.col(_OFF))
-        .drop(_BKT, _LOC, _OFF, "__cw_val")
+        .withColumn(out, stitched_val)
+        .drop(_BKT, _LOC, _OFF, "__cw_has_prior", "__cw_val")
     )
 
 
@@ -170,6 +189,11 @@ def sessionize_chunked(
     (PARTITION BY key ORDER BY ts)``.
 
     Returns the input rows plus ``out`` (1-based session id per key).
+
+    Precondition: ``ts_col`` must be non-null — a session of an
+    unknown timestamp is not meaningful, and the plain window's
+    nulls-first ordering quirk is not a contract worth replicating.
+    (NULL partition KEYS are fully supported; see _null_safe_join.)
     """
     partition_cols = list(partition_cols)
     gap_us = int(gap_sec * 1_000_000)

@@ -211,3 +211,42 @@ def test_null_partition_key_rows_survive(spark):
         ).collect()
     }
     assert run == {0: 1, 1: 3, 2: 6, 3: 4}
+
+
+def test_chunked_cumsum_null_values_match_plain_window(spark):
+    """SUM-over-frame skips NULL values; a row after non-null rows
+    still carries the running total, and a row whose entire frame is
+    NULL-valued gets NULL. The naive local+offset stitch returned
+    NULL for any NULL-local prefix -- pinned here against the plain
+    window on data that opens with NULLs, closes with NULLs, and has
+    an all-NULL bucket in the middle."""
+    rows = [
+        # user "a": starts NULL (frame all-null -> NULL), then values
+        (0, "a", BASE, None),
+        (1, "a", BASE + datetime.timedelta(seconds=10), 5),
+        # next bucket (width 60): all-NULL bucket
+        (2, "a", BASE + datetime.timedelta(seconds=70), None),
+        (3, "a", BASE + datetime.timedelta(seconds=80), None),
+        # third bucket: opens NULL (local prefix NULL, prior total 5)
+        (4, "a", BASE + datetime.timedelta(seconds=130), None),
+        (5, "a", BASE + datetime.timedelta(seconds=140), 7),
+        (6, "b", BASE, None),  # lone all-NULL user -> NULL everywhere
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, v long"
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    plain = {r["event_id"]: r["run"]
+             for r in df.withColumn("run", F.sum("v").over(w)).collect()}
+    assert plain == {0: None, 1: 5, 2: 5, 3: 5, 4: 5, 5: 12, 6: None}
+    got = {
+        r["event_id"]: r["run"]
+        for r in chunked_cumsum(
+            df, ["user_id"], "ts", "v", out="run", bucket_width_sec=60.0,
+            tiebreak_cols=["event_id"],
+        ).collect()
+    }
+    assert got == plain
