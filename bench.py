@@ -198,6 +198,8 @@ def main() -> None:
     # otherwise 1s query) and sustained noisy-neighbor inflation
     # (observed: ~1.3-1.7x uniform, invisible in the process table)
     # must pollute the record as little as possible.
+    from s3_parquet_to_postgres_spark.operators.ranking import drain_pins
+
     timings: dict[str, float] = {}
     for name in HEADLINE + EXTRA:
         runs = []
@@ -205,6 +207,11 @@ def main() -> None:
             start = time.perf_counter()
             _force(queries[name](spark, SF_DIR))
             runs.append(time.perf_counter() - start)
+            # Eager-construction plans (ml_rfm_segments) pin one
+            # checkpoint per construction; this loop constructs each
+            # plan three times -- drain between runs so the bench
+            # session's memory posture stays flat.
+            drain_pins()
         timings[name] = round(min(runs), 3)
 
     calibration_post = _calibrate(spark)

@@ -28,6 +28,7 @@ where the single-task ntile would put them.
 
 from __future__ import annotations
 
+import logging
 from typing import Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame
@@ -35,6 +36,26 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 _PID = "__grn_pid"
+
+_LOG = logging.getLogger(__name__)
+_warned_pin_unavailable = False
+
+# Every live checkpoint-pin handle, append order. release_pinned()
+# removes the one it frees; drain_pins() empties the lot. Without the
+# registry a long-running session (a bench loop, a plan sweep, the
+# invariance harness) that constructs ml_rfm_segments-style plans
+# repeatedly would accumulate one pinned per-user-rollup RDD per
+# construction for the session lifetime -- the FINAL ranking's pin has
+# no release point inside the plan function (its DataFrame is returned
+# lazily), so the session boundary between queries is where it drains.
+_live_pins: list = []
+
+
+def _acquire_pin_handle(stamped: DataFrame):
+    """The JavaRDD handle of a lazily-localCheckpointed DataFrame's
+    pinned blocks — the ONLY private-API touch in this module,
+    isolated here so tests can break it and pin the fallback."""
+    return stamped._jdf.queryExecution().optimizedPlan().rdd()
 
 
 def global_row_number(
@@ -96,14 +117,32 @@ def global_row_number(
     # Handle to the pinned checkpoint blocks, for release_pinned():
     # callers chaining several rankings can free ranking N-1's blocks
     # once ranking N has materialized (N's checkpoint truncates the
-    # lineage, so N-1 is never read again). Best-effort private-API
-    # touch; absence of the attribute just means no early release.
+    # lineage, so N-1 is never read again). The handle rides on the
+    # RETURNED DataFrame (later transformations yield new frames
+    # without it -- release the object this function returned) and in
+    # the module pin registry for drain_pins(). Best-effort
+    # private-API touch: tests/test_ranking.py::
+    # test_chained_rankings_release_predecessor_blocks is the TRIPWIRE
+    # if a Spark upgrade breaks the attribute path, and
+    # test_pin_handle_unavailable_falls_back pins the fallback --
+    # "no early release" (a memory posture, never a correctness
+    # change), logged once per process so the degradation is
+    # observable instead of silent.
+    global _warned_pin_unavailable
     try:
-        out_df._grn_pinned = (
-            stamped._jdf.queryExecution().optimizedPlan().rdd()
-        )
-    except Exception:
-        pass
+        handle = _acquire_pin_handle(stamped)
+    except Exception as e:
+        if not _warned_pin_unavailable:
+            _warned_pin_unavailable = True
+            _LOG.warning(
+                "global_row_number: checkpoint pin handle unavailable "
+                "(%s: %s); early release disabled, pinned blocks live "
+                "until session GC", type(e).__name__, e,
+            )
+        handle = None
+    if handle is not None:
+        _live_pins.append(handle)
+        out_df._grn_pinned = handle
     return out_df, acc
 
 
@@ -118,10 +157,30 @@ def release_pinned(ranked: DataFrame) -> None:
     """
     rdd = getattr(ranked, "_grn_pinned", None)
     if rdd is not None:
+        for i, h in enumerate(_live_pins):
+            if h is rdd:
+                del _live_pins[i]
+                break
         try:
             rdd.unpersist(False)
         except Exception:
             pass
+
+
+def drain_pins() -> int:
+    """Release EVERY outstanding ``global_row_number`` checkpoint pin.
+    For long-running sessions between independent queries (bench
+    loops, plan sweeps, the oracle harness): safe once the previous
+    query's results are fully materialized and none of its DataFrames
+    will be computed again. Returns the number of pins released."""
+    n = len(_live_pins)
+    while _live_pins:
+        rdd = _live_pins.pop()
+        try:
+            rdd.unpersist(False)
+        except Exception:
+            pass
+    return n
 
 
 def ntile_from_row_number(rn: Column, n_buckets: int, total: int) -> Column:

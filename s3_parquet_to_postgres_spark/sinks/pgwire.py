@@ -218,9 +218,13 @@ def _pss_digest(der: bytes, start: int, end: int) -> str | None:
         tag, c, pend = _der_read_tlv(der, start)  # params SEQUENCE/NULL
         if tag != 0x30:
             return "sha256"  # NULL / malformed params: DEFAULT sha1
+        if c >= pend:
+            return "sha256"  # empty params SEQUENCE: all-DEFAULT sha1
         tag, c0, e0 = _der_read_tlv(der, c)
-        if tag != 0xA0:  # [0] absent: hashAlgorithm defaults to sha1
-            return "sha256"
+        # The [0] TLV must lie WITHIN the params region; reading past
+        # pend would parse the certificate's adjacent signatureValue.
+        if tag != 0xA0 or e0 > pend:
+            return "sha256"  # [0] absent: hashAlgorithm defaults to sha1
         tag, c1, e1 = _der_read_tlv(der, c0)      # AlgorithmIdentifier
         if tag != 0x30:
             return None

@@ -16,6 +16,14 @@ Behavioral parity with the reference's checkpointing scheme
   without the key -- at-least-once with completed-log dedup
   (reference: src/work_lists.rs:83-108)
 
+Deliberate parity DEVIATION: duplicate keys are deduplicated to their
+first occurrence (in resume, ``next_batch`` and the consistency
+check). The reference takes the first batch_size work lines verbatim,
+duplicates included (src/work_lists.rs:141-151 filters only blanks and
+comments); re-processing the same key twice in one batch is never
+what an operator wants, so this engine treats the work list as an
+ordered SET of keys.
+
 This is driver-side bookkeeping (tiny files, one writer); the data
 path itself stays fully distributed. For pure-streaming ingestion the
 same semantics come from Structured Streaming's file-source commit log

@@ -417,6 +417,41 @@ def test_tls_server_end_point_hash_pss_params(hash_oid, digest):
     assert pgwire.tls_server_end_point_hash(der) == expect
 
 
+def test_tls_server_end_point_hash_pss_empty_params_bounded():
+    """An EMPTY RSASSA-PSS-params SEQUENCE means every field takes its
+    DER DEFAULT (hashAlgorithm = sha1 -> sha256 per RFC 5929). The
+    parser must not read past the params region: here the TLV
+    immediately AFTER the AlgorithmIdentifier is a [0] naming sha512
+    — an unbounded parse would pick it up and hash under the wrong
+    digest."""
+    import hashlib
+
+    tbs = _der_tlv(0x30, b"\x02\x01\x01")
+    alg = _der_tlv(
+        0x30, _der_oid("1.2.840.113549.1.1.10") + _der_tlv(0x30, b"")
+    )
+    decoy = _der_tlv(
+        0xA0, _der_tlv(0x30, _der_oid("2.16.840.1.101.3.4.2.3") + b"\x05\x00")
+    )
+    der = _der_tlv(0x30, tbs + alg + decoy)
+    assert pgwire.tls_server_end_point_hash(der) == hashlib.sha256(der).digest()
+
+
+def test_tls_server_end_point_hash_pss_alg_last_tlv():
+    """Empty PSS params with the AlgorithmIdentifier as the LAST TLV
+    in the buffer: the old unbounded parse read off the end
+    (IndexError -> None -> spurious 'unsupported algorithm'); the
+    bounded parse returns the DEFAULT sha256."""
+    import hashlib
+
+    tbs = _der_tlv(0x30, b"\x02\x01\x01")
+    alg = _der_tlv(
+        0x30, _der_oid("1.2.840.113549.1.1.10") + _der_tlv(0x30, b"")
+    )
+    der = _der_tlv(0x30, tbs + alg)
+    assert pgwire.tls_server_end_point_hash(der) == hashlib.sha256(der).digest()
+
+
 def test_tls_server_end_point_hash_pss_unknown_hash_raises():
     """A PSS params hash we don't recognize raises the explicit
     unsupported-algorithm error (fail closed, actionable) instead of

@@ -83,6 +83,33 @@ def _load_pins() -> dict[str, list[int]]:
 _new_pins: dict[str, list[int]] = {}
 
 
+@pytest.fixture(scope="session", autouse=True)
+def _pin_writer():
+    """In pin mode, persist the collected fingerprints from a session
+    finalizer -- not from a trailing test, whose execution position is
+    a file-order accident that xdist / -p randomization breaks. A
+    partial selection (-k / deselection / a distributed worker seeing
+    only a slice) writes NOTHING: a pins file missing entries would
+    make the guard fail opaquely for everyone else."""
+    yield
+    if not PIN_MODE:
+        return
+    if len(_new_pins) < len(BENCH_NAMES):
+        import warnings
+
+        warnings.warn(
+            "PIN_PLAN_METRICS=1 ran with a partial selection "
+            f"({len(_new_pins)}/{len(BENCH_NAMES)} fingerprints) -- "
+            "pins NOT written; run the whole file with no -k/-p "
+            "selection.",
+            stacklevel=1,
+        )
+        return
+    PINS_PATH.write_text(
+        json.dumps(dict(sorted(_new_pins.items())), indent=1) + "\n"
+    )
+
+
 @pytest.mark.parametrize("name", BENCH_NAMES)
 def test_plan_fingerprint_pinned(name, spark, sf_dir):
     got = plan_fingerprint(all_queries()[name](spark, sf_dir))
@@ -111,15 +138,11 @@ def test_plan_fingerprint_pinned(name, spark, sf_dir):
         )
 
 
-def test_write_pins_when_pinning():
-    """Runs last (file order): in pin mode, persist what the
-    parametrized cases collected."""
-    if not PIN_MODE:
-        pins = _load_pins()
-        missing = [n for n in BENCH_NAMES if n not in pins]
-        assert not missing, f"unpinned bench queries: {missing}"
-        return
-    assert len(_new_pins) == len(BENCH_NAMES)
-    PINS_PATH.write_text(
-        json.dumps(dict(sorted(_new_pins.items())), indent=1) + "\n"
-    )
+def test_no_unpinned_bench_queries():
+    """Every bench/catalog query has a pinned fingerprint (the write
+    itself happens in the _pin_writer session finalizer)."""
+    if PIN_MODE:
+        pytest.skip("pin mode: pins are being regenerated")
+    pins = _load_pins()
+    missing = [n for n in BENCH_NAMES if n not in pins]
+    assert not missing, f"unpinned bench queries: {missing}"

@@ -126,3 +126,80 @@ def test_chained_rankings_release_predecessor_blocks(spark):
     assert sorted(r["rn1"] for r in rows) == list(range(1, 201))
     release_pinned(r2)
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_pin_handle_unavailable_falls_back(spark, monkeypatch, caplog):
+    """The checkpoint-pin handle rides on a PRIVATE Spark attribute
+    path; if an upgrade breaks it, global_row_number must degrade to
+    "no early release" (a memory posture) with the SAME correct
+    ranking, and say so once in the log instead of failing or going
+    silent. This test is the tripwire's tripwire: it pins the
+    fallback behavior itself."""
+    import logging
+
+    from s3_parquet_to_postgres_spark.operators import ranking as rk
+
+    monkeypatch.setattr(rk, "_warned_pin_unavailable", False)
+
+    def broken_acquire(stamped):
+        raise AttributeError("queryExecution path gone")
+
+    monkeypatch.setattr(rk, "_acquire_pin_handle", broken_acquire)
+    with caplog.at_level(logging.WARNING,
+                         logger="s3_parquet_to_postgres_spark.operators.ranking"):
+        got, total = global_row_number(
+            _df(spark, 120),
+            [F.col("key").asc(), F.col("id").asc()],
+            out="rn", num_partitions=4,
+        )
+        assert total == 120
+        assert not hasattr(got, "_grn_pinned")
+        rk.release_pinned(got)  # no handle: must be a harmless no-op
+        rows = got.orderBy("rn").collect()
+        # second construction does not re-log (once per process)
+        global_row_number(
+            _df(spark, 30), [F.col("id").asc()], out="rn2",
+            num_partitions=2,
+        )
+    assert [r["rn"] for r in rows] == list(range(1, 121))
+    warned = [r for r in caplog.records if "pin handle unavailable" in r.message]
+    assert len(warned) == 1
+    assert rk._warned_pin_unavailable is True
+
+
+def test_drain_pins_releases_everything(spark):
+    """drain_pins() frees every outstanding checkpoint pin -- the
+    long-session (bench loop / plan sweep) posture where the FINAL
+    ranking of an eager plan has no in-plan release point."""
+    from s3_parquet_to_postgres_spark.operators import ranking as rk
+
+    rk.drain_pins()  # isolate from earlier tests
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    r1, _ = global_row_number(
+        _df(spark, 150), [F.col("key").asc(), F.col("id").asc()],
+        out="rn1", num_partitions=4,
+    )
+    r2, _ = global_row_number(
+        r1, [F.col("noise").asc(), F.col("id").asc()],
+        out="rn2", num_partitions=4,
+    )
+    assert jsc.getPersistentRDDs().size() == before + 2
+    assert rk.drain_pins() == 2
+    assert jsc.getPersistentRDDs().size() == before
+    assert rk.drain_pins() == 0  # idempotent
+
+
+def test_release_pinned_removes_from_registry(spark):
+    from s3_parquet_to_postgres_spark.operators import ranking as rk
+
+    rk.drain_pins()
+    r1, _ = global_row_number(
+        _df(spark, 60), [F.col("key").asc(), F.col("id").asc()],
+        out="rn", num_partitions=4,
+    )
+    assert len(rk._live_pins) == 1
+    from s3_parquet_to_postgres_spark.operators.ranking import release_pinned
+    release_pinned(r1)
+    assert len(rk._live_pins) == 0
+    release_pinned(r1)  # double release: harmless

@@ -57,12 +57,15 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
+    from s3_parquet_to_postgres_spark.operators.ranking import drain_pins
+
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_ok = n_fail = n_noora = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        drain_pins()  # previous query fully materialized; free its pins
         try:
             sp = fn(spark, SF_DIR).toPandas()
         except Exception as e:
