@@ -113,6 +113,11 @@ EXTRA = [
     "event_sessionize_chunked",
     "event_running_unique_chunked",
     "similarity_topk_vectors",
+    # round-7 additions: lag/carry chunk-and-stitch class + the
+    # scalar companion of the array top-k
+    "event_gapfill_interp_chunked",
+    "event_streaks_chunked",
+    "similarity_topk_vectors_flat",
 ]
 
 

@@ -241,3 +241,149 @@ def sessionize_chunked(
         )
         .drop(_BKT, _LOC, _OFF, _MRG, "__cw_us")
     )
+
+
+def _boundary_summary(
+    local: DataFrame,
+    partition_cols: Sequence[str],
+    order: Sequence[Column],
+    rev_order: Sequence[Column],
+    take_last_row: bool,
+    summary_source: str,
+) -> DataFrame:
+    """One row per (key, bucket): the value of ``summary_source`` at
+    the bucket's boundary row (last row by ``order`` when
+    ``take_last_row`` else first), taken VERBATIM — a NULL there is a
+    real observation (lag semantics), not something to skip."""
+    edge = Window.partitionBy(*partition_cols, _BKT).orderBy(
+        *(rev_order if take_last_row else order)
+    )
+    return (
+        local.withColumn("__cw_edge_rn", F.row_number().over(edge))
+        .filter(F.col("__cw_edge_rn") == 1)
+        .select(*partition_cols, _BKT,
+                F.col(summary_source).alias("__cw_sum_val"))
+    )
+
+
+def chunked_lag(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    ts_col: str,
+    value_col: Column | str,
+    out: str,
+    bucket_width_sec: float,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exact ``lag(value) OVER (PARTITION BY key ORDER BY ts,
+    *tiebreaks)`` with every task bounded by one time bucket — the
+    boundary-carry primitive for the lag/lead per-key window class
+    (streaks, gap interpolation, compiled CEP lead chains, paths).
+
+    Stitch: lag within each (key, bucket); each bucket's FIRST row
+    instead takes the previous non-empty bucket's LAST row's value,
+    carried verbatim through the one-row-per-bucket summary — so a
+    NULL observation lags as NULL exactly like the plain window, and
+    only a key's very first row gets the no-previous-row NULL. The
+    carry chain copies values, no arithmetic: bit-equal at any bucket
+    width. ``lead`` is this function under reversed sort keys.
+
+    ``(ts, *tiebreak_cols)`` must totally order rows within a key —
+    the same contract as the window it replaces.
+    """
+    partition_cols = list(partition_cols)
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    rev = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
+    b = _bucketed(df, ts_col, bucket_width_sec).withColumn("__cw_val", val)
+
+    w_local = Window.partitionBy(*partition_cols, _BKT).orderBy(*order)
+    local = b.withColumn(_LOC, F.lag("__cw_val").over(w_local)).withColumn(
+        "__cw_rn", F.row_number().over(w_local)
+    )
+
+    summary = _boundary_summary(
+        local, partition_cols, order, rev,
+        take_last_row=True, summary_source="__cw_val",
+    )
+    w_buckets = Window.partitionBy(*partition_cols).orderBy(F.col(_BKT).asc())
+    carry = summary.select(
+        *partition_cols, _BKT,
+        F.lag("__cw_sum_val").over(w_buckets).alias("__cw_carry"),
+    )
+    stitched = F.when(
+        F.col("__cw_rn") == 1, F.col("__cw_carry")
+    ).otherwise(F.col(_LOC))
+    return (
+        _null_safe_join(local, carry, partition_cols + [_BKT])
+        .withColumn(out, stitched)
+        .drop(_BKT, _LOC, "__cw_rn", "__cw_carry", "__cw_val")
+    )
+
+
+def chunked_last_carry(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    ts_col: str,
+    value_col: Column | str,
+    out: str,
+    bucket_width_sec: float,
+    tiebreak_cols: Sequence[str] = (),
+    forward: bool = True,
+) -> DataFrame:
+    """Running non-null carry per key — ``last(value, ignorenulls)
+    OVER (... ROWS UNBOUNDED PRECEDING..CURRENT)`` when ``forward``,
+    else ``first(value, ignorenulls) OVER (... CURRENT..UNBOUNDED
+    FOLLOWING)`` — with every task bounded by one time bucket. The
+    gap-fill primitive: forward = last observation carried forward,
+    backward = next observation carried backward;
+    event_gapfill_interp_chunked uses one of each over (day, value)
+    structs.
+
+    Stitch: running carry within each (key, bucket); rows with no
+    observation yet in their own bucket coalesce to the latest
+    non-null boundary carry among PRIOR buckets (earliest among
+    FOLLOWING buckets when backward). The summarized value is the
+    boundary row's LOCAL carry — the bucket's latest/earliest
+    non-null — so a bucket of all-NULL observations contributes
+    nothing, exactly like the window's ignorenulls. Value-copying
+    only: bit-equal at any bucket width.
+    """
+    partition_cols = list(partition_cols)
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    rev = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
+    b = _bucketed(df, ts_col, bucket_width_sec).withColumn("__cw_val", val)
+
+    w_local = Window.partitionBy(*partition_cols, _BKT).orderBy(*order)
+    if forward:
+        local_carry = F.last("__cw_val", ignorenulls=True).over(
+            w_local.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        local_carry = F.first("__cw_val", ignorenulls=True).over(
+            w_local.rowsBetween(0, Window.unboundedFollowing)
+        )
+    local = b.withColumn(_LOC, local_carry)
+
+    summary = _boundary_summary(
+        local, partition_cols, order, rev,
+        take_last_row=forward, summary_source=_LOC,
+    )
+    w_buckets = Window.partitionBy(*partition_cols).orderBy(F.col(_BKT).asc())
+    if forward:
+        carry_col = F.last("__cw_sum_val", ignorenulls=True).over(
+            w_buckets.rowsBetween(Window.unboundedPreceding, -1)
+        )
+    else:
+        carry_col = F.first("__cw_sum_val", ignorenulls=True).over(
+            w_buckets.rowsBetween(1, Window.unboundedFollowing)
+        )
+    carry = summary.select(
+        *partition_cols, _BKT, carry_col.alias("__cw_carry")
+    )
+    return (
+        _null_safe_join(local, carry, partition_cols + [_BKT])
+        .withColumn(out, F.coalesce(F.col(_LOC), F.col("__cw_carry")))
+        .drop(_BKT, _LOC, "__cw_carry", "__cw_val")
+    )

@@ -431,6 +431,43 @@ WHERE rnk <= 3
 """
 
 
+def similarity_topk_vectors_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar companion to `similarity_topk_vectors`: the SAME top-3
+    ranking and vector fetch, projected to scalar columns — vector
+    dimension plus its first and last elements (pass-through float
+    values widened to double, no float arithmetic) — so the ranking
+    and the fetch-join are provable by a driver whose canonicalizer
+    cannot hash `array<float>` cells. The raw-array entry stays in
+    the catalog (in-repo harnesses canonicalize arrays recursively);
+    this entry makes the same plan externally checkable either way.
+    """
+    topk = similarity_topk_vectors(spark, sf_dir)
+    return topk.select(
+        "query_id", "neighbor_id", "rank",
+        F.size("neighbor_vec").cast("long").alias("vec_dim"),
+        F.element_at("neighbor_vec", 1).cast("double").alias("vec_first"),
+        F.element_at("neighbor_vec", -1).cast("double").alias("vec_last"),
+    )
+
+
+SIMILARITY_TOPK_VECTORS_FLAT_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+sims AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(qv, e.v) AS sim, e.v AS nv
+  FROM q JOIN e ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+       CAST(len(nv) AS BIGINT) AS vec_dim,
+       nv[1] AS vec_first, nv[len(nv)] AS vec_last
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+      FROM sims)
+WHERE rnk <= 3
+"""
+
+
 def _ann_verified(
     spark: SparkSession, sf_dir: str, approx: DataFrame, k: int,
     min_recall: float,
@@ -2394,6 +2431,114 @@ FROM c
 """
 
 
+def event_gapfill_interp_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same gap-filled linear interpolation as
+    `event_gapfill_interp`, with BOTH carries computed through the
+    chunk-and-stitch boundary-carry operator
+    (`operators/chunked_window.chunked_last_carry`): each user's day
+    spine is split into 32-day buckets, the (day, value) struct
+    carries run per (user, bucket) — every task bounded by one
+    bucket's rows — and bucket boundaries stitch through the
+    one-row-per-bucket summary. Output and oracle are IDENTICAL to
+    the plain entry, so the driver's value-hash proves the chunked
+    lag/carry class bit-equal to the single-task window at catalog
+    level. Opt-in plan shape for a pathologically hot key (bot /
+    null user) whose day span exceeds what one task should sort;
+    costs the same summary-branch re-derivation documented in
+    chunked_window.py (recompute beats checkpointing a corpus-sized
+    spine).
+    """
+    from ..operators.chunked_window import chunked_last_carry
+
+    e = t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    daily = e.groupBy(F.col("user_id"), day.alias("day")).agg(
+        dsum("value", 4).alias("total")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    obs = F.when(
+        F.col("total").isNotNull(),
+        F.struct(F.col("day").alias("d"), F.col("total").alias("v")),
+    )
+    width = 32 * 86400.0  # 32-day buckets over the day spine
+    j = chunked_last_carry(
+        j, ["user_id"], "day", obs, out="prev",
+        bucket_width_sec=width, forward=True,
+    )
+    j = chunked_last_carry(
+        j, ["user_id"], "day", obs, out="nxt",
+        bucket_width_sec=width, forward=False,
+    )
+    frac = F.datediff(F.col("day"), F.col("prev.d")).cast(
+        "double"
+    ) / F.datediff(F.col("nxt.d"), F.col("prev.d")).cast("double")
+    interp = F.when(F.col("total").isNotNull(), F.col("total")).otherwise(
+        F.col("prev.v") + (F.col("nxt.v") - F.col("prev.v")) * frac
+    )
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("total").alias("observed"),
+        interp.alias("interp_value"),
+    )
+
+
+def event_streaks_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same longest-consecutive-day streaks as `event_streaks`,
+    with the per-user row_number computed as a chunk-and-stitch
+    cumulative sum (`operators/chunked_window.chunked_cumsum` over a
+    constant 1 — row_number IS cumsum(1) on the distinct-day table)
+    in 16-day buckets, and the final longest-streak pick as a pure
+    hash AGGREGATE (max_by over a (len, -epoch_day) ordering struct)
+    instead of a ranking window — so NO stage puts a whole hot key
+    through one task. Output and oracle are IDENTICAL to the plain
+    entry (driver value-hash proves bit-equality at catalog level).
+    """
+    from ..operators.chunked_window import chunked_cumsum
+
+    e = t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    rn = chunked_cumsum(
+        days, ["user_id"], "day", F.lit(1).cast("long"), out="rn",
+        bucket_width_sec=16 * 86400.0,
+    )
+    epoch_day = F.datediff(F.col("day"), F.to_date(F.lit("1970-01-01")))
+    isl = rn.withColumn("grp", epoch_day - F.col("rn"))
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count("*").alias("len"), F.min("day").alias("start")
+    )
+    # Longest streak, ties to earliest start: max over the ordering
+    # struct (len, -epoch(start)) -- partial-aggregatable map-side,
+    # so even a key with millions of islands never sorts in one task.
+    best = streaks.groupBy("user_id").agg(
+        F.max_by(
+            F.struct(F.col("len"), F.col("start")),
+            F.struct(
+                F.col("len"),
+                (F.lit(0) - F.datediff(
+                    F.col("start"), F.to_date(F.lit("1970-01-01"))
+                )).alias("neg_epoch"),
+            ),
+        ).alias("b")
+    )
+    return best.select(
+        "user_id",
+        F.col("b.len").cast("long").alias("longest_streak"),
+        F.date_format("b.start", "yyyy-MM-dd").alias("streak_start"),
+    )
+
+
 def event_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     return (
@@ -3542,6 +3687,11 @@ SPECS: list[QuerySpec] = [
               SIMILARITY_TOPK_VECTORS_SQL,
               "array<float> output: raw neighbor vectors, hash-checked "
               "via the recursive array canonicalizers"),
+    QuerySpec("similarity_topk_vectors_flat", similarity_topk_vectors_flat,
+              SIMILARITY_TOPK_VECTORS_FLAT_SQL,
+              "scalar companion: same ranking + vector fetch projected "
+              "to (dim, first, last) so the ranking is provable by an "
+              "array-blind driver"),
     QuerySpec("similarity_ann_lsh", similarity_ann_lsh, ANN_VERIFIED_SQL,
               "LSH ANN vs exact top-k: exact top-1 oracled, recall "
               "bound asserted as an oracle-checkable boolean"),
@@ -3639,6 +3789,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec("event_gapfill", event_gapfill, EVENT_GAPFILL_SQL,
               "gap-filled per-user daily series with forward-fill "
               "(sequence-exploded spine + last ignorenulls carry)"),
+    QuerySpec("event_gapfill_interp_chunked", event_gapfill_interp_chunked,
+              EVENT_GAPFILL_INTERP_SQL,
+              "chunk-and-stitch boundary carries (chunked_last_carry "
+              "both directions): bit-equal to the single-task window, "
+              "every task bounded by one 32-day bucket"),
     QuerySpec("event_gapfill_interp", event_gapfill_interp,
               EVENT_GAPFILL_INTERP_SQL,
               "linear interpolation across gap days: both-direction "
@@ -3671,6 +3826,11 @@ SPECS: list[QuerySpec] = [
               "gaps-and-islands longest consecutive-day streak: "
               "epoch_day - row_number islands, one window + two "
               "hash aggs, no calendar explode"),
+    QuerySpec("event_streaks_chunked", event_streaks_chunked,
+              EVENT_STREAKS_SQL,
+              "hot-key-proof streaks: row_number as chunked cumsum(1), "
+              "longest pick as max_by hash agg -- no per-key window "
+              "stage at all; bit-equal to the plain entry"),
     QuerySpec("dedup_sorted_neighborhood", dedup_sorted_neighborhood,
               DEDUP_SORTED_NEIGHBORHOOD_SQL,
               "Sorted Neighborhood entity resolution: block-prefix "

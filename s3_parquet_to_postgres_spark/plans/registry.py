@@ -22,88 +22,92 @@ from .base import QuerySpec
 # agg / sketch / window / scalar / subquery). Everything else follows
 # in module order and stays covered by tests/test_oracle_parity.py.
 FLAGSHIP: list[str] = [
-    # ROUND-6 ROTATION (refreshing the oldest evidence): the catalog
-    # closed at 230/230 driver-checked in r5; this window (a) finally
-    # drives agg_hll_mergeable -- the ONE entry whose only driver row
-    # is a round-1 err:"no_oracle" (its oracle SQL was added later and
-    # has never been driver-checked), (b) re-proves the two TPC-H
-    # plans rewritten AFTER the r5 window froze (q11/q15: global
-    # grand-total windows replaced by lazy-checkpoint + broadcast
-    # join-back, commit 925ce61) and ml_rfm_segments (r6: chained
-    # rankings now release each predecessor checkpoint's blocks,
-    # operators/ranking.release_pinned), and (c) spends the remaining
-    # 46 slots on the entries with the OLDEST green driver rows: the
-    # 6 reference TEST-SQL queries (r2) and all 40 entries whose last
-    # green row dates from round 1 -- every one continuously
-    # oracle-verified since by tests/test_oracle_parity.py and the
-    # full drive_entry sweeps, but a fresh driver row on today's
-    # plans is strictly stronger evidence.
+    # ROUND-7 ROTATION. The r6 window came back 50/50 green, so every
+    # catalog entry except similarity_topk_vectors has a green
+    # external-driver row on its current plan. This window:
     #
-    # NEW r6 entries event_sessionize_chunked /
-    # event_running_unique_chunked (chunk-and-stitch windows sharing
-    # the plain entries' oracles -- the driver hash proves the chunked
-    # path bit-equal at catalog level) enter the window immediately;
-    # join_cross (broadcast 5x5 region self-pair) and set_distinct
-    # (plain distinct) ceded their refresh slots -- lowest
-    # current-plan risk of the r1 cohort, both still covered by
-    # test_oracle_parity and the full drive sweeps.
-    #
-    # similarity_topk_vectors (new in r6, array<float> output) stays
-    # OUTSIDE this window deliberately: the external driver's
-    # canonicalizer is not known to handle array cells (the in-repo
-    # harnesses canonicalize arrays recursively and prove it at
-    # sf0.001 + sf0.01); rotate it in only if the driver gains array
-    # support.
-    "agg_hll_mergeable",
-    "tpch_q11_important_stock",
-    "tpch_q15_top_supplier",
-    "ml_rfm_segments",
-    "event_sessionize_chunked",
-    "event_running_unique_chunked",
-    "ref_count",
-    "ref_null_filter",
-    "ref_project_rename_cast",
-    "ref_sort_limit",
-    "ref_star",
-    "ref_union_all",
-    "agg_argmax",
-    "agg_bitmap_distinct",
-    "agg_cube",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_mode",
-    "agg_percentiles",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_skew_salted",
-    "agg_stats",
-    "agg_string_concat",
-    "filter_predicates",
-    "join_anti",
-    "join_bloom_pruned",
-    "join_full_outer",
-    "join_left",
-    "join_range_bucketed",
-    "join_right",
-    "join_semi",
-    "join_skew_salted",
-    "join_theta",
-    "scalar_array",
-    "scalar_date",
-    "scalar_edit_distance",
-    "scalar_explode",
-    "scalar_math",
-    "scalar_string",
-    "scalar_unpivot",
-    "set_except",
-    "set_intersect",
-    "sort_multi_key_nulls",
-    "subquery_correlated",
-    "window_distribution",
-    "window_frames",
-    "window_lag_lead",
-    "window_ranking",
-    "window_topk_per_group",
+    # (a) finally ROTATES IN similarity_topk_vectors (array<float>
+    #     output) -- the r6 hold-out rested on an UNTESTED assumption
+    #     that the external driver's canonicalizer cannot hash array
+    #     cells; the in-repo harnesses (recursive array canon) prove
+    #     it green at sf0.001/0.01, so the driver row is the only
+    #     missing evidence. Its NEW scalar companion
+    #     similarity_topk_vectors_flat (same ranking + vector fetch
+    #     projected to dim/first/last scalars) rides alongside: if
+    #     the array entry comes back red on canonicalizer grounds,
+    #     the companion still proves the ranking externally.
+    # (b) enters the two NEW r7 chunk-and-stitch entries immediately,
+    #     as r6 did: event_gapfill_interp_chunked (chunked_last_carry
+    #     boundary carries, both directions) and event_streaks_chunked
+    #     (row_number as chunked cumsum(1) + max_by aggregate pick) --
+    #     both share the PLAIN entries' oracle SQL, so the driver hash
+    #     proves the lag/carry chunked class bit-equal at catalog
+    #     level.
+    # (c) spends the remaining 44 slots on the OLDEST evidence: the
+    #     last two r1-cohort entries (join_cross, set_distinct, which
+    #     ceded their r6 slots), all 37 entries whose latest green row
+    #     is r2 (TPC-H bulk, the r2 dedup/similarity/text headliners,
+    #     asof/event/table entries), and 7 of the r3
+    #     kernel-rewrite cohort the verdict flagged (similarity_ann_pq
+    #     / similarity_mips / dedup_exact_spans / text_unigram_lm --
+    #     their last driver rows predate the Arrow-kernel rewrites
+    #     that now execute them -- plus similarity_ann_lsh /
+    #     similarity_ann_ivf / dedup_simhash). The
+    #     remaining r3/r4 cohorts stay continuously covered by
+    #     tests/test_oracle_parity.py and full drive_entry sweeps and
+    #     walk forward next round.
+    "similarity_topk_vectors",
+    "similarity_topk_vectors_flat",
+    "event_gapfill_interp_chunked",
+    "event_streaks_chunked",
+    "join_cross",
+    "set_distinct",
+    # --- r2 cohort (37) ---
+    "join_inner_broadcast",
+    "agg_approx",
+    "table_checksum",
+    "scalar_json",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_revenue_forecast",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q12_shipping_modes",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_excess_share",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "corpus_curation_pipeline",
+    "similarity_topk_cosine",
+    "text_tfidf",
+    "multimodal_payload",
+    "asof_join_events",
+    "event_sessionize",
+    "ml_auc_eval",
+    "sample_weighted",
+    "table_quality_checks",
+    "join_spatial_grid",
+    "layout_zorder_stats",
+    # --- r3 kernel-rewrite cohort (7) ---
+    "similarity_ann_pq",
+    "similarity_mips",
+    "dedup_exact_spans",
+    "text_unigram_lm",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "dedup_simhash",
 ]
 
 

@@ -250,3 +250,97 @@ def test_chunked_cumsum_null_values_match_plain_window(spark):
         ).collect()
     }
     assert got == plain
+
+
+def _with_nullable_value(df):
+    """v=0 becomes NULL: lag/carry must treat a NULL observation as a
+    real row (lag passes it through; carry skips it)."""
+    return df.withColumn(
+        "nv", F.when(F.col("v") == 0, F.lit(None)).otherwise(F.col("v"))
+    )
+
+
+@pytest.mark.parametrize("width_sec", [7.0, 60.0, 300.0, 10_000_000.0])
+def test_chunked_lag_matches_plain_window(spark, width_sec):
+    from s3_parquet_to_postgres_spark.operators.chunked_window import (
+        chunked_lag,
+    )
+
+    df = _with_nullable_value(_skewed_events(spark))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    plain = df.withColumn("prev", F.lag("nv").over(w))
+    chunked = chunked_lag(
+        df, ["user_id"], "ts", "nv", out="prev",
+        bucket_width_sec=width_sec, tiebreak_cols=["event_id"],
+    )
+    assert sorted(chunked.columns) == sorted(plain.columns)
+    assert _collect_map(chunked, ["event_id"], "prev") == _collect_map(
+        plain, ["event_id"], "prev"
+    )
+
+
+@pytest.mark.parametrize("forward", [True, False])
+@pytest.mark.parametrize("width_sec", [7.0, 300.0, 10_000_000.0])
+def test_chunked_last_carry_matches_plain_window(spark, width_sec, forward):
+    from s3_parquet_to_postgres_spark.operators.chunked_window import (
+        chunked_last_carry,
+    )
+
+    df = _with_nullable_value(_skewed_events(spark))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    if forward:
+        ref = F.last("nv", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        ref = F.first("nv", ignorenulls=True).over(
+            w.rowsBetween(0, Window.unboundedFollowing)
+        )
+    plain = df.withColumn("carry", ref)
+    chunked = chunked_last_carry(
+        df, ["user_id"], "ts", "nv", out="carry",
+        bucket_width_sec=width_sec, tiebreak_cols=["event_id"],
+        forward=forward,
+    )
+    assert _collect_map(chunked, ["event_id"], "carry") == _collect_map(
+        plain, ["event_id"], "carry"
+    )
+
+
+def test_chunked_lag_struct_values_and_null_keys(spark):
+    """Struct-typed carry (the gapfill (day, value) shape) plus NULL
+    partition keys — the hot-key case the operators exist for."""
+    from s3_parquet_to_postgres_spark.operators.chunked_window import (
+        chunked_lag, chunked_last_carry,
+    )
+
+    df = _skewed_events(spark, n=800)
+    df = df.withColumn(
+        "user_id",
+        F.when(F.col("user_id") == "hot", F.lit(None)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    obs = F.when(
+        F.col("v") > 0, F.struct(F.col("ts").alias("t"), F.col("v").alias("x"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    plain = df.withColumn("p_lag", F.lag(obs).over(w)).withColumn(
+        "p_carry",
+        F.last(obs, ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    got = chunked_lag(
+        df, ["user_id"], "ts", obs, out="p_lag",
+        bucket_width_sec=90.0, tiebreak_cols=["event_id"],
+    )
+    got = chunked_last_carry(
+        got, ["user_id"], "ts", obs, out="p_carry",
+        bucket_width_sec=90.0, tiebreak_cols=["event_id"],
+    )
+    assert plain.count() == got.count() == 800  # null keys survive
+    for col in ("p_lag", "p_carry"):
+        assert _collect_map(got, ["event_id"], col) == _collect_map(
+            plain, ["event_id"], col
+        )
