@@ -122,6 +122,29 @@ def build_scaled(spark, scaled_dir: str, copies: int,
         out.write.parquet(os.path.join(scaled_dir, f"{name}.parquet"))
 
 
+def build_hot_events(spark, scaled_dir: str, hot_dir: str,
+                     hot_frac: float) -> None:
+    """Rewrite the scaled events table so ``hot_frac`` of all rows
+    share ONE user_id (the pathological bot / null-user key), other
+    tables untouched. Timing a per-key-window query on scaled-uniform
+    vs scaled-hot isolates the straggler penalty from plain volume."""
+    if os.path.isdir(hot_dir):
+        shutil.rmtree(hot_dir)
+    os.makedirs(hot_dir)
+    for name in os.listdir(scaled_dir):
+        if name != "events.parquet":
+            os.symlink(os.path.join(scaled_dir, name),
+                       os.path.join(hot_dir, name))
+    e = spark.read.parquet(os.path.join(scaled_dir, "events.parquet"))
+    pct = int(hot_frac * 100)
+    hot = e.withColumn(
+        "user_id",
+        F.when(F.pmod(F.col("event_id"), F.lit(100)) < pct,
+               F.lit(424242)).otherwise(F.col("user_id")),
+    )
+    hot.write.parquet(os.path.join(hot_dir, "events.parquet"))
+
+
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -142,6 +165,12 @@ def main() -> None:
     ap.add_argument("--append", action="store_true",
                     help="append a supplementary section to "
                          "SCALE_CHECK.md instead of rewriting it")
+    ap.add_argument("--skew-hot-frac", type=float, default=None,
+                    help="also build a copy of the scaled events table "
+                         "where this fraction of rows shares one "
+                         "user_id, and report hot-vs-uniform ratios "
+                         "(per-key-window straggler stress); implies "
+                         "--append")
     args = ap.parse_args()
     copies = args.copies
     names = args.queries if args.queries else QUERIES
@@ -156,6 +185,43 @@ def main() -> None:
     build_scaled(spark, scaled_dir, copies, args.tables)
     queries = all_queries()
     _force(queries["ref_count"](spark, BASE))  # warm-up
+
+    if args.skew_hot_frac is not None:
+        hot_dir = f"{scaled_dir}_hot"
+        build_hot_events(spark, scaled_dir, hot_dir, args.skew_hot_frac)
+        rows = []
+        for name in names:
+            fn = queries[name]
+            _force(fn(spark, scaled_dir))  # warm
+            tu = min(time_query(fn, spark, scaled_dir) for _ in range(2))
+            _force(fn(spark, hot_dir))
+            th = min(time_query(fn, spark, hot_dir) for _ in range(2))
+            rows.append((name, tu, th, th / tu if tu > 0 else float("nan")))
+            print(f"{name}: {copies}x-uniform={tu:.2f}s "
+                  f"{copies}x-hot={th:.2f}s hot/uniform={th / tu:.2f}")
+        pct = int(args.skew_hot_frac * 100)
+        lines = [
+            "",
+            f"## Hot-key skew stress ({copies}x volume, {pct}% of event"
+            f" rows on ONE user_id; `--copies {copies} --skew-hot-frac"
+            f" {args.skew_hot_frac} --queries {' '.join(names)}`)",
+            "",
+            "Same data volume both columns; only the key distribution"
+            " differs, so the ratio IS the single-task straggler"
+            " penalty (not volume).",
+            "",
+            f"| query | {copies}x uniform sec | {copies}x hot sec |"
+            " hot/uniform |",
+            "|---|---|---|---|",
+        ]
+        for name, tu, th, r in rows:
+            lines.append(f"| {name} | {tu:.2f} | {th:.2f} | {r:.2f} |")
+        with open(os.path.join(ROOT, "SCALE_CHECK.md"), "a") as fh:
+            fh.write("\n".join(lines) + "\n")
+        print("appended skew section to SCALE_CHECK.md")
+        shutil.rmtree(scaled_dir, ignore_errors=True)
+        shutil.rmtree(hot_dir, ignore_errors=True)
+        return
 
     rows = []
     for name in names:
