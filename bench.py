@@ -118,6 +118,7 @@ EXTRA = [
     "event_gapfill_interp_chunked",
     "event_streaks_chunked",
     "similarity_topk_vectors_flat",
+    "event_ewma_chunked",
 ]
 
 

@@ -13,9 +13,13 @@ data-volume-independent), the same bounded-state + boundary-merge
 shape streaming/cep.py uses to keep micro-batch splits parity with
 the batch answer.
 
-Results are bit-identical to the single-task window at any bucket
-width (pinned by tests/test_chunked_window.py against the plain
-window on a pathological 80 %-of-rows key, across widths from
+Primitives: running sums (`chunked_cumsum`), gap sessionization
+(`sessionize_chunked`), lag-1 (`chunked_lag`), running non-null carry
+(`chunked_last_carry`), and bounded ROWS-frame lists
+(`chunked_frame_list` — windowed folds like EWMA, rolling stats,
+lag-k chains). Results are bit-identical to the single-task window at
+any bucket width (pinned by tests/test_chunked_window.py against the
+plain window on a pathological 80 %-of-rows key, across widths from
 narrower-than-gap to one-bucket-degenerate).
 
 Opt-in: the catalog's per-user windows (event_sessionize,
@@ -318,6 +322,105 @@ def chunked_lag(
         _null_safe_join(local, carry, partition_cols + [_BKT])
         .withColumn(out, stitched)
         .drop(_BKT, _LOC, "__cw_rn", "__cw_carry", "__cw_val")
+    )
+
+
+def chunked_frame_list(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    ts_col: str,
+    value_col: Column | str,
+    out: str,
+    frame_rows: int,
+    bucket_width_sec: float,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exact ``collect_list(value) OVER (PARTITION BY key ORDER BY
+    ts, *tiebreaks ROWS BETWEEN frame_rows-1 PRECEDING AND CURRENT
+    ROW)`` with every task bounded by one time bucket — the bounded
+    ROWS-frame primitive for windowed folds (EWMA smoothing, rolling
+    stats over the last k observations, lag-k chains: ``lag(v, j)``
+    is element ``size-j`` of a ``frame_rows > j`` list).
+
+    Stitch: the frame list within each (key, bucket) is complete
+    from local row ``frame_rows`` onward; earlier rows are missing up
+    to ``frame_rows-1`` leading rows that live in PRIOR buckets. Each
+    bucket summarizes its last ``min(n, frame_rows-1)`` rows; the
+    true trailing rows of ALL prior buckets are then the tail of the
+    last ``frame_rows-1`` prior summaries' tails concatenated in
+    bucket order (every non-empty bucket holds >= 1 row, so older
+    buckets cannot contribute), a BOUNDED ROWS frame over the
+    one-row-per-bucket summary table. Rows are carried as structs so
+    a NULL observation keeps its positional slot in the row frame
+    (bare ``collect_list`` drops NULL elements — a frame is
+    positional, so the drop must happen AFTER assembly, exactly
+    where the plain window does it). Value copying only — bit-equal
+    to the single-task window at any bucket width.
+
+    ``(ts, *tiebreak_cols)`` must totally order rows within a key —
+    the same contract as the window it replaces.
+    """
+    if frame_rows < 1:
+        raise ValueError(f"frame_rows must be >= 1, got {frame_rows}")
+    partition_cols = list(partition_cols)
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    rev = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
+    drop_nulls = lambda lst: F.transform(  # noqa: E731
+        F.filter(lst, lambda x: x["v"].isNotNull()), lambda x: x["v"]
+    )
+
+    if frame_rows == 1:
+        # Frame = own row: a narrow projection, no window/shuffle.
+        return df.withColumn(
+            out, F.filter(F.array(val), lambda x: x.isNotNull())
+        )
+
+    k = frame_rows
+    b = _bucketed(df, ts_col, bucket_width_sec).withColumn(
+        "__cw_row", F.struct(val.alias("v"))
+    )
+    w_local = Window.partitionBy(*partition_cols, _BKT).orderBy(*order)
+    local = b.withColumn(
+        _LOC,
+        F.collect_list("__cw_row").over(w_local.rowsBetween(-(k - 1), 0)),
+    ).withColumn("__cw_rn", F.row_number().over(w_local))
+
+    # Bucket tail: last min(n, k-1) struct rows — the boundary row's
+    # frame list minus its own row when the frame is full.
+    s = F.size(F.col(_LOC))
+    m = F.least(s, F.lit(k - 1))
+    local = local.withColumn("__cw_tail", F.slice(F.col(_LOC), s - m + 1, m))
+    summary = _boundary_summary(
+        local, partition_cols, order, rev,
+        take_last_row=True, summary_source="__cw_tail",
+    )
+    w_buckets = Window.partitionBy(*partition_cols).orderBy(F.col(_BKT).asc())
+    flat = F.flatten(
+        F.collect_list("__cw_sum_val").over(
+            w_buckets.rowsBetween(-(k - 1), -1)
+        )
+    )
+    fs = F.size(flat)
+    fm = F.least(fs, F.lit(k - 1))
+    carry = summary.select(
+        *partition_cols, _BKT,
+        F.when(fs == 0, flat)
+        .otherwise(F.slice(flat, fs - fm + 1, fm))
+        .alias("__cw_carry"),
+    )
+
+    # carry ++ local prefix, keep the trailing min(total, k): for a
+    # locally-complete frame (rn >= k) this IS the local list; for an
+    # opening row it prepends exactly the missing prior-bucket rows.
+    joined = _null_safe_join(local, carry, partition_cols + [_BKT])
+    full = F.concat(F.col("__cw_carry"), F.col(_LOC))
+    fl = F.size(full)
+    need = F.least(fl, F.lit(k))
+    framed = F.slice(full, fl - need + 1, need)
+    return (
+        joined.withColumn(out, drop_nulls(framed))
+        .drop(_BKT, _LOC, "__cw_rn", "__cw_row", "__cw_tail", "__cw_carry")
     )
 
 

@@ -639,29 +639,15 @@ _EWMA_DECAY = 0.8
 _EWMA_SPAN = 10
 
 
-def event_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exponentially-weighted moving average of each user's metric
-    over their last 10 events -- the streaming-feature smoothing used
-    for rate/engagement signals. The windowed value list folds
-    JVM-side with a single higher-order ``aggregate`` (s <- s*d + x,
-    which telescopes to sum(d^(n-j) x_j)); the normalizer runs the
-    SAME fold over a ones-list instead of a closed-form power so both
-    engines execute identical float operations in identical order.
-
-    Scale: ONE shuffle on user_id; the bounded ROWS frame keeps state
-    at 10 doubles per row regardless of history length.
-    """
-    e = t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-( _EWMA_SPAN - 1), 0)
-    )
+def _ewma_fold(framed: DataFrame) -> DataFrame:
+    """Fold a ``__l`` frame-list column into the EWMA projection.
+    Shared VERBATIM by the plain and chunked entries: identical input
+    lists through identical expressions guarantee bit-equal output,
+    so the chunked entry's driver hash (same oracle SQL) proves the
+    chunk-and-stitch frame primitive at catalog level."""
     d = float(_EWMA_DECAY)
-    lst = F.collect_list(F.col("value")).over(w)
     out = (
-        e.withColumn("__l", lst)
-        .withColumn(
+        framed.withColumn(
             "__s",
             F.aggregate(
                 F.slice(F.col("__l"), 2, F.size("__l")),
@@ -684,6 +670,55 @@ def event_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         dround(F.col("__s") / F.col("__w"), 6).alias("ewma"),
     )
+
+
+def event_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's metric
+    over their last 10 events -- the streaming-feature smoothing used
+    for rate/engagement signals. The windowed value list folds
+    JVM-side with a single higher-order ``aggregate`` (s <- s*d + x,
+    which telescopes to sum(d^(n-j) x_j)); the normalizer runs the
+    SAME fold over a ones-list instead of a closed-form power so both
+    engines execute identical float operations in identical order.
+
+    Scale: ONE shuffle on user_id; the bounded ROWS frame keeps state
+    at 10 doubles per row regardless of history length.
+    """
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-( _EWMA_SPAN - 1), 0)
+    )
+    return _ewma_fold(e.withColumn("__l", F.collect_list(F.col("value")).over(w)))
+
+
+def event_ewma_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same per-user EWMA as `event_ewma`, with the 10-row frame
+    list assembled by the chunk-and-stitch bounded-frame operator
+    (`operators/chunked_window.chunked_frame_list`): each user's
+    timeline splits into 1-day buckets, the frame list is local from
+    each bucket's 10th row onward, and the opening rows prepend the
+    trailing rows of prior buckets carried through the
+    one-row-per-bucket summary (struct-wrapped so NULL observations
+    keep their positional frame slot). Value copying only, then the
+    VERBATIM shared fold -- output and oracle are IDENTICAL to the
+    plain entry, so the driver's value-hash proves the bounded-frame
+    chunked class bit-equal to the single-task window at catalog
+    level. Opt-in plan shape for a pathologically hot key (bot /
+    null user) whose event count exceeds what one task should sort;
+    costs the documented summary-branch re-derivation
+    (chunked_window.py cost model).
+    """
+    from ..operators.chunked_window import chunked_frame_list
+
+    e = t(spark, sf_dir, "events")
+    framed = chunked_frame_list(
+        e, ["user_id"], "ts", "value", out="__l",
+        frame_rows=_EWMA_SPAN, bucket_width_sec=86400.0,
+        tiebreak_cols=["event_id"],
+    )
+    return _ewma_fold(framed)
 
 
 EVENT_EWMA_SQL = f"""
@@ -2862,6 +2897,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("event_ewma", event_ewma, EVENT_EWMA_SQL,
               "per-user EWMA over a bounded ROWS frame: one shuffle, "
               "identical HOF fold on both engines"),
+    QuerySpec("event_ewma_chunked", event_ewma_chunked, EVENT_EWMA_SQL,
+              "hot-key-proof EWMA: chunked_frame_list assembles the "
+              "10-row frame with per-bucket tasks + boundary-tail "
+              "carry; bit-equal to the plain entry"),
     QuerySpec("scalar_url", scalar_url, SCALAR_URL_SQL,
               "URL parse/normalize + registrable-domain rollup: "
               "narrow regex pass, map-side-combinable agg"),

@@ -52,14 +52,23 @@ FLAGSHIP: list[str] = [
     #     / similarity_mips / dedup_exact_spans / text_unigram_lm --
     #     their last driver rows predate the Arrow-kernel rewrites
     #     that now execute them -- plus similarity_ann_lsh /
-    #     similarity_ann_ivf / dedup_simhash). The
+    #     similarity_ann_ivf; dedup_simhash ceded its slot to
+    #     event_ewma_chunked, see (d)). The
     #     remaining r3/r4 cohorts stay continuously covered by
     #     tests/test_oracle_parity.py and full drive_entry sweeps and
     #     walk forward next round.
+    # (d) event_ewma_chunked (added mid-round-7): the bounded-ROWS-
+    #     frame chunk-and-stitch primitive (chunked_frame_list) under
+    #     the EWMA fold, sharing EVENT_EWMA_SQL. A brand-new entry
+    #     with no driver row is the weakest evidence class, so it
+    #     takes the 50th slot from dedup_simhash (r3 green row +
+    #     continuous in-repo oracle coverage; walks forward next
+    #     round).
     "similarity_topk_vectors",
     "similarity_topk_vectors_flat",
     "event_gapfill_interp_chunked",
     "event_streaks_chunked",
+    "event_ewma_chunked",
     "join_cross",
     "set_distinct",
     # --- r2 cohort (37) ---
@@ -100,14 +109,13 @@ FLAGSHIP: list[str] = [
     "table_quality_checks",
     "join_spatial_grid",
     "layout_zorder_stats",
-    # --- r3 kernel-rewrite cohort (7) ---
+    # --- r3 kernel-rewrite cohort (6; dedup_simhash ceded, see (d)) ---
     "similarity_ann_pq",
     "similarity_mips",
     "dedup_exact_spans",
     "text_unigram_lm",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
-    "dedup_simhash",
 ]
 
 

@@ -307,6 +307,64 @@ def test_chunked_last_carry_matches_plain_window(spark, width_sec, forward):
     )
 
 
+@pytest.mark.parametrize("frame_rows", [1, 3, 10])
+@pytest.mark.parametrize("width_sec", [7.0, 300.0, 10_000_000.0])
+def test_chunked_frame_list_matches_plain_window(spark, width_sec, frame_rows):
+    """Bounded ROWS-frame list: identical element VALUES in identical
+    order to collect_list over the plain window, including NULL
+    observations dropped post-assembly (positionally, not before)
+    and NULL partition keys."""
+    from s3_parquet_to_postgres_spark.operators.chunked_window import (
+        chunked_frame_list,
+    )
+
+    df = _with_nullable_value(_skewed_events(spark))
+    df = df.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 17 == 0, F.lit(None)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-(frame_rows - 1), 0)
+    )
+    plain = df.withColumn("l", F.collect_list("nv").over(w))
+    chunked = chunked_frame_list(
+        df, ["user_id"], "ts", "nv", out="l", frame_rows=frame_rows,
+        bucket_width_sec=width_sec, tiebreak_cols=["event_id"],
+    )
+    assert sorted(chunked.columns) == sorted(plain.columns)
+    assert _collect_map(chunked, ["event_id"], "l") == _collect_map(
+        plain, ["event_id"], "l"
+    )
+
+
+def test_chunked_frame_list_bad_frame_raises(spark):
+    from s3_parquet_to_postgres_spark.operators.chunked_window import (
+        chunked_frame_list,
+    )
+
+    df = _skewed_events(spark, n=10)
+    with pytest.raises(ValueError, match="frame_rows"):
+        chunked_frame_list(df, ["user_id"], "ts", "v", "l", 0, 60.0)
+
+
+def test_event_ewma_chunked_bit_equal(spark, sf_dir):
+    """Catalog-level pin: event_ewma_chunked must be BIT-EQUAL to
+    event_ewma (they share EVENT_EWMA_SQL, so the driver hash proves
+    the same -- this is the fast local tripwire)."""
+    from s3_parquet_to_postgres_spark.plans.curation import (
+        event_ewma, event_ewma_chunked,
+    )
+
+    plain = {r["event_id"]: r["ewma"]
+             for r in event_ewma(spark, sf_dir).collect()}
+    got = {r["event_id"]: r["ewma"]
+           for r in event_ewma_chunked(spark, sf_dir).collect()}
+    assert got == plain and len(got) > 0
+
+
 def test_chunked_lag_struct_values_and_null_keys(spark):
     """Struct-typed carry (the gapfill (day, value) shape) plus NULL
     partition keys — the hot-key case the operators exist for."""
