@@ -384,10 +384,12 @@ def chunked_frame_list(
     local = b.withColumn(
         _LOC,
         F.collect_list("__cw_row").over(w_local.rowsBetween(-(k - 1), 0)),
-    ).withColumn("__cw_rn", F.row_number().over(w_local))
+    )
 
     # Bucket tail: last min(n, k-1) struct rows — the boundary row's
-    # frame list minus its own row when the frame is full.
+    # frame list minus its oldest row when the frame is full (the
+    # boundary row itself stays: it is the next bucket's immediate
+    # predecessor).
     s = F.size(F.col(_LOC))
     m = F.least(s, F.lit(k - 1))
     local = local.withColumn("__cw_tail", F.slice(F.col(_LOC), s - m + 1, m))
@@ -420,7 +422,7 @@ def chunked_frame_list(
     framed = F.slice(full, fl - need + 1, need)
     return (
         joined.withColumn(out, drop_nulls(framed))
-        .drop(_BKT, _LOC, "__cw_rn", "__cw_row", "__cw_tail", "__cw_carry")
+        .drop(_BKT, _LOC, "__cw_row", "__cw_tail", "__cw_carry")
     )
 
 

@@ -389,10 +389,16 @@ def similarity_topk_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Array-typed output: proven end-to-end by tools/drive_entry.py and
     tests/test_oracle_parity.py (both canonicalize arrays
-    recursively); kept OUTSIDE the FLAGSHIP driver window because the
-    external driver's canonicalizer is not known to support array
-    cells (plans/registry.py). The vector is a pass-through of the
-    stored column — bitwise equal on both engines — so the hash
+    recursively). Round 7 rotated it INTO the FLAGSHIP driver window
+    to test the external path: the driver's canonicalizer crashed
+    (`TypeError: unhashable type: 'numpy.ndarray'` inside its pandas
+    sort — driver code, not engine code; CORRECTNESS_r07.json), so
+    the entry is documented driver-blocked and sits outside the
+    window again. External full-content proof is carried by
+    `similarity_topk_vectors_exploded` (every element as a scalar
+    (pos, val) row) and the ranking by `similarity_topk_vectors_flat`
+    (both driver-green). The vector is a pass-through of the stored
+    column — bitwise equal on both engines — so the in-repo hash
     compares real array contents, not re-derived floats.
 
     Scale shape: same broadcast-queries/scan-corpus plan as
@@ -465,6 +471,57 @@ FROM (SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
       FROM sims)
 WHERE rnk <= 3
+"""
+
+
+def similarity_topk_vectors_exploded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full-content scalar companion to `similarity_topk_vectors`:
+    the SAME top-3 ranking and raw-vector fetch, with the fetched
+    `array<float>` exploded to one (pos, val) row per element —
+    `posexplode` on the Spark side, zipped `generate_subscripts` /
+    `unnest` on the DuckDB side. Every element reaches the external
+    driver as a plain DOUBLE cell (float32→double widening is exact,
+    no float arithmetic, no string formatting), so the driver's
+    value-hash commits to the COMPLETE vector contents — the external
+    proof the raw-array entry cannot get because the driver's
+    canonicalizer cannot hash ndarray cells (CORRECTNESS_r07.json).
+    Output is k·|Q|·dim rows (3·3·64 here) — bounded by the query
+    set, independent of corpus size, so the explode adds no scale
+    risk over the parent plan.
+    """
+    topk = similarity_topk_vectors(spark, sf_dir)
+    return topk.select(
+        "query_id", "neighbor_id", "rank",
+        F.posexplode("neighbor_vec"),
+    ).select(
+        "query_id", "neighbor_id", "rank",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("col").cast("double").alias("val"),
+    )
+
+
+SIMILARITY_TOPK_VECTORS_EXPLODED_SQL = """
+WITH e AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+sims AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(qv, e.v) AS sim, e.embedding AS nv
+  FROM q JOIN e ON e.vec_id <> q.query_id
+),
+topk AS (
+  SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, nv
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+        FROM sims)
+  WHERE rnk <= 3
+)
+SELECT query_id, neighbor_id, rank,
+       CAST(generate_subscripts(nv, 1) - 1 AS BIGINT) AS pos,
+       CAST(unnest(nv) AS DOUBLE) AS val
+FROM topk
 """
 
 
@@ -3188,6 +3245,104 @@ WHERE event_type = 'signup'
 """
 
 
+def event_transitions_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same Markov transition matrix as `event_transitions`, with
+    the per-user lag(event_type) computed by the chunk-and-stitch
+    lag operator (`operators/chunked_window.chunked_lag`): each
+    user's timeline splits into 1-day buckets, lag is local within a
+    bucket, and each bucket's first row takes the previous non-empty
+    bucket's last value carried verbatim through the
+    one-row-per-bucket summary. Value copying only, then the VERBATIM
+    shared pair-count/share aggregate — output and oracle are
+    IDENTICAL to the plain entry, so the driver's value-hash proves
+    the lag-chain chunked class bit-equal to the single-task window
+    at catalog level. Opt-in plan shape for a pathologically hot key
+    (a bot / null user owning a billion events) whose row count
+    exceeds what one task should sort (PLANS.md hot-key table); costs
+    the documented summary-branch re-derivation (chunked_window.py
+    cost model).
+    """
+    from ..operators.chunked_window import chunked_lag
+
+    e = t(spark, sf_dir, "events")
+    seq = chunked_lag(
+        e.select("user_id", "ts", "event_id",
+                 F.col("event_type").alias("dst")),
+        ["user_id"], "ts", "dst", out="src",
+        bucket_width_sec=86400.0, tiebreak_cols=["event_id"],
+    )
+    pairs = (
+        seq.filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("transitions"))
+    )
+    total = F.sum("transitions").over(Window.partitionBy("src"))
+    return pairs.withColumn("share", dround(F.col("transitions") / total, 6))
+
+
+def event_pattern_match_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same compiled CEP pattern as `event_pattern_match`
+    (signup → error within 3 events, no purchase between), with the
+    lead chain assembled by the chunk-and-stitch bounded-frame
+    operator under REVERSED sort keys (PLANS.md hot-key table: lead =
+    lag mirrored). The timeline is re-keyed by
+    (timestamp_micros(-unix_micros(ts)), -event_id) — a strictly
+    order-reversing, value-preserving transform (the NTZ→TZ cast
+    feeding unix_micros is a fixed monotonic bijection under the
+    session's pinned UTC zone, session.py:35) — so
+    `chunked_frame_list` over ROWS 3 PRECEDING..CURRENT in the
+    reversed order collects exactly [t+3?, t+2?, t+1?, current] in
+    one bounded-task pass: lead(j) is the struct at 0-based index
+    size-1-j (F.get returns NULL out of range, matching lead's
+    missing-row NULL). Rows ride as non-null structs so positions
+    survive the frame assembly; the match predicate is then the
+    VERBATIM plain logic, and the entry shares the plain oracle SQL —
+    the driver's value-hash proves the lead-chain chunked class
+    bit-equal at catalog level. Opt-in for the hot-key case; costs
+    the documented summary-branch re-derivation.
+    """
+    from ..operators.chunked_window import chunked_frame_list
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type",
+        F.timestamp_micros(
+            -F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("__rev_ts"),
+        (-F.col("event_id")).alias("__rev_id"),
+    )
+    framed = chunked_frame_list(
+        e, ["user_id"], "__rev_ts",
+        F.struct(F.col("event_type").alias("et"),
+                 F.col("event_id").alias("eid")),
+        out="__ahead", frame_rows=4, bucket_width_sec=86400.0,
+        tiebreak_cols=["__rev_id"],
+    )
+    sz = F.size("__ahead")
+    lead = lambda j, fld: F.get("__ahead", sz - 1 - j)[fld]  # noqa: E731
+    s = framed.select(
+        "user_id", "event_id", "event_type",
+        lead(1, "et").alias("t1"), lead(2, "et").alias("t2"),
+        lead(3, "et").alias("t3"),
+        lead(1, "eid").alias("id1"), lead(2, "eid").alias("id2"),
+        lead(3, "eid").alias("id3"),
+    ).filter(F.col("event_type") == "signup")
+    np1 = F.col("t1") != "purchase"
+    np2 = np1 & (F.col("t2") != "purchase")
+    matched = s.select(
+        "user_id",
+        F.col("event_id").alias("signup_event_id"),
+        F.when(F.col("t1") == "error", F.col("id1"))
+        .when(np1 & (F.col("t2") == "error"), F.col("id2"))
+        .when(np2 & (F.col("t3") == "error"), F.col("id3"))
+        .alias("error_event_id"),
+        F.when(F.col("t1") == "error", F.lit(1))
+        .when(np1 & (F.col("t2") == "error"), F.lit(2))
+        .when(np2 & (F.col("t3") == "error"), F.lit(3))
+        .cast("long").alias("steps_to_error"),
+    )
+    return matched.filter(F.col("error_event_id").isNotNull())
+
+
 def event_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top 3-step navigation paths (the clickstream path-mining
     readout behind funnel design): per-user event trigrams from TWO
@@ -3649,9 +3804,19 @@ SPECS: list[QuerySpec] = [
               "per-user z-score outliers: single-shuffle window stats "
               "+ top-1, no join-back"),
     QuerySpec("event_transitions", event_transitions, EVENT_TRANSITIONS_SQL),
+    QuerySpec("event_transitions_chunked", event_transitions_chunked,
+              EVENT_TRANSITIONS_SQL,
+              "hot-key-proof Markov transitions: per-user lag via "
+              "chunked_lag boundary carry, then the verbatim shared "
+              "pair-count aggregate (bit-equal to the plain entry)"),
     QuerySpec("event_top_paths", event_top_paths, EVENT_TOP_PATHS_SQL),
     QuerySpec("event_pattern_match", event_pattern_match,
               EVENT_PATTERN_MATCH_SQL),
+    QuerySpec("event_pattern_match_chunked", event_pattern_match_chunked,
+              EVENT_PATTERN_MATCH_SQL,
+              "hot-key-proof CEP lead chain: chunked_frame_list under "
+              "reversed sort keys assembles [t+3..current], lead(j) = "
+              "positional F.get (bit-equal to the plain entry)"),
     QuerySpec("value_histogram", value_histogram, VALUE_HISTOGRAM_SQL),
     QuerySpec("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_SQL),
     QuerySpec("sample_pack_sequences", sample_pack_sequences,
@@ -3692,6 +3857,12 @@ SPECS: list[QuerySpec] = [
               "scalar companion: same ranking + vector fetch projected "
               "to (dim, first, last) so the ranking is provable by an "
               "array-blind driver"),
+    QuerySpec("similarity_topk_vectors_exploded",
+              similarity_topk_vectors_exploded,
+              SIMILARITY_TOPK_VECTORS_EXPLODED_SQL,
+              "full-content companion: fetched vectors exploded to "
+              "(pos, val) DOUBLE rows so an array-blind driver hashes "
+              "the complete vector contents"),
     QuerySpec("similarity_ann_lsh", similarity_ann_lsh, ANN_VERIFIED_SQL,
               "LSH ANN vs exact top-k: exact top-1 oracled, recall "
               "bound asserted as an oracle-checkable boolean"),

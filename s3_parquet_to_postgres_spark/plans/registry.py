@@ -22,100 +22,102 @@ from .base import QuerySpec
 # agg / sketch / window / scalar / subquery). Everything else follows
 # in module order and stays covered by tests/test_oracle_parity.py.
 FLAGSHIP: list[str] = [
-    # ROUND-7 ROTATION. The r6 window came back 50/50 green, so every
-    # catalog entry except similarity_topk_vectors has a green
-    # external-driver row on its current plan. This window:
+    # ROUND-8 ROTATION. The r7 window came back 49/50: the one red
+    # row, similarity_topk_vectors, failed inside the EXTERNAL
+    # driver's canonicalizer (`TypeError: unhashable type:
+    # 'numpy.ndarray'` in its pandas sort_values -- the traceback is
+    # entirely driver code; CORRECTNESS_r07.json), exactly the
+    # failure mode the r7 rotation hedged against. Adjudicated
+    # driver-blocked by the r7 verdict; per its item 1 the entry now
+    # sits OUT of the window permanently with this comment as the
+    # record, and its external evidence is carried by two
+    # driver-green companions: similarity_topk_vectors_flat (r7
+    # green -- ranking + fetch-join) and the NEW
+    # similarity_topk_vectors_exploded (below -- FULL vector
+    # contents as scalar (pos, val) DOUBLE rows, so the driver hash
+    # commits to every element). The raw-array entry itself stays
+    # catalog-covered by the recursive-canonicalizing in-repo
+    # harnesses (tests/test_oracle_parity.py, tools/drive_entry.py).
     #
-    # (a) finally ROTATES IN similarity_topk_vectors (array<float>
-    #     output) -- the r6 hold-out rested on an UNTESTED assumption
-    #     that the external driver's canonicalizer cannot hash array
-    #     cells; the in-repo harnesses (recursive array canon) prove
-    #     it green at sf0.001/0.01, so the driver row is the only
-    #     missing evidence. Its NEW scalar companion
-    #     similarity_topk_vectors_flat (same ranking + vector fetch
-    #     projected to dim/first/last scalars) rides alongside: if
-    #     the array entry comes back red on canonicalizer grounds,
-    #     the companion still proves the ranking externally.
-    # (b) enters the two NEW r7 chunk-and-stitch entries immediately,
-    #     as r6 did: event_gapfill_interp_chunked (chunked_last_carry
-    #     boundary carries, both directions) and event_streaks_chunked
-    #     (row_number as chunked cumsum(1) + max_by aggregate pick) --
-    #     both share the PLAIN entries' oracle SQL, so the driver hash
-    #     proves the lag/carry chunked class bit-equal at catalog
-    #     level.
-    # (c) spends the remaining 44 slots on the OLDEST evidence: the
-    #     last two r1-cohort entries (join_cross, set_distinct, which
-    #     ceded their r6 slots), all 37 entries whose latest green row
-    #     is r2 (TPC-H bulk, the r2 dedup/similarity/text headliners,
-    #     asof/event/table entries), and 7 of the r3
-    #     kernel-rewrite cohort the verdict flagged (similarity_ann_pq
-    #     / similarity_mips / dedup_exact_spans / text_unigram_lm --
-    #     their last driver rows predate the Arrow-kernel rewrites
-    #     that now execute them -- plus similarity_ann_lsh /
-    #     similarity_ann_ivf; dedup_simhash ceded its slot to
-    #     event_ewma_chunked, see (d)). The
-    #     remaining r3/r4 cohorts stay continuously covered by
-    #     tests/test_oracle_parity.py and full drive_entry sweeps and
-    #     walk forward next round.
-    # (d) event_ewma_chunked (added mid-round-7): the bounded-ROWS-
-    #     frame chunk-and-stitch primitive (chunked_frame_list) under
-    #     the EWMA fold, sharing EVENT_EWMA_SQL. A brand-new entry
-    #     with no driver row is the weakest evidence class, so it
-    #     takes the 50th slot from dedup_simhash (r3 green row +
-    #     continuous in-repo oracle coverage; walks forward next
-    #     round).
-    "similarity_topk_vectors",
-    "similarity_topk_vectors_flat",
-    "event_gapfill_interp_chunked",
-    "event_streaks_chunked",
-    "event_ewma_chunked",
-    "join_cross",
-    "set_distinct",
-    # --- r2 cohort (37) ---
-    "join_inner_broadcast",
-    "agg_approx",
-    "table_checksum",
-    "scalar_json",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_revenue_forecast",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q12_shipping_modes",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q16_part_supplier_counts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_excess_share",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_customers",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_components",
-    "corpus_curation_pipeline",
-    "similarity_topk_cosine",
-    "text_tfidf",
-    "multimodal_payload",
-    "asof_join_events",
-    "event_sessionize",
-    "ml_auc_eval",
-    "sample_weighted",
-    "table_quality_checks",
-    "join_spatial_grid",
-    "layout_zorder_stats",
-    # --- r3 kernel-rewrite cohort (6; dedup_simhash ceded, see (d)) ---
-    "similarity_ann_pq",
-    "similarity_mips",
-    "dedup_exact_spans",
-    "text_unigram_lm",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
+    # This window:
+    # (a) enters the three NEW r8 entries immediately, as r6/r7 did
+    #     for theirs: similarity_topk_vectors_exploded (see above)
+    #     plus the two chunk-and-stitch twins that close the
+    #     lag/lead-chain class (r7 verdict item 3):
+    #     event_transitions_chunked (chunked_lag boundary carry) and
+    #     event_pattern_match_chunked (lead chain via
+    #     chunked_frame_list under reversed sort keys). Both share
+    #     their PLAIN entries' oracle SQL -- and both plain entries
+    #     are in this window too (r3 cohort) -- so one driver round
+    #     proves plain and twin bit-equal on the same oracle.
+    # (b) walks the evidence window onto the OLDEST green rows
+    #     (r7 verdict item 2): all 39 catalog entries whose latest
+    #     green driver row is r3 (the remainder of the r3 cohorts:
+    #     agg sketches/medians, asof joins, event lag/lead family,
+    #     interval/point-in-time joins, ml grid/knn/pca, profiling
+    #     tables, udf/udtf surface, ...).
+    # (c) spends the last 8 slots on the r4 cohort (49 entries,
+    #     oldest remaining after the r3s): one representative per
+    #     family -- multimodal (features, phash_pairs), curation
+    #     (dedup_corpus_pipeline, sample_pack_sequences,
+    #     text_decontaminate), graph (triangles), event lead-chain
+    #     (event_top_paths, the class (a)'s twins generalize), and
+    #     scalar_winsorize. The remaining 41 r4 entries stay
+    #     continuously covered by tests/test_oracle_parity.py and
+    #     full drive_entry sweeps and walk forward next round.
+    # --- r8 new entries (3) ---
+    "similarity_topk_vectors_exploded",
+    "event_transitions_chunked",
+    "event_pattern_match_chunked",
+    # --- r3 cohort (39) ---
+    "agg_benford",
+    "agg_corr_matrix",
+    "agg_count_min",
+    "agg_exact_median_twophase",
+    "agg_weighted_median",
+    "asof_join_forward",
+    "asof_join_nearest",
+    "cohort_retention",
+    "conditional_case",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "dedup_sorted_neighborhood",
+    "event_funnel",
+    "event_gapfill",
+    "event_ohlc_bars",
+    "event_pattern_match",
+    "event_streaks",
+    "event_transitions",
+    "graph_label_propagation",
+    "join_interval_overlap",
+    "join_point_in_time",
+    "ml_grid_cluster",
+    "ml_knn_classify",
+    "ml_pca_power",
+    "sample_stratified",
+    "sample_token_budget",
+    "scalar_regex",
+    "scd2_user_state",
+    "set_intersect_all",
+    "similarity_rrf",
+    "table_drift_ks",
+    "table_k_anonymity",
+    "table_merge_upsert",
+    "table_profile",
+    "text_lang_id",
+    "udf_grouped_ols",
+    "udf_pandas_scalar",
+    "udtf_json_kv",
+    "window_cumsum_reset",
+    # --- r4 cohort (8 of 49; rest walk forward in r9) ---
+    "multimodal_features",
+    "multimodal_phash_pairs",
+    "dedup_corpus_pipeline",
+    "sample_pack_sequences",
+    "text_decontaminate",
+    "graph_triangles",
+    "event_top_paths",
+    "scalar_winsorize",
 ]
 
 

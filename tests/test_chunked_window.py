@@ -402,3 +402,78 @@ def test_chunked_lag_struct_values_and_null_keys(spark):
         assert _collect_map(got, ["event_id"], col) == _collect_map(
             plain, ["event_id"], col
         )
+
+
+def test_event_transitions_chunked_bit_equal(spark, sf_dir):
+    """Catalog-level pin: event_transitions_chunked must be BIT-EQUAL
+    to event_transitions (they share EVENT_TRANSITIONS_SQL, so the
+    driver hash proves the same -- this is the fast local tripwire
+    for the lag-chain chunked class)."""
+    from s3_parquet_to_postgres_spark.plans.ext import (
+        event_transitions, event_transitions_chunked,
+    )
+
+    plain = {(r["src"], r["dst"]): (r["transitions"], r["share"])
+             for r in event_transitions(spark, sf_dir).collect()}
+    got = {(r["src"], r["dst"]): (r["transitions"], r["share"])
+           for r in event_transitions_chunked(spark, sf_dir).collect()}
+    assert got == plain and len(got) > 0
+
+
+def test_event_pattern_match_chunked_bit_equal(spark, sf_dir):
+    """Catalog-level pin: event_pattern_match_chunked must be
+    BIT-EQUAL to event_pattern_match (shared oracle SQL) -- the
+    lead-chain chunked class via chunked_frame_list under reversed
+    sort keys."""
+    from s3_parquet_to_postgres_spark.plans.ext import (
+        event_pattern_match, event_pattern_match_chunked,
+    )
+
+    key = lambda r: (r["user_id"], r["signup_event_id"])  # noqa: E731
+    plain = {key(r): (r["error_event_id"], r["steps_to_error"])
+             for r in event_pattern_match(spark, sf_dir).collect()}
+    got = {key(r): (r["error_event_id"], r["steps_to_error"])
+           for r in event_pattern_match_chunked(spark, sf_dir).collect()}
+    assert got == plain and len(got) > 0
+
+
+@pytest.mark.parametrize("width_sec", [7.0, 300.0, 10_000_000.0])
+def test_chunked_frame_list_reversed_keys_is_lead_chain(spark, width_sec):
+    """The lead-chain recipe (PLANS.md hot-key table): re-key by
+    (timestamp_micros(-unix_micros(ts)), -event_id), assemble a
+    4-row frame under the REVERSED order, and read lead(j) at
+    0-based index size-1-j. Must equal F.lead(v, j) over the plain
+    ascending window for j = 1..3 on the 80%-hot-key corpus at every
+    bucket width, including duplicate-timestamp ties."""
+    from s3_parquet_to_postgres_spark.operators.chunked_window import (
+        chunked_frame_list,
+    )
+
+    df = _skewed_events(spark, n=1500).select(
+        "event_id", "user_id", "ts", "v",
+        F.timestamp_micros(
+            -F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("__rev_ts"),
+        (-F.col("event_id")).alias("__rev_id"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    plain = df.select(
+        "event_id",
+        *[F.lead("v", j).over(w).alias(f"lead{j}") for j in (1, 2, 3)],
+    )
+    framed = chunked_frame_list(
+        df, ["user_id"], "__rev_ts", F.struct(F.col("v").alias("v")),
+        out="__ahead", frame_rows=4, bucket_width_sec=width_sec,
+        tiebreak_cols=["__rev_id"],
+    )
+    sz = F.size("__ahead")
+    got_df = framed.select(
+        "event_id",
+        *[F.get("__ahead", sz - 1 - j)["v"].alias(f"lead{j}")
+          for j in (1, 2, 3)],
+    )
+    want = {r["event_id"]: (r["lead1"], r["lead2"], r["lead3"])
+            for r in plain.collect()}
+    got = {r["event_id"]: (r["lead1"], r["lead2"], r["lead3"])
+           for r in got_df.collect()}
+    assert got == want and len(got) == 1500
