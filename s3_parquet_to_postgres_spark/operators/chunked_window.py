@@ -15,9 +15,11 @@ the batch answer.
 
 Primitives: running sums (`chunked_cumsum`), gap sessionization
 (`sessionize_chunked`), lag-1 (`chunked_lag`), running non-null carry
-(`chunked_last_carry`), and bounded ROWS-frame lists
+(`chunked_last_carry`), bounded ROWS-frame lists
 (`chunked_frame_list` — windowed folds like EWMA, rolling stats,
-lag-k chains). Results are bit-identical to the single-task window at
+lag-k chains), and trailing RANGE-frame aggregates
+(`chunked_range_agg` — ghost-row stitch, sliding time lookbacks).
+Results are bit-identical to the single-task window at
 any bucket width (pinned by tests/test_chunked_window.py against the
 plain window on a pathological 80 %-of-rows key, across widths from
 narrower-than-gap to one-bucket-degenerate).
@@ -491,4 +493,69 @@ def chunked_last_carry(
         _null_safe_join(local, carry, partition_cols + [_BKT])
         .withColumn(out, F.coalesce(F.col(_LOC), F.col("__cw_carry")))
         .drop(_BKT, _LOC, "__cw_carry", "__cw_val")
+    )
+
+
+def chunked_range_agg(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    ts_col: str,
+    aggs: dict[str, Column],
+    range_sec: float,
+    bucket_width_sec: float | None = None,
+) -> DataFrame:
+    """Exact trailing RANGE-frame aggregates per key — ``agg(...)
+    OVER (PARTITION BY key ORDER BY epoch_us(ts) RANGE BETWEEN
+    range_sec PRECEDING AND CURRENT ROW)`` for any set of aggregate
+    expressions — with every task bounded by ~2 time buckets of one
+    key (the sliding-lookback shape: attribution lookbacks, trailing
+    rate counters, moving min/max over a time horizon).
+
+    Ghost-row stitch, no summary pass: with ``bucket_width_sec >=
+    range_sec`` (default: equal), every row's trailing frame lives
+    entirely in its own bucket or the one before, so each row is
+    shipped TWICE — once to its own bucket, once as read-only context
+    to the next — and the range window runs locally per (key,
+    bucket) over own+context rows; only own rows are kept. Frame
+    membership is decided by the same microsecond range predicate as
+    the global window (ties in the order key are all frame-mates in
+    a RANGE frame, so no tiebreak contract is needed), making every
+    aggregate value bit-identical at any compliant bucket width. Cost
+    model differs from the other primitives here: 2x the shuffled
+    rows instead of a second scan+shuffle derivation — cheaper than
+    the summary-branch operators, and the worst task is 2 buckets of
+    the hottest key instead of ALL of it.
+
+    ``aggs`` maps output column name -> aggregate Column (e.g.
+    ``F.count(x)``, ``F.min(x)``); each is applied ``.over()`` the
+    local frame. Precondition: ``ts_col`` non-null (a frame anchored
+    at an unknown instant is not meaningful).
+    """
+    if bucket_width_sec is None:
+        bucket_width_sec = range_sec
+    if bucket_width_sec < range_sec:
+        raise ValueError(
+            f"bucket_width_sec ({bucket_width_sec}) must be >= "
+            f"range_sec ({range_sec}): a trailing frame may not span "
+            "more than the previous bucket"
+        )
+    partition_cols = list(partition_cols)
+    range_us = int(range_sec * 1_000_000)
+    b = _bucketed(df, ts_col, bucket_width_sec).withColumn(
+        "__cw_us", F.unix_micros(F.col(ts_col).cast("timestamp"))
+    )
+    own = b.withColumn("__cw_ghost", F.lit(False))
+    ghost = b.withColumn(_BKT, F.col(_BKT) + F.lit(1)).withColumn(
+        "__cw_ghost", F.lit(True)
+    )
+    u = own.unionByName(ghost)
+    w = (
+        Window.partitionBy(*partition_cols, _BKT)
+        .orderBy(F.col("__cw_us").asc())
+        .rangeBetween(-range_us, 0)
+    )
+    for name, agg in aggs.items():
+        u = u.withColumn(name, agg.over(w))
+    return u.filter(~F.col("__cw_ghost")).drop(
+        _BKT, "__cw_us", "__cw_ghost"
     )

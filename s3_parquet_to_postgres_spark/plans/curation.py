@@ -447,6 +447,53 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_user_state_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same SCD2 history build as `scd2_user_state`, with BOTH
+    ordered stages chunk-and-stitched (`chunked_lag`, 1-day buckets):
+    change detection is lag(event_type) in the plain ascending order,
+    and the interval close lead(ts) is chunked_lag under REVERSED
+    sort keys over the (already change-collapsed, so much smaller)
+    state rows. SCALE_CHECK.md round 7 measured the plain entry
+    paying 1.89x on an 80%-hot key even behind its change-collapse;
+    this twin bounds every task by one (user, day) bucket at both
+    stages. Value copying only, shared oracle SQL — the driver's
+    value-hash proves bit-equality at catalog level. Opt-in; costs
+    the documented summary-branch re-derivation twice (once per
+    stage, the second over collapsed rows only).
+    """
+    from ..operators.chunked_window import chunked_lag
+
+    e = t(spark, sf_dir, "events")
+    changes = (
+        chunked_lag(
+            e.select("user_id", "ts", "event_id", "event_type"),
+            ["user_id"], "ts", "event_type", out="prev_type",
+            bucket_width_sec=86400.0, tiebreak_cols=["event_id"],
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .withColumn(
+            "__rev_ts",
+            F.timestamp_micros(-F.unix_micros(F.col("ts").cast("timestamp"))),
+        )
+        .withColumn("__rev_id", -F.col("event_id"))
+    )
+    closed = chunked_lag(
+        changes, ["user_id"], "__rev_ts", "ts", out="next_ts",
+        bucket_width_sec=86400.0, tiebreak_cols=["__rev_id"],
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return closed.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.date_format("next_ts", fmt).alias("valid_to"),
+        F.col("next_ts").isNull().alias("is_current"),
+    )
+
+
 SCD2_USER_STATE_SQL = """
 WITH changes AS (
   SELECT user_id, event_type, ts, event_id,
@@ -2883,6 +2930,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec("scd2_user_state", scd2_user_state, SCD2_USER_STATE_SQL,
               "SCD2 interval build from the event log: single "
               "user_id shuffle, shared window spec, output ~ changes"),
+    QuerySpec("scd2_user_state_chunked", scd2_user_state_chunked,
+              SCD2_USER_STATE_SQL,
+              "hot-key-proof SCD2: chunked_lag for change detection, "
+              "chunked_lag under reversed keys for the interval-close "
+              "lead (bit-equal to the plain entry)"),
     QuerySpec("event_rollup_incremental", event_rollup_incremental,
               EVENT_ROLLUP_INCREMENTAL_SQL,
               "continuous-aggregate maintenance: mergeable per-shard "

@@ -2271,6 +2271,54 @@ FROM scored WHERE event_type = 'purchase'
 """
 
 
+def event_lookback_attribution_chunked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The same 1-hour-lookback attribution as
+    `event_lookback_attribution`, with the trailing RANGE frame
+    computed by the ghost-row chunk-and-stitch operator
+    (`operators/chunked_window.chunked_range_agg`, 1-hour buckets =
+    the frame span): each row is shipped to its own bucket and as
+    read-only context to the next, the range window runs locally per
+    (user, bucket), and only own rows survive — every task bounded
+    by ~2 hours of one user's events instead of all of them. Frame
+    membership is the identical microsecond range predicate, so
+    count/min/max come out bit-equal; the readout projection is the
+    VERBATIM plain logic and the entry shares the plain oracle SQL.
+    Closes the trailing-RANGE-frame class of the PLANS.md hot-key
+    table (cost: 2x shuffled rows, no summary re-derivation).
+    """
+    from ..operators.chunked_window import chunked_range_agg
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    click_us = F.when(F.col("event_type") == "click", us)
+    scored = chunked_range_agg(
+        e, ["user_id"], "ts",
+        {
+            "__n_clicks": F.count(click_us),
+            "__first_us": F.min(click_us),
+            "__last_us": F.max(click_us),
+        },
+        range_sec=3600.0,
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return scored.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("purchase_ts"),
+        F.col("__n_clicks").cast("long").alias("n_clicks_1h"),
+        F.date_format(
+            F.timestamp_micros(F.col("__first_us")), fmt
+        ).alias("first_click_ts"),
+        F.date_format(
+            F.timestamp_micros(F.col("__last_us")), fmt
+        ).alias("last_click_ts"),
+    )
+
+
 def event_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Time-series resampling to hourly OHLC bars: open/close via
     # min_by/max_by on the (ts, event_id) composite order key (unique,
@@ -3393,6 +3441,53 @@ ORDER BY n_walks DESC, path LIMIT 15
 """
 
 
+def event_top_paths_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same top 3-step paths as `event_top_paths`, with the
+    per-user lag CHAIN (lag 1 and lag 2 of event_type) assembled in
+    ONE chunk-and-stitch pass: `chunked_frame_list` over ROWS 2
+    PRECEDING..CURRENT in the plain ascending order yields
+    [t-2?, t-1?, current]; lag(j) is the element at 0-based index
+    size-1-j (F.get returns NULL out of range, matching lag's
+    missing-row NULL — event_type is non-null so positions survive
+    the frame assembly). Trigram concat + bounded path aggregate are
+    then the VERBATIM plain logic, and the entry shares the plain
+    oracle SQL — with `event_pattern_match_chunked` (the lead/
+    forward-looking mirror) this closes both directions of the
+    lag-k-chain class at catalog level. Opt-in for the hot-key case;
+    costs the documented summary-branch re-derivation.
+    """
+    from ..operators.chunked_window import chunked_frame_list
+
+    framed = chunked_frame_list(
+        t(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id",
+            F.col("event_type").alias("e3"),
+        ),
+        ["user_id"], "ts", "e3", out="__gram",
+        frame_rows=3, bucket_width_sec=86400.0,
+        tiebreak_cols=["event_id"],
+    )
+    sz = F.size("__gram")
+    seq = framed.select(
+        "user_id",
+        F.get("__gram", sz - 3).alias("e1"),
+        F.get("__gram", sz - 2).alias("e2"),
+        "e3",
+    ).filter(F.col("e1").isNotNull())
+    paths = seq.select(
+        "user_id", F.concat_ws(" > ", "e1", "e2", "e3").alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count("*").alias("n_walks"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_walks"), "path")
+        .limit(15)
+    )
+
+
 def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fixed-width histogram of events.value: bucket arithmetic stays
     # JVM-side (floor/least, no UDF), one hash aggregate, output
@@ -3810,6 +3905,11 @@ SPECS: list[QuerySpec] = [
               "chunked_lag boundary carry, then the verbatim shared "
               "pair-count aggregate (bit-equal to the plain entry)"),
     QuerySpec("event_top_paths", event_top_paths, EVENT_TOP_PATHS_SQL),
+    QuerySpec("event_top_paths_chunked", event_top_paths_chunked,
+              EVENT_TOP_PATHS_SQL,
+              "hot-key-proof path mining: the lag-1/lag-2 chain from "
+              "one chunked_frame_list pass, then the verbatim bounded "
+              "path aggregate (bit-equal to the plain entry)"),
     QuerySpec("event_pattern_match", event_pattern_match,
               EVENT_PATTERN_MATCH_SQL),
     QuerySpec("event_pattern_match_chunked", event_pattern_match_chunked,
@@ -3954,6 +4054,12 @@ SPECS: list[QuerySpec] = [
               "sliding interval RANGE frame (epoch-us order key): "
               "per-purchase click stats in the preceding hour, no "
               "self-join"),
+    QuerySpec("event_lookback_attribution_chunked",
+              event_lookback_attribution_chunked,
+              EVENT_LOOKBACK_ATTRIBUTION_SQL,
+              "hot-key-proof lookback: trailing RANGE frame via the "
+              "ghost-row chunked_range_agg, tasks bounded by ~2h of "
+              "one user (bit-equal to the plain entry)"),
     QuerySpec("event_ohlc_bars", event_ohlc_bars, EVENT_OHLC_BARS_SQL,
               "hourly OHLC resample: min_by/max_by on a composite "
               "order key, one hash aggregation, no window"),

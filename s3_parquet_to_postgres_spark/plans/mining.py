@@ -1155,6 +1155,15 @@ def event_bot_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.col("us") - F.lag("us").over(w))
                 / F.lit(1000000.0)).cast("long"),
     ).filter(F.col("gap_s").isNotNull())
+    return _bot_signals_from_gaps(spark, sf_dir, gaps)
+
+
+def _bot_signals_from_gaps(
+    spark: SparkSession, sf_dir: str, gaps: DataFrame
+) -> DataFrame:
+    """Shared readout stage of event_bot_signals: per-user gap moment
+    aggregates + busiest-minute join + burstiness. Split out so the
+    chunked twin swaps ONLY the lag stage and keeps this verbatim."""
     stats = gaps.groupBy("user_id").agg(
         F.count("*").alias("n_gaps"),
         F.sum("gap_s").alias("sum_gap_s"),
@@ -1192,6 +1201,43 @@ def event_bot_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
         )
     )
+
+
+def event_bot_signals_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same automation signals as `event_bot_signals`, with the
+    per-user lag(us) computed by the chunk-and-stitch lag operator
+    (`operators/chunked_window.chunked_lag`, 1-day buckets) instead
+    of one task per user — the MOST motivated chunked twin in the
+    catalog, because the hot key in this entry's domain is precisely
+    the thing it detects: a bot firehosing events at one user_id is
+    both the row-count pathology and the signal. Ordering note: the
+    plain entry sorts by (us, event_id) and the chunked operator by
+    (ts, event_id) — identical orders, since us = unix_micros(ts)
+    under the session's pinned UTC zone is strictly monotonic in ts.
+    Value copying only, then the VERBATIM shared readout
+    (`_bot_signals_from_gaps`) — shares EVENT_BOT_SIGNALS_SQL, so the
+    driver's value-hash proves bit-equality at catalog level.
+    """
+    from ..operators.chunked_window import chunked_lag
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "ts",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    gaps = (
+        chunked_lag(
+            e, ["user_id"], "ts", "us", out="prev_us",
+            bucket_width_sec=86400.0, tiebreak_cols=["event_id"],
+        )
+        .withColumn(
+            "gap_s",
+            F.floor((F.col("us") - F.col("prev_us"))
+                    / F.lit(1000000.0)).cast("long"),
+        )
+        .filter(F.col("gap_s").isNotNull())
+    )
+    return _bot_signals_from_gaps(spark, sf_dir, gaps)
 
 
 EVENT_BOT_SIGNALS_SQL = """
@@ -2251,6 +2297,13 @@ def event_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     r = pts.withColumn("running", F.sum("delta").over(w_run))
+    return _concurrency_readout(r)
+
+
+def _concurrency_readout(r: DataFrame) -> DataFrame:
+    """Shared peak stage of event_concurrency: per-day max over the
+    running sum, first instant the peak is reached. Split out so the
+    chunked twin swaps ONLY the running-sum stage."""
     r = r.withColumn("peak", F.max("running").over(Window.partitionBy("day")))
     return (
         r.filter(F.col("running") == F.col("peak"))
@@ -2262,6 +2315,57 @@ def event_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("first_peak_at"),
         )
     )
+
+
+def event_concurrency_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same per-day sweep-line peak as `event_concurrency`, with
+    the running sum chunk-and-stitched (`chunked_cumsum`, 1-HOUR
+    buckets inside the day key). This posture differs from every
+    per-USER twin in the catalog: the sweep's partition key is the
+    calendar DAY, whose row count grows with traffic without bound —
+    at 100 TB one day of endpoints is billions of rows in ONE task's
+    sort, no pathological user required (PLANS.md hot-key table). The
+    hour buckets cap each task at one hour of one day's endpoints;
+    the per-bucket summary window is 24 rows per day. Tie note: (t,
+    delta) does not totally order equal-endpoint rows, but tied rows
+    carry identical deltas, so the multiset of prefix values — and
+    hence the peak and its first instant — is order-independent,
+    exactly the plain entry's determinism argument; the stitch
+    preserves that multiset bucket by bucket. Shares the plain oracle
+    SQL, so the driver hash proves value-equality at catalog level.
+    """
+    from ..operators.chunked_window import chunked_cumsum
+
+    e = t(spark, sf_dir, "events").select("ts")
+    day0 = F.date_trunc("day", F.col("ts"))
+    day_end = day0 + F.expr("INTERVAL 1 DAY")
+    hold_end = F.col("ts") + F.expr("INTERVAL 5 MINUTES")
+
+    def pt(day, ts_, delta):
+        return F.struct(
+            day.alias("day"), ts_.alias("t"),
+            F.lit(delta).cast("int").alias("delta"),
+        )
+
+    base = F.array(
+        pt(day0, F.col("ts"), 1),
+        pt(day0, F.least(hold_end, day_end), -1),
+    )
+    crossing = F.array(
+        pt(day_end, day_end, 1),
+        pt(day_end, hold_end, -1),
+    )
+    pts = e.select(
+        F.explode(
+            F.when(hold_end > day_end, F.concat(base, crossing))
+            .otherwise(base)
+        ).alias("p")
+    ).select("p.day", "p.t", "p.delta")
+    r = chunked_cumsum(
+        pts, ["day"], "t", "delta", out="running",
+        bucket_width_sec=3600.0, tiebreak_cols=["delta"],
+    ).withColumn("running", F.col("running").cast("long"))
+    return _concurrency_readout(r)
 
 
 EVENT_CONCURRENCY_SQL = """
@@ -2703,8 +2807,6 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- addition of exact integers commutes, so each round (and the
     fixed point) is bit-stable regardless of engine or order.
     """
-    import math
-
     # NULL event types are not states: drop them before the lag so
     # neither side of a transition is NULL (the driver-side state
     # sort cannot order None against str).
@@ -2713,6 +2815,16 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = e.select(
         "event_type", F.lag("event_type").over(w).alias("prev")
     ).filter(F.col("prev").isNotNull())
+    return _markov_from_bigrams(spark, big)
+
+
+def _markov_from_bigrams(spark: SparkSession, big: DataFrame) -> DataFrame:
+    """Shared readout stage of event_markov_stationary: collect the
+    bounded |event_type|^2 bigram cells and run the quantized power
+    rounds driver-side. Split out so the chunked twin swaps ONLY the
+    lag stage and keeps the arithmetic verbatim."""
+    import math
+
     cnt_rows = (
         big.groupBy("prev", "event_type").agg(F.count("*").alias("c"))
         .collect()  # bounded: |event_type|^2 cells
@@ -2743,6 +2855,29 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted((s, dr9(v)) for s, v in pi.items()),
         "state: string, pi_q: double",
     )
+
+
+def event_markov_stationary_chunked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The same stationary distribution as `event_markov_stationary`,
+    with the per-user lag(event_type) chunk-and-stitched
+    (`operators/chunked_window.chunked_lag`, 1-day buckets) — the
+    mechanical swap the PLANS.md hot-key table predicted for this
+    entry (identical stage shape to `event_transitions_chunked`).
+    Value copying only, then the VERBATIM shared quantized power
+    rounds (`_markov_from_bigrams`) — shares the plain oracle SQL, so
+    the driver's value-hash proves bit-equality at catalog level.
+    """
+    from ..operators.chunked_window import chunked_lag
+
+    e = t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    big = chunked_lag(
+        e.select("user_id", "ts", "event_id", "event_type"),
+        ["user_id"], "ts", "event_type", out="prev",
+        bucket_width_sec=86400.0, tiebreak_cols=["event_id"],
+    ).filter(F.col("prev").isNotNull()).select("event_type", "prev")
+    return _markov_from_bigrams(spark, big)
 
 
 def _markov_sql() -> str:
@@ -3114,6 +3249,12 @@ SPECS: list[QuerySpec] = [
               "steady-state of the event-type Markov chain: one "
               "corpus pass, 4 quantized power rounds on the "
               "|states|^2 table, oracle replays all rounds"),
+    QuerySpec("event_markov_stationary_chunked",
+              event_markov_stationary_chunked,
+              EVENT_MARKOV_STATIONARY_SQL,
+              "hot-key-proof Markov steady state: per-user lag via "
+              "chunked_lag, then the verbatim quantized power rounds "
+              "(bit-equal to the plain entry)"),
     QuerySpec("agg_timeseries_acf", agg_timeseries_acf,
               AGG_TIMESERIES_ACF_SQL,
               "daily-series autocorrelation lags 1..7: exact "
@@ -3142,6 +3283,11 @@ SPECS: list[QuerySpec] = [
               EVENT_ATTRIBUTION_USHAPE_SQL),
     QuerySpec("event_bot_signals", event_bot_signals,
               EVENT_BOT_SIGNALS_SQL),
+    QuerySpec("event_bot_signals_chunked", event_bot_signals_chunked,
+              EVENT_BOT_SIGNALS_SQL,
+              "hot-key-proof bot detection: the bot IS the hot key -- "
+              "per-user lag via chunked_lag boundary carry, then the "
+              "verbatim shared readout (bit-equal to the plain entry)"),
     QuerySpec("table_k_anonymity", table_k_anonymity,
               TABLE_K_ANONYMITY_SQL),
     QuerySpec("agg_benford", agg_benford, AGG_BENFORD_SQL),
@@ -3162,6 +3308,11 @@ SPECS: list[QuerySpec] = [
               "per-day distributed sweep-line peak concurrency: "
               "holds clipped at midnight so the running sum "
               "partitions by day, no global sort"),
+    QuerySpec("event_concurrency_chunked", event_concurrency_chunked,
+              EVENT_CONCURRENCY_SQL,
+              "unbounded-day-key-proof sweep-line: running sum via "
+              "chunked_cumsum with hour buckets inside the day key "
+              "(value-equal to the plain entry)"),
     QuerySpec("agg_contingency_chi2", agg_contingency_chi2,
               AGG_CONTINGENCY_CHI2_SQL,
               "lang x source independence audit: one corpus agg, "

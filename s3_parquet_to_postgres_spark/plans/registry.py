@@ -40,35 +40,62 @@ FLAGSHIP: list[str] = [
     # harnesses (tests/test_oracle_parity.py, tools/drive_entry.py).
     #
     # This window:
-    # (a) enters the three NEW r8 entries immediately, as r6/r7 did
+    # (a) enters the nine NEW r8 entries immediately, as r6/r7 did
     #     for theirs: similarity_topk_vectors_exploded (see above)
-    #     plus the two chunk-and-stitch twins that close the
-    #     lag/lead-chain class (r7 verdict item 3):
-    #     event_transitions_chunked (chunked_lag boundary carry) and
+    #     plus the eight chunk-and-stitch twins that close the
+    #     lag/lead-chain class (r7 verdict item 3) and the remaining
+    #     measured/unbounded hot-key postures:
+    #     event_transitions_chunked (chunked_lag boundary carry),
     #     event_pattern_match_chunked (lead chain via
-    #     chunked_frame_list under reversed sort keys). Both share
-    #     their PLAIN entries' oracle SQL -- and both plain entries
-    #     are in this window too (r3 cohort) -- so one driver round
-    #     proves plain and twin bit-equal on the same oracle.
+    #     chunked_frame_list under reversed sort keys),
+    #     event_top_paths_chunked (lag-1/lag-2 chain from one
+    #     ascending chunked_frame_list pass), and
+    #     event_bot_signals_chunked (chunked_lag on inter-arrival
+    #     micros -- the bot IS this entry's hot key),
+    #     scd2_user_state_chunked (both ordered stages chunked; the
+    #     r7 skew stress measured plain scd2 paying 1.89x), and
+    #     event_concurrency_chunked (chunked_cumsum with HOUR buckets
+    #     inside the calendar-DAY sweep key -- the one per-key window
+    #     whose key row count grows with traffic unbounded),
+    #     event_markov_stationary_chunked (the PLANS-predicted
+    #     mechanical chunked_lag swap), and
+    #     event_lookback_attribution_chunked (the NEW ghost-row
+    #     chunked_range_agg primitive: trailing RANGE frames with
+    #     tasks bounded by ~2 buckets of one key). With these the
+    #     hot-key posture table has a DONE catalog twin for EVERY
+    #     ordered-window class. All share their PLAIN entries'
+    #     oracle SQL; four plain partners ride in this window too
+    #     (transitions / pattern_match / scd2_user_state from the r3
+    #     cohort, top_paths from the r4 picks) and the other four
+    #     (bot_signals, concurrency, markov_stationary,
+    #     lookback_attribution) have r4+/r5+ green rows of their
+    #     own, so one driver round proves each twin bit-equal to
+    #     its partner's oracle.
+    #     SCALE_CHECK.md's r8 skew rows motivate the family: plain
+    #     pattern_match/transitions pay 2.35x/2.46x on an 80%-hot
+    #     key where the twins hold 1.06x/0.87x.
     # (b) walks the evidence window onto the OLDEST green rows
     #     (r7 verdict item 2): all 39 catalog entries whose latest
     #     green driver row is r3 (the remainder of the r3 cohorts:
     #     agg sketches/medians, asof joins, event lag/lead family,
     #     interval/point-in-time joins, ml grid/knn/pca, profiling
     #     tables, udf/udtf surface, ...).
-    # (c) spends the last 8 slots on the r4 cohort (49 entries,
-    #     oldest remaining after the r3s): one representative per
-    #     family -- multimodal (features, phash_pairs), curation
-    #     (dedup_corpus_pipeline, sample_pack_sequences,
-    #     text_decontaminate), graph (triangles), event lead-chain
-    #     (event_top_paths, the class (a)'s twins generalize), and
-    #     scalar_winsorize. The remaining 41 r4 entries stay
-    #     continuously covered by tests/test_oracle_parity.py and
-    #     full drive_entry sweeps and walk forward next round.
-    # --- r8 new entries (3) ---
+    # (c) spends the last 2 slots on the r4 cohort (49 entries,
+    #     oldest remaining after the r3s): multimodal_features and
+    #     the event lead-chain plain partner event_top_paths. The
+    #     remaining 47 r4 entries stay continuously covered by
+    #     tests/test_oracle_parity.py and full drive_entry sweeps
+    #     and walk forward next round.
+    # --- r8 new entries (9) ---
     "similarity_topk_vectors_exploded",
     "event_transitions_chunked",
     "event_pattern_match_chunked",
+    "event_top_paths_chunked",
+    "event_bot_signals_chunked",
+    "scd2_user_state_chunked",
+    "event_concurrency_chunked",
+    "event_markov_stationary_chunked",
+    "event_lookback_attribution_chunked",
     # --- r3 cohort (39) ---
     "agg_benford",
     "agg_corr_matrix",
@@ -109,15 +136,14 @@ FLAGSHIP: list[str] = [
     "udf_pandas_scalar",
     "udtf_json_kv",
     "window_cumsum_reset",
-    # --- r4 cohort (8 of 49; rest walk forward in r9) ---
+    # --- r4 cohort (2 of 49; graph_triangles, scalar_winsorize,
+    # sample_pack_sequences, text_decontaminate, multimodal_phash_pairs
+    # and dedup_corpus_pipeline ceded their slots to the six
+    # late-round-8 twins above, the zero-driver-row evidence class,
+    # per r6/r7 precedent; all six stay continuously in-repo-covered
+    # and walk forward in r9) ---
     "multimodal_features",
-    "multimodal_phash_pairs",
-    "dedup_corpus_pipeline",
-    "sample_pack_sequences",
-    "text_decontaminate",
-    "graph_triangles",
     "event_top_paths",
-    "scalar_winsorize",
 ]
 
 

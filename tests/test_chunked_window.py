@@ -477,3 +477,148 @@ def test_chunked_frame_list_reversed_keys_is_lead_chain(spark, width_sec):
     got = {r["event_id"]: (r["lead1"], r["lead2"], r["lead3"])
            for r in got_df.collect()}
     assert got == want and len(got) == 1500
+
+
+def test_event_top_paths_chunked_bit_equal(spark, sf_dir):
+    """Catalog-level pin: event_top_paths_chunked must be BIT-EQUAL
+    to event_top_paths (shared oracle SQL) -- the lag-1/lag-2 chain
+    from one ascending chunked_frame_list pass."""
+    from s3_parquet_to_postgres_spark.plans.ext import (
+        event_top_paths, event_top_paths_chunked,
+    )
+
+    plain = [(r["path"], r["n_walks"], r["n_users"])
+             for r in event_top_paths(spark, sf_dir).collect()]
+    got = [(r["path"], r["n_walks"], r["n_users"])
+           for r in event_top_paths_chunked(spark, sf_dir).collect()]
+    assert got == plain and len(got) > 0
+
+
+def test_event_bot_signals_chunked_bit_equal(spark, sf_dir):
+    """Catalog-level pin: event_bot_signals_chunked must be BIT-EQUAL
+    to event_bot_signals (shared oracle SQL) -- chunked_lag on
+    inter-arrival micros, the bot-detection hot-key case."""
+    from s3_parquet_to_postgres_spark.plans.mining import (
+        event_bot_signals, event_bot_signals_chunked,
+    )
+
+    cols = ["n_gaps", "sum_gap_s", "min_gap_s", "max_per_minute",
+            "burstiness"]
+    plain = {r["user_id"]: tuple(r[c] for c in cols)
+             for r in event_bot_signals(spark, sf_dir).collect()}
+    got = {r["user_id"]: tuple(r[c] for c in cols)
+           for r in event_bot_signals_chunked(spark, sf_dir).collect()}
+    assert got == plain and len(got) > 0
+
+
+def test_scd2_user_state_chunked_bit_equal(spark, sf_dir):
+    """Catalog-level pin: scd2_user_state_chunked must be BIT-EQUAL
+    to scd2_user_state (shared oracle SQL) -- both ordered stages
+    chunk-and-stitched (lag ascending, lead via reversed keys)."""
+    from s3_parquet_to_postgres_spark.plans.curation import (
+        scd2_user_state, scd2_user_state_chunked,
+    )
+
+    key = lambda r: (r["user_id"], r["valid_from"])  # noqa: E731
+    plain = {key(r): (r["state"], r["valid_to"], r["is_current"])
+             for r in scd2_user_state(spark, sf_dir).collect()}
+    got = {key(r): (r["state"], r["valid_to"], r["is_current"])
+           for r in scd2_user_state_chunked(spark, sf_dir).collect()}
+    assert got == plain and len(got) > 0
+
+
+def test_event_concurrency_chunked_value_equal(spark, sf_dir):
+    """Catalog-level pin: event_concurrency_chunked must produce the
+    same per-day peaks and first-peak instants as event_concurrency
+    (shared oracle SQL) -- the sweep-line running sum through
+    chunked_cumsum with hour buckets inside the day key."""
+    from s3_parquet_to_postgres_spark.plans.mining import (
+        event_concurrency, event_concurrency_chunked,
+    )
+
+    plain = {r["day"]: (r["peak_concurrency"], r["first_peak_at"])
+             for r in event_concurrency(spark, sf_dir).collect()}
+    got = {r["day"]: (r["peak_concurrency"], r["first_peak_at"])
+           for r in event_concurrency_chunked(spark, sf_dir).collect()}
+    assert got == plain and len(got) > 0
+
+
+@pytest.mark.parametrize("width_sec", [120.0, 300.0, 10_000_000.0])
+def test_chunked_range_agg_matches_plain_window(spark, width_sec):
+    """Ghost-row trailing-RANGE-frame aggregates must match the plain
+    range window bit-for-bit on the 80%-hot-key corpus, for every
+    compliant bucket width (= span, > span, one-bucket degenerate),
+    including conditional aggregates with all-NULL frames."""
+    from s3_parquet_to_postgres_spark.operators.chunked_window import (
+        chunked_range_agg,
+    )
+
+    span = 120.0
+    df = _skewed_events(spark, n=1500)
+    us = F.unix_micros(F.col("ts"))
+    cond = F.when(F.col("v") > 2, us)  # sparse: frames can be all-NULL
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-int(span * 1_000_000), 0)
+    )
+    plain = df.select(
+        "event_id",
+        F.count(cond).over(w).alias("n"),
+        F.min(cond).over(w).alias("lo"),
+        F.max(cond).over(w).alias("hi"),
+    )
+    got_df = chunked_range_agg(
+        df, ["user_id"], "ts",
+        {"n": F.count(cond), "lo": F.min(cond), "hi": F.max(cond)},
+        range_sec=span, bucket_width_sec=width_sec,
+    ).select("event_id", "n", "lo", "hi")
+    want = {r["event_id"]: (r["n"], r["lo"], r["hi"])
+            for r in plain.collect()}
+    got = {r["event_id"]: (r["n"], r["lo"], r["hi"])
+           for r in got_df.collect()}
+    assert got == want and len(got) == 1500
+
+
+def test_chunked_range_agg_bad_width_raises(spark):
+    from s3_parquet_to_postgres_spark.operators.chunked_window import (
+        chunked_range_agg,
+    )
+
+    df = _skewed_events(spark, n=10)
+    with pytest.raises(ValueError, match="bucket_width_sec"):
+        chunked_range_agg(df, ["user_id"], "ts", {"n": F.count("v")},
+                          range_sec=60.0, bucket_width_sec=30.0)
+
+
+def test_event_lookback_attribution_chunked_bit_equal(spark, sf_dir):
+    """Catalog-level pin: event_lookback_attribution_chunked must be
+    BIT-EQUAL to event_lookback_attribution (shared oracle SQL) --
+    the trailing-RANGE-frame class via ghost-row chunked_range_agg."""
+    from s3_parquet_to_postgres_spark.plans.ext import (
+        event_lookback_attribution, event_lookback_attribution_chunked,
+    )
+
+    cols = ["user_id", "purchase_ts", "n_clicks_1h", "first_click_ts",
+            "last_click_ts"]
+    plain = {r["event_id"]: tuple(r[c] for c in cols)
+             for r in event_lookback_attribution(spark, sf_dir).collect()}
+    got = {r["event_id"]: tuple(r[c] for c in cols)
+           for r in event_lookback_attribution_chunked(
+               spark, sf_dir).collect()}
+    assert got == plain and len(got) > 0
+
+
+def test_event_markov_stationary_chunked_bit_equal(spark, sf_dir):
+    """Catalog-level pin: event_markov_stationary_chunked must be
+    BIT-EQUAL to event_markov_stationary (shared oracle SQL) -- the
+    mechanical chunked_lag swap under the quantized power rounds."""
+    from s3_parquet_to_postgres_spark.plans.mining import (
+        event_markov_stationary, event_markov_stationary_chunked,
+    )
+
+    plain = {r["state"]: r["pi_q"]
+             for r in event_markov_stationary(spark, sf_dir).collect()}
+    got = {r["state"]: r["pi_q"]
+           for r in event_markov_stationary_chunked(spark, sf_dir).collect()}
+    assert got == plain and len(got) > 0
