@@ -554,8 +554,12 @@ def chunked_range_agg(
         .orderBy(F.col("__cw_us").asc())
         .rangeBetween(-range_us, 0)
     )
-    for name, agg in aggs.items():
-        u = u.withColumn(name, agg.over(w))
+    # One select, not a withColumn-per-agg loop: all aggregates share
+    # the window spec, so this plans as a SINGLE Window node over the
+    # one Sort instead of one Window pass per aggregate.
+    u = u.select(
+        "*", *[agg.over(w).alias(name) for name, agg in aggs.items()]
+    )
     return u.filter(~F.col("__cw_ghost")).drop(
         _BKT, "__cw_us", "__cw_ghost"
     )
