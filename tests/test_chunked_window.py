@@ -622,3 +622,35 @@ def test_event_markov_stationary_chunked_bit_equal(spark, sf_dir):
     got = {r["state"]: r["pi_q"]
            for r in event_markov_stationary_chunked(spark, sf_dir).collect()}
     assert got == plain and len(got) > 0
+
+
+def test_chunked_range_agg_null_partition_keys(spark):
+    """NULL partition keys (the null-user hot-key case) group
+    naturally under the window partitioning -- no join in this
+    primitive, so no eqNullSafe subtlety -- but pin it explicitly
+    like the other operators: results must match the plain range
+    window including the NULL-key group, and no row may be lost."""
+    from s3_parquet_to_postgres_spark.operators.chunked_window import (
+        chunked_range_agg,
+    )
+
+    df = _skewed_events(spark, n=600)
+    df = df.withColumn(
+        "user_id",
+        F.when(F.col("user_id") == "hot", F.lit(None)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-90_000_000, 0)
+    )
+    plain = df.select("event_id", F.count(us).over(w).alias("n"))
+    got_df = chunked_range_agg(
+        df, ["user_id"], "ts", {"n": F.count(us)}, range_sec=90.0,
+    ).select("event_id", "n")
+    want = {r["event_id"]: r["n"] for r in plain.collect()}
+    got = {r["event_id"]: r["n"] for r in got_df.collect()}
+    assert got == want and len(got) == 600
