@@ -82,7 +82,10 @@ def _bucketed(df: DataFrame, ts_col: str, bucket_width_sec: float) -> DataFrame:
     """Stamp the deterministic time bucket: floor(epoch_us / width_us).
     Bucketing by VALUE (not row position) is what makes the split
     reproducible without a global per-key sort."""
-    width_us = int(bucket_width_sec * 1_000_000)
+    # round, not int(): truncation would let a float artifact (e.g.
+    # 8.2 * 1e6 = 8199999.999...) silently shift bucket boundaries by
+    # a microsecond versus the caller's intent.
+    width_us = round(bucket_width_sec * 1_000_000)
     if width_us <= 0:
         raise ValueError(f"bucket_width_sec must be > 0, got {bucket_width_sec}")
     return df.withColumn(
@@ -336,6 +339,7 @@ def chunked_frame_list(
     frame_rows: int,
     bucket_width_sec: float,
     tiebreak_cols: Sequence[str] = (),
+    summary_mode: str = "window",
 ) -> DataFrame:
     """Exact ``collect_list(value) OVER (PARTITION BY key ORDER BY
     ts, *tiebreaks ROWS BETWEEN frame_rows-1 PRECEDING AND CURRENT
@@ -359,11 +363,42 @@ def chunked_frame_list(
     where the plain window does it). Value copying only — bit-equal
     to the single-task window at any bucket width.
 
+    ``summary_mode`` picks how the bucket tails are derived; both
+    modes select the IDENTICAL tail rows (the bucket's last
+    ``min(n, frame_rows-1)`` rows by the order keys), so the output
+    is bit-equal either way:
+
+    - ``"window"``: read the boundary row's own frame list off the
+      local window stage. Catalyst does not dedupe the DAG's shared
+      subplan, so this RE-DERIVES the local stage — the fact is
+      scanned, bucket-shuffled and SORTED twice (the module cost
+      model; the summary-branch twins pay 2–7x a plain window on
+      uniform data, measured in SCALE_CHECK.md).
+    - ``"agg"``: rebuild the tails with a narrow hash aggregate —
+      ``collect_list(struct(order keys, value))`` per (key, bucket),
+      ``sort_array`` WITHIN each bucket's list, keep the last
+      ``frame_rows-1`` structs. The second pass still scans the fact
+      (unavoidable without materializing the shuffled corpus, which
+      at 100 TB costs more than the re-read), but it prunes to the
+      order+value columns only and replaces the full-width
+      Exchange+Sort+Window re-derivation with a narrower exchange
+      and bucket-bounded in-memory sorts — per-task memory stays
+      bounded by one bucket's rows, the same bound as the local
+      window task. A ghost-row stitch (chunked_range_agg's trick)
+      is NOT applicable to ROWS frames: a k-row frame has no
+      value-based containment bound, so on a sparse key it reaches
+      back arbitrarily many buckets and one-bucket ghost context
+      would be silently wrong there.
+
     ``(ts, *tiebreak_cols)`` must totally order rows within a key —
     the same contract as the window it replaces.
     """
     if frame_rows < 1:
         raise ValueError(f"frame_rows must be >= 1, got {frame_rows}")
+    if summary_mode not in ("window", "agg"):
+        raise ValueError(
+            f"summary_mode must be 'window' or 'agg', got {summary_mode!r}"
+        )
     partition_cols = list(partition_cols)
     val = F.col(value_col) if isinstance(value_col, str) else value_col
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
@@ -388,17 +423,46 @@ def chunked_frame_list(
         F.collect_list("__cw_row").over(w_local.rowsBetween(-(k - 1), 0)),
     )
 
-    # Bucket tail: last min(n, k-1) struct rows — the boundary row's
-    # frame list minus its oldest row when the frame is full (the
-    # boundary row itself stays: it is the next bucket's immediate
-    # predecessor).
-    s = F.size(F.col(_LOC))
-    m = F.least(s, F.lit(k - 1))
-    local = local.withColumn("__cw_tail", F.slice(F.col(_LOC), s - m + 1, m))
-    summary = _boundary_summary(
-        local, partition_cols, order, rev,
-        take_last_row=True, summary_source="__cw_tail",
-    )
+    # Bucket tail: last min(n, k-1) struct rows of each (key, bucket).
+    if summary_mode == "agg":
+        # Narrow rebuild: one hash aggregate over (order keys, row
+        # struct) only, sorted per bucket in memory. Same rows as the
+        # window-mode tail, without re-deriving the sorted local
+        # stage (docstring cost model).
+        packed = F.struct(
+            F.col(ts_col).alias("__cw_o0"),
+            *[
+                F.col(c).alias(f"__cw_o{i + 1}")
+                for i, c in enumerate(tiebreak_cols)
+            ],
+            F.col("__cw_row").alias("__cw_r"),
+        )
+        grouped = b.groupBy(*partition_cols, _BKT).agg(
+            F.collect_list(packed).alias("__cw_all")
+        )
+        arr = F.sort_array(F.col("__cw_all"))
+        asz = F.size(arr)
+        am = F.least(asz, F.lit(k - 1))
+        summary = grouped.select(
+            *partition_cols,
+            _BKT,
+            F.transform(
+                F.slice(arr, asz - am + 1, am), lambda x: x["__cw_r"]
+            ).alias("__cw_sum_val"),
+        )
+    else:
+        # The boundary row's frame list minus its oldest row when the
+        # frame is full (the boundary row itself stays: it is the
+        # next bucket's immediate predecessor).
+        s = F.size(F.col(_LOC))
+        m = F.least(s, F.lit(k - 1))
+        local = local.withColumn(
+            "__cw_tail", F.slice(F.col(_LOC), s - m + 1, m)
+        )
+        summary = _boundary_summary(
+            local, partition_cols, order, rev,
+            take_last_row=True, summary_source="__cw_tail",
+        )
     w_buckets = Window.partitionBy(*partition_cols).orderBy(F.col(_BKT).asc())
     flat = F.flatten(
         F.collect_list("__cw_sum_val").over(
@@ -540,7 +604,18 @@ def chunked_range_agg(
             "more than the previous bucket"
         )
     partition_cols = list(partition_cols)
-    range_us = int(range_sec * 1_000_000)
+    reserved = set(df.columns) | {_BKT, "__cw_us", "__cw_ghost"}
+    for name in aggs:
+        if name in reserved:
+            raise ValueError(
+                f"aggs key {name!r} collides with an input column or "
+                "a reserved __cw_* helper name; alias the aggregate "
+                "to a fresh output column"
+            )
+    # round, not int(): a float artifact (8.2 * 1e6 = 8199999.999...)
+    # must not silently shrink the frame by a microsecond versus a
+    # hand-written rangeBetween(-N, 0) of the same nominal width.
+    range_us = round(range_sec * 1_000_000)
     b = _bucketed(df, ts_col, bucket_width_sec).withColumn(
         "__cw_us", F.unix_micros(F.col(ts_col).cast("timestamp"))
     )

@@ -753,9 +753,14 @@ def event_ewma_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain entry, so the driver's value-hash proves the bounded-frame
     chunked class bit-equal to the single-task window at catalog
     level. Opt-in plan shape for a pathologically hot key (bot /
-    null user) whose event count exceeds what one task should sort;
-    costs the documented summary-branch re-derivation
-    (chunked_window.py cost model).
+    null user) whose event count exceeds what one task should sort.
+
+    summary_mode="agg" (round 9): the bucket tails come from the
+    narrow hash-aggregate rebuild instead of re-deriving the sorted
+    local stage -- same tail rows, bit-equal output, at a fraction of
+    the summary-branch cost (chunked_window.py cost model; the r8
+    bench had this entry at 1.61 s merged as the most expensive
+    non-iterative EXTRA, motivating the cheaper stitch).
     """
     from ..operators.chunked_window import chunked_frame_list
 
@@ -763,7 +768,7 @@ def event_ewma_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     framed = chunked_frame_list(
         e, ["user_id"], "ts", "value", out="__l",
         frame_rows=_EWMA_SPAN, bucket_width_sec=86400.0,
-        tiebreak_cols=["event_id"],
+        tiebreak_cols=["event_id"], summary_mode="agg",
     )
     return _ewma_fold(framed)
 

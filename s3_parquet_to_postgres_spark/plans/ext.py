@@ -3448,8 +3448,13 @@ def event_top_paths_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     PRECEDING..CURRENT in the plain ascending order yields
     [t-2?, t-1?, current]; lag(j) is the element at 0-based index
     size-1-j (F.get returns NULL out of range, matching lag's
-    missing-row NULL — event_type is non-null so positions survive
-    the frame assembly). Trigram concat + bounded path aggregate are
+    missing-row NULL). Rows ride as non-null structs — exactly as
+    `event_pattern_match_chunked` does — so a NULL event_type keeps
+    its positional frame slot and lags as NULL like the plain
+    window, instead of shifting later positions (chunked_frame_list
+    drops bare NULL elements after assembly; generated data has no
+    NULL event_types, but the plain entry tolerates them, so the
+    twin must too). Trigram concat + bounded path aggregate are
     then the VERBATIM plain logic, and the entry shares the plain
     oracle SQL — with `event_pattern_match_chunked` (the lead/
     forward-looking mirror) this closes both directions of the
@@ -3463,15 +3468,16 @@ def event_top_paths_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "ts", "event_id",
             F.col("event_type").alias("e3"),
         ),
-        ["user_id"], "ts", "e3", out="__gram",
+        ["user_id"], "ts",
+        F.struct(F.col("e3").alias("et")), out="__gram",
         frame_rows=3, bucket_width_sec=86400.0,
         tiebreak_cols=["event_id"],
     )
     sz = F.size("__gram")
     seq = framed.select(
         "user_id",
-        F.get("__gram", sz - 3).alias("e1"),
-        F.get("__gram", sz - 2).alias("e2"),
+        F.get("__gram", sz - 3)["et"].alias("e1"),
+        F.get("__gram", sz - 2)["et"].alias("e2"),
         "e3",
     ).filter(F.col("e1").isNotNull())
     paths = seq.select(

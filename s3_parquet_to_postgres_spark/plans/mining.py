@@ -2262,15 +2262,34 @@ def event_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta of the same sign, so the multiset of prefix values -- and
     hence the peak and its first instant -- is order-independent.
     """
-    e = t(spark, sf_dir, "events").select("ts")
+    pts = _concurrency_endpoints(t(spark, sf_dir, "events"))
+    w_run = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = pts.withColumn("running", F.sum("delta").over(w_run))
+    return _concurrency_readout(r)
+
+
+def _concurrency_endpoints(e: DataFrame) -> DataFrame:
+    """Shared day-clipped endpoint construction of event_concurrency:
+    (day, t, delta) sweep endpoints, holds crossing midnight split in
+    two. Split out (like _concurrency_readout) so the chunked twin
+    swaps ONLY the running-sum stage — its value-equality claim and
+    shared oracle SQL depend on the endpoint logic staying identical.
+
+    ONE scan of the fact table: each event emits its 2 (or 4, when
+    the hold crosses midnight) endpoint structs through a single
+    explode. The earlier union-of-unions formulation read the events
+    scan FOUR times (seg1/seg2 x start/end endpoints) -- same rows,
+    4x the I/O at lake scale.
+    """
+    e = e.select("ts")
     day0 = F.date_trunc("day", F.col("ts"))
     day_end = day0 + F.expr("INTERVAL 1 DAY")
     hold_end = F.col("ts") + F.expr("INTERVAL 5 MINUTES")
-    # ONE scan of the fact table: each event emits its 2 (or 4, when
-    # the hold crosses midnight) endpoint structs through a single
-    # explode. The earlier union-of-unions formulation read the events
-    # scan FOUR times (seg1/seg2 x start/end endpoints) -- same rows,
-    # 4x the I/O at lake scale.
+
     def pt(day, ts_, delta):
         return F.struct(
             day.alias("day"), ts_.alias("t"),
@@ -2285,19 +2304,12 @@ def event_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         pt(day_end, day_end, 1),
         pt(day_end, hold_end, -1),
     )
-    pts = e.select(
+    return e.select(
         F.explode(
             F.when(hold_end > day_end, F.concat(base, crossing))
             .otherwise(base)
         ).alias("p")
     ).select("p.day", "p.t", "p.delta")
-    w_run = (
-        Window.partitionBy("day")
-        .orderBy("t", "delta")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    r = pts.withColumn("running", F.sum("delta").over(w_run))
-    return _concurrency_readout(r)
 
 
 def _concurrency_readout(r: DataFrame) -> DataFrame:
@@ -2336,31 +2348,7 @@ def event_concurrency_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.chunked_window import chunked_cumsum
 
-    e = t(spark, sf_dir, "events").select("ts")
-    day0 = F.date_trunc("day", F.col("ts"))
-    day_end = day0 + F.expr("INTERVAL 1 DAY")
-    hold_end = F.col("ts") + F.expr("INTERVAL 5 MINUTES")
-
-    def pt(day, ts_, delta):
-        return F.struct(
-            day.alias("day"), ts_.alias("t"),
-            F.lit(delta).cast("int").alias("delta"),
-        )
-
-    base = F.array(
-        pt(day0, F.col("ts"), 1),
-        pt(day0, F.least(hold_end, day_end), -1),
-    )
-    crossing = F.array(
-        pt(day_end, day_end, 1),
-        pt(day_end, hold_end, -1),
-    )
-    pts = e.select(
-        F.explode(
-            F.when(hold_end > day_end, F.concat(base, crossing))
-            .otherwise(base)
-        ).alias("p")
-    ).select("p.day", "p.t", "p.delta")
+    pts = _concurrency_endpoints(t(spark, sf_dir, "events"))
     r = chunked_cumsum(
         pts, ["day"], "t", "delta", out="running",
         bucket_width_sec=3600.0, tiebreak_cols=["delta"],

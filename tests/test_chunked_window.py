@@ -307,13 +307,17 @@ def test_chunked_last_carry_matches_plain_window(spark, width_sec, forward):
     )
 
 
+@pytest.mark.parametrize("summary_mode", ["window", "agg"])
 @pytest.mark.parametrize("frame_rows", [1, 3, 10])
 @pytest.mark.parametrize("width_sec", [7.0, 300.0, 10_000_000.0])
-def test_chunked_frame_list_matches_plain_window(spark, width_sec, frame_rows):
+def test_chunked_frame_list_matches_plain_window(
+    spark, width_sec, frame_rows, summary_mode
+):
     """Bounded ROWS-frame list: identical element VALUES in identical
     order to collect_list over the plain window, including NULL
     observations dropped post-assembly (positionally, not before)
-    and NULL partition keys."""
+    and NULL partition keys — in BOTH summary modes (the narrow-agg
+    tail rebuild must select the identical tail rows)."""
     from s3_parquet_to_postgres_spark.operators.chunked_window import (
         chunked_frame_list,
     )
@@ -333,6 +337,7 @@ def test_chunked_frame_list_matches_plain_window(spark, width_sec, frame_rows):
     chunked = chunked_frame_list(
         df, ["user_id"], "ts", "nv", out="l", frame_rows=frame_rows,
         bucket_width_sec=width_sec, tiebreak_cols=["event_id"],
+        summary_mode=summary_mode,
     )
     assert sorted(chunked.columns) == sorted(plain.columns)
     assert _collect_map(chunked, ["event_id"], "l") == _collect_map(
@@ -348,6 +353,11 @@ def test_chunked_frame_list_bad_frame_raises(spark):
     df = _skewed_events(spark, n=10)
     with pytest.raises(ValueError, match="frame_rows"):
         chunked_frame_list(df, ["user_id"], "ts", "v", "l", 0, 60.0)
+    with pytest.raises(ValueError, match="summary_mode"):
+        chunked_frame_list(
+            df, ["user_id"], "ts", "v", "l", 3, 60.0,
+            summary_mode="ghost",
+        )
 
 
 def test_event_ewma_chunked_bit_equal(spark, sf_dir):

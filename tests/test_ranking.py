@@ -170,12 +170,20 @@ def test_pin_handle_unavailable_falls_back(spark, monkeypatch, caplog):
 def test_drain_pins_releases_everything(spark):
     """drain_pins() frees every outstanding checkpoint pin -- the
     long-session (bench loop / plan sweep) posture where the FINAL
-    ranking of an eager plan has no in-plan release point."""
+    ranking of an eager plan has no in-plan release point.
+
+    Asserts on the module pin registry and the SPECIFIC pinned RDD
+    ids, never on ``getPersistentRDDs().size()`` deltas: in a long
+    shared-session run Spark's ContextCleaner concurrently unpersists
+    unrelated GC'd RDDs between snapshot and assert, so absolute
+    size deltas are racy (observed 1-in-2 full-suite flake, round-8
+    verdict). Our own handles can't be cleaner-collected -- the
+    registry holds live references -- so per-id membership in the
+    session's persistent-RDD map is race-free."""
     from s3_parquet_to_postgres_spark.operators import ranking as rk
 
     rk.drain_pins()  # isolate from earlier tests
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+    assert rk._live_pins == []
     r1, _ = global_row_number(
         _df(spark, 150), [F.col("key").asc(), F.col("id").asc()],
         out="rn1", num_partitions=4,
@@ -184,9 +192,16 @@ def test_drain_pins_releases_everything(spark):
         r1, [F.col("noise").asc(), F.col("id").asc()],
         out="rn2", num_partitions=4,
     )
-    assert jsc.getPersistentRDDs().size() == before + 2
+    assert len(rk._live_pins) == 2
+    pinned_ids = [h.id() for h in rk._live_pins]
+    assert len(set(pinned_ids)) == 2
+    jsc = spark.sparkContext._jsc.sc()
+    for rid in pinned_ids:
+        assert jsc.getPersistentRDDs().contains(rid)
     assert rk.drain_pins() == 2
-    assert jsc.getPersistentRDDs().size() == before
+    assert rk._live_pins == []
+    for rid in pinned_ids:
+        assert not jsc.getPersistentRDDs().contains(rid)
     assert rk.drain_pins() == 0  # idempotent
 
 
