@@ -374,17 +374,22 @@ def chunked_frame_list(
       scanned, bucket-shuffled and SORTED twice (the module cost
       model; the summary-branch twins pay 2–7x a plain window on
       uniform data, measured in SCALE_CHECK.md).
-    - ``"agg"``: rebuild the tails with a narrow hash aggregate —
-      ``collect_list(struct(order keys, value))`` per (key, bucket),
-      ``sort_array`` WITHIN each bucket's list, keep the last
-      ``frame_rows-1`` structs. The second pass still scans the fact
-      (unavoidable without materializing the shuffled corpus, which
-      at 100 TB costs more than the re-read), but it prunes to the
-      order+value columns only and replaces the full-width
-      Exchange+Sort+Window re-derivation with a narrower exchange
-      and bucket-bounded in-memory sorts — per-task memory stays
-      bounded by one bucket's rows, the same bound as the local
-      window task. A ghost-row stitch (chunked_range_agg's trick)
+    - ``"agg"``: rebuild the tails with narrow hash aggregates —
+      ``collect_list(struct(order keys, value))`` per (key, bucket,
+      bucket/64 SUB-bucket), ``sort_array`` within each bounded
+      sub-list, keep each sub's last ``frame_rows-1`` structs, then
+      assemble the bucket tail from the last ``frame_rows-1``
+      sub-tails in sub order (one tiny second aggregate). The second
+      pass still scans the fact (unavoidable without materializing
+      the shuffled corpus, which at 100 TB costs more than the
+      re-read), but it prunes to the order+value columns only and
+      replaces the full-width Exchange+Sort+Window re-derivation
+      with narrower exchanges and SUB-bucket-bounded in-memory
+      sorts — per-task state is one sub-bucket's rows, 64x tighter
+      than the local window task's bound (a single-level per-bucket
+      collect would funnel a hot bucket through one aggregation
+      buffer and one interpreted sort — measured catastrophic on an
+      80%-hot corpus). A ghost-row stitch (chunked_range_agg's trick)
       is NOT applicable to ROWS frames: a k-row frame has no
       value-based containment bound, so on a sparse key it reaches
       back arbitrarily many buckets and one-bucket ghost context
@@ -425,10 +430,24 @@ def chunked_frame_list(
 
     # Bucket tail: last min(n, k-1) struct rows of each (key, bucket).
     if summary_mode == "agg":
-        # Narrow rebuild: one hash aggregate over (order keys, row
-        # struct) only, sorted per bucket in memory. Same rows as the
+        # Narrow rebuild: hash aggregates over (order keys, row
+        # struct) only, sorted in memory. Same rows as the
         # window-mode tail, without re-deriving the sorted local
-        # stage (docstring cost model).
+        # stage (docstring cost model). TWO levels: a single-level
+        # collect per (key, bucket) would funnel a hot bucket through
+        # ONE aggregation buffer and one interpreted struct
+        # sort_array — measured at 32 s on a 16x/80%-hot corpus,
+        # worse than the straggler it replaces — so rows first
+        # collect per (key, bucket, SUB-bucket) (bucket/64 slices:
+        # bounded lists, spread across tasks by the finer hash), and
+        # the bucket tail is then the tail of the last k-1 sub-tails
+        # concatenated in sub order (each non-empty sub holds >= 1
+        # row — the stitch containment argument one level down).
+        # Sub ids come from the same epoch-micros floor as _BKT, so
+        # sub order IS (ts) order across subs and ts-ties never
+        # straddle a sub boundary; within a sub, sort_array orders by
+        # the full (ts, *tiebreaks) struct prefix.
+        sub_width_us = max(1, round(bucket_width_sec * 1_000_000) // 64)
         packed = F.struct(
             F.col(ts_col).alias("__cw_o0"),
             *[
@@ -437,18 +456,46 @@ def chunked_frame_list(
             ],
             F.col("__cw_row").alias("__cw_r"),
         )
-        grouped = b.groupBy(*partition_cols, _BKT).agg(
-            F.collect_list(packed).alias("__cw_all")
+        sub = F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            / F.lit(sub_width_us)
+        ).cast("long")
+        per_sub = (
+            b.withColumn("__cw_sub", sub)
+            .groupBy(*partition_cols, _BKT, "__cw_sub")
+            .agg(F.collect_list(packed).alias("__cw_all"))
         )
         arr = F.sort_array(F.col("__cw_all"))
         asz = F.size(arr)
         am = F.least(asz, F.lit(k - 1))
+        sub_tails = per_sub.select(
+            *partition_cols,
+            _BKT,
+            "__cw_sub",
+            F.transform(
+                F.slice(arr, asz - am + 1, am), lambda x: x["__cw_r"]
+            ).alias("__cw_tail"),
+        )
+        grouped = sub_tails.groupBy(*partition_cols, _BKT).agg(
+            F.collect_list(
+                F.struct(F.col("__cw_sub"), F.col("__cw_tail"))
+            ).alias("__cw_subs")
+        )
+        subs_sorted = F.sort_array(F.col("__cw_subs"))
+        ssz = F.size(subs_sorted)
+        sm = F.least(ssz, F.lit(k - 1))
+        flat2 = F.flatten(
+            F.transform(
+                F.slice(subs_sorted, ssz - sm + 1, sm),
+                lambda x: x["__cw_tail"],
+            )
+        )
+        fsz = F.size(flat2)
+        fm = F.least(fsz, F.lit(k - 1))
         summary = grouped.select(
             *partition_cols,
             _BKT,
-            F.transform(
-                F.slice(arr, asz - am + 1, am), lambda x: x["__cw_r"]
-            ).alias("__cw_sum_val"),
+            F.slice(flat2, fsz - fm + 1, fm).alias("__cw_sum_val"),
         )
     else:
         # The boundary row's frame list minus its oldest row when the

@@ -22,9 +22,13 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import glob
+import gzip
+import json
 import os
 import shutil
 import sys
+import tempfile
 import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -155,6 +159,49 @@ def time_query(fn, spark, sf_dir: str) -> float:
     return time.monotonic() - t0
 
 
+def max_task_secs(log_dir: str) -> dict[str, float]:
+    """job-group id -> MAX single-task duration (seconds) over every
+    TaskEnd of the jobs launched under that group. Straggler evidence
+    from task metrics, not wall clock (round-8 verdict item 5): a
+    per-key window with a hot key shows up as ONE task holding the
+    whole key regardless of how the other 7 cores amortize the wall
+    time; a chunk-and-stitch twin caps it at one bucket."""
+    stage_to_group: dict[int, str] = {}
+    out: dict[str, float] = {}
+    paths = [
+        p
+        for p in glob.glob(os.path.join(log_dir, "**", "*"), recursive=True)
+        if os.path.isfile(p) and "appstatus" not in os.path.basename(p)
+    ]
+    for path in sorted(paths):
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rt") as f:
+            for line in f:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                kind = ev.get("Event")
+                if kind == "SparkListenerJobStart":
+                    group = (ev.get("Properties") or {}).get(
+                        "spark.jobGroup.id"
+                    )
+                    if not group:
+                        continue
+                    for sid in ev.get("Stage IDs", []):
+                        stage_to_group[sid] = group
+                elif kind == "SparkListenerTaskEnd":
+                    group = stage_to_group.get(ev.get("Stage ID"))
+                    if not group:
+                        continue
+                    ti = ev.get("Task Info") or {}
+                    dur = (ti.get("Finish Time", 0)
+                           - ti.get("Launch Time", 0)) / 1000.0
+                    if dur > out.get(group, 0.0):
+                        out[group] = dur
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=COPIES)
@@ -176,10 +223,17 @@ def main() -> None:
     names = args.queries if args.queries else QUERIES
     scaled_dir = f"/tmp/spark_scale_check_{copies}x"
 
+    # Event log: per-task metrics for the skew tables' max-task
+    # column (parsed by max_task_secs; negligible overhead otherwise).
+    event_dir = tempfile.mkdtemp(prefix="spark-scale-events-")
     spark = build_session(
         "scale-check", master="local[8]", shuffle_partitions=8,
         extra_confs={"spark.ui.enabled": "false",
-                     "spark.driver.memory": "16g"},
+                     "spark.driver.memory": "16g",
+                     "spark.eventLog.enabled": "true",
+                     "spark.eventLog.compress": "false",
+                     "spark.eventLog.rolling.enabled": "false",
+                     "spark.eventLog.dir": event_dir},
     )
     spark.sparkContext.setLogLevel("ERROR")
     build_scaled(spark, scaled_dir, copies, args.tables)
@@ -189,16 +243,24 @@ def main() -> None:
     if args.skew_hot_frac is not None:
         hot_dir = f"{scaled_dir}_hot"
         build_hot_events(spark, scaled_dir, hot_dir, args.skew_hot_frac)
+        sc = spark.sparkContext
         rows = []
         for name in names:
             fn = queries[name]
+            sc.setJobGroup("warm", "warm")
             _force(fn(spark, scaled_dir))  # warm
+            sc.setJobGroup(f"{name}|uniform", name)
             tu = min(time_query(fn, spark, scaled_dir) for _ in range(2))
+            sc.setJobGroup("warm", "warm")
             _force(fn(spark, hot_dir))
+            sc.setJobGroup(f"{name}|hot", name)
             th = min(time_query(fn, spark, hot_dir) for _ in range(2))
+            sc.setJobGroup("idle", "idle")
             rows.append((name, tu, th, th / tu if tu > 0 else float("nan")))
             print(f"{name}: {copies}x-uniform={tu:.2f}s "
                   f"{copies}x-hot={th:.2f}s hot/uniform={th / tu:.2f}")
+        spark.stop()  # flushes the event log
+        mt = max_task_secs(event_dir)
         pct = int(args.skew_hot_frac * 100)
         lines = [
             "",
@@ -208,19 +270,30 @@ def main() -> None:
             "",
             "Same data volume both columns; only the key distribution"
             " differs, so the ratio IS the single-task straggler"
-            " penalty (not volume).",
+            " penalty (not volume). max-task = the longest single task"
+            " over the two timed runs (event-log TaskEnd metrics):"
+            " direct straggler evidence -- a plain per-key window's"
+            " hot max-task IS the whole hot key in one task, a"
+            " chunk-and-stitch twin's is one bucket of it.",
             "",
             f"| query | {copies}x uniform sec | {copies}x hot sec |"
-            " hot/uniform |",
-            "|---|---|---|---|",
+            " hot/uniform | uniform max-task | hot max-task |",
+            "|---|---|---|---|---|---|",
         ]
         for name, tu, th, r in rows:
-            lines.append(f"| {name} | {tu:.2f} | {th:.2f} | {r:.2f} |")
+            mu = mt.get(f"{name}|uniform", float("nan"))
+            mh = mt.get(f"{name}|hot", float("nan"))
+            lines.append(
+                f"| {name} | {tu:.2f} | {th:.2f} | {r:.2f}"
+                f" | {mu:.2f} | {mh:.2f} |"
+            )
+            print(lines[-1])
         with open(os.path.join(ROOT, "SCALE_CHECK.md"), "a") as fh:
             fh.write("\n".join(lines) + "\n")
         print("appended skew section to SCALE_CHECK.md")
         shutil.rmtree(scaled_dir, ignore_errors=True)
         shutil.rmtree(hot_dir, ignore_errors=True)
+        shutil.rmtree(event_dir, ignore_errors=True)
         return
 
     rows = []
@@ -248,6 +321,7 @@ def main() -> None:
             fh.write("\n".join(lines) + "\n")
         print("appended to SCALE_CHECK.md")
         shutil.rmtree(scaled_dir, ignore_errors=True)
+        shutil.rmtree(event_dir, ignore_errors=True)
         return
 
     lines = [
@@ -282,6 +356,7 @@ def main() -> None:
         fh.write("\n".join(lines) + "\n")
     print("wrote SCALE_CHECK.md")
     shutil.rmtree(scaled_dir, ignore_errors=True)
+    shutil.rmtree(event_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
