@@ -601,6 +601,57 @@ def test_chunked_range_agg_bad_width_raises(spark):
                           range_sec=60.0, bucket_width_sec=30.0)
 
 
+def test_chunked_range_agg_agg_name_collision_raises(spark):
+    """An aggs key that shadows an input column (or a reserved __cw_*
+    helper) must fail loud, not produce ambiguous duplicate columns
+    downstream (round-8 advice)."""
+    from s3_parquet_to_postgres_spark.operators.chunked_window import (
+        chunked_range_agg,
+    )
+
+    df = _skewed_events(spark, n=10)
+    with pytest.raises(ValueError, match="collides"):
+        chunked_range_agg(df, ["user_id"], "ts", {"v": F.count("v")},
+                          range_sec=60.0)
+    with pytest.raises(ValueError, match="collides"):
+        chunked_range_agg(df, ["user_id"], "ts",
+                          {"__cw_ghost": F.count("v")}, range_sec=60.0)
+
+
+def test_chunked_range_agg_fractional_seconds_round(spark):
+    """A float range like 8.2 s must mean EXACTLY 8_200_000 us — the
+    truncating int() would shrink the frame by 1 us versus a
+    hand-written rangeBetween of the same nominal width (round-8
+    advice). The data places an event exactly range_sec before
+    another, so a 1 us shrink drops a frame-mate."""
+    from s3_parquet_to_postgres_spark.operators.chunked_window import (
+        chunked_range_agg,
+    )
+
+    span = 8.2  # 8.2 * 1e6 = 8199999.999... in binary floating point
+    rows = [
+        (1, "u", BASE, 1),
+        (2, "u", BASE + datetime.timedelta(seconds=span), 1),
+        (3, "u", BASE + datetime.timedelta(seconds=3 * span), 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, v long"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-8_200_000, 0)
+    )
+    plain = {r["event_id"]: r["n"] for r in df.select(
+        "event_id", F.count("v").over(w).alias("n")
+    ).collect()}
+    got = {r["event_id"]: r["n"] for r in chunked_range_agg(
+        df, ["user_id"], "ts", {"n": F.count("v")}, range_sec=span
+    ).select("event_id", "n").collect()}
+    assert got == plain
+    assert got[2] == 2  # event 1 is exactly 8.2s back: IN the frame
+
+
 def test_event_lookback_attribution_chunked_bit_equal(spark, sf_dir):
     """Catalog-level pin: event_lookback_attribution_chunked must be
     BIT-EQUAL to event_lookback_attribution (shared oracle SQL) --
