@@ -389,7 +389,16 @@ def chunked_frame_list(
       than the local window task's bound (a single-level per-bucket
       collect would funnel a hot bucket through one aggregation
       buffer and one interpreted sort — measured catastrophic on an
-      80%-hot corpus). A ghost-row stitch (chunked_range_agg's trick)
+      80%-hot corpus). When to pick it: agg mode wins only when
+      buckets are DENSE (many rows per (key, bucket, bucket/64
+      slice)), where collecting beats re-sorting. On a SPARSE
+      corpus (~1 row per slice — e.g. per-user day buckets at the
+      catalog's scale factors) it pays ~one aggregation group per
+      row and measures ~40% SLOWER end-to-end than window mode
+      (r9: 2.59 s vs 1.88 s noop-sink minima on event_ewma_chunked
+      at sf0.1), which is why the catalog entries keep "window".
+      Both modes bound the hot key identically (one bucket per
+      task). A ghost-row stitch (chunked_range_agg's trick)
       is NOT applicable to ROWS frames: a k-row frame has no
       value-based containment bound, so on a sparse key it reaches
       back arbitrarily many buckets and one-bucket ghost context

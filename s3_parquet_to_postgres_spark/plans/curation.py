@@ -753,14 +753,23 @@ def event_ewma_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain entry, so the driver's value-hash proves the bounded-frame
     chunked class bit-equal to the single-task window at catalog
     level. Opt-in plan shape for a pathologically hot key (bot /
-    null user) whose event count exceeds what one task should sort.
+    null user) whose event count exceeds what one task should sort;
+    costs the documented summary-branch re-derivation
+    (chunked_window.py cost model).
 
-    summary_mode="agg" (round 9): the bucket tails come from the
-    narrow hash-aggregate rebuild instead of re-deriving the sorted
-    local stage -- same tail rows, bit-equal output, at a fraction of
-    the summary-branch cost (chunked_window.py cost model; the r8
-    bench had this entry at 1.61 s merged as the most expensive
-    non-iterative EXTRA, motivating the cheaper stitch).
+    summary_mode stays "window" (round-9 finding): the round-8
+    verdict hypothesized a cheaper stitch for this entry; round 9
+    built and measured `summary_mode="agg"` (the two-level narrow
+    hash-aggregate tail rebuild) and it LOST end-to-end on this
+    corpus -- 2.59 s vs 1.88 s same-host noop-sink minima at sf0.1 --
+    because 1-day buckets here hold ~1 row per (key, bucket,
+    sub-bucket), so the rebuild pays ~1 aggregation group per row
+    where the re-derivation pays one Tungsten sort. (An earlier
+    count()-sink probe that showed agg winning was measuring a
+    pruned plan: Catalyst had dropped the frame-list Window
+    entirely.) Both modes are hot-key-safe; agg mode wins only on
+    DENSE buckets (chunked_window.py docstring) and stays available
+    as the tested knob.
     """
     from ..operators.chunked_window import chunked_frame_list
 
@@ -768,7 +777,7 @@ def event_ewma_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     framed = chunked_frame_list(
         e, ["user_id"], "ts", "value", out="__l",
         frame_rows=_EWMA_SPAN, bucket_width_sec=86400.0,
-        tiebreak_cols=["event_id"], summary_mode="agg",
+        tiebreak_cols=["event_id"],
     )
     return _ewma_fold(framed)
 

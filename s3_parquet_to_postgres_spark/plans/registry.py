@@ -40,10 +40,13 @@ FLAGSHIP: list[str] = [
     # are the 47 remaining r4-cohort entries -- this window takes ALL
     # of them, so after r9 the rotation has lapped the entire
     # catalog twice (no entry's evidence older than r5). The other 3
-    # slots re-prove the entries whose PLANS changed this round:
-    # event_ewma_chunked (bucket tails now from the narrow
-    # hash-aggregate rebuild, chunked_frame_list summary_mode="agg"
-    # -- the r8 verdict's cheaper-stitch item), event_top_paths_chunked
+    # slots re-prove the entries this round's work touched:
+    # event_ewma_chunked (the r8 verdict's cheaper-stitch item:
+    # chunked_frame_list gained a summary_mode="agg" tail rebuild,
+    # measured end-to-end, and the entry was REVERTED to window mode
+    # when the measurement showed agg ~40% slower on this sparse
+    # corpus -- see the entry docstring; its plan ends the round at
+    # the r8 shape, re-proven here anyway), event_top_paths_chunked
     # (frame values struct-wrapped so NULL event_types keep their
     # positional slot, ADVICE r8), and event_concurrency_chunked
     # (endpoint construction now shared verbatim with the plain
