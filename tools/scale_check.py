@@ -194,7 +194,15 @@ def max_task_secs(log_dir: str) -> dict[str, float]:
                     group = stage_to_group.get(ev.get("Stage ID"))
                     if not group:
                         continue
+                    reason = (ev.get("Task End Reason") or {}).get("Reason")
                     ti = ev.get("Task Info") or {}
+                    # Only successful tasks carry a representative
+                    # duration: a failed / killed / speculative-retry
+                    # TaskEnd would otherwise inflate the max-task
+                    # column with a non-straggler artifact.
+                    if reason != "Success" or ti.get("Failed") or \
+                            ti.get("Killed"):
+                        continue
                     dur = (ti.get("Finish Time", 0)
                            - ti.get("Launch Time", 0)) / 1000.0
                     if dur > out.get(group, 0.0):
@@ -336,6 +344,10 @@ def main() -> None:
         with open(os.path.join(ROOT, "SCALE_CHECK.md"), "a") as fh:
             fh.write("\n".join(lines) + "\n")
         print("appended to SCALE_CHECK.md")
+        # Stop BEFORE deleting event_dir (mirrors the skew branch):
+        # the event-log listener finalizes/renames its .inprogress
+        # file at shutdown and errors if the directory is gone.
+        spark.stop()
         shutil.rmtree(scaled_dir, ignore_errors=True)
         shutil.rmtree(event_dir, ignore_errors=True)
         return
@@ -371,6 +383,10 @@ def main() -> None:
     with open(os.path.join(ROOT, "SCALE_CHECK.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print("wrote SCALE_CHECK.md")
+    # Stop BEFORE deleting event_dir (mirrors the skew branch): the
+    # event-log listener finalizes/renames its .inprogress file at
+    # shutdown and errors if the directory is gone.
+    spark.stop()
     shutil.rmtree(scaled_dir, ignore_errors=True)
     shutil.rmtree(event_dir, ignore_errors=True)
 
