@@ -223,41 +223,60 @@ def ml_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard against a degenerate mega-basket exploding the pair join),
     pairs kept at co-occurrence >= {min}.
 
-    Scale shape: baskets reduce to distinct (order, part) first; pair
-    generation is MAP-SIDE — each capped basket becomes a sorted
-    array and emits exactly its C(b,2) i<j combinations via nested
-    array transforms, so no self-join machinery runs and no b^2
-    transient rows are materialized to be halved by a filter. Wall
-    time at 64x data is measured EQUAL to the earlier ok-equi-self-
-    join formulation (the distinct + window prefix shuffles dominate
-    both, and the self-join reused the checkpoint's ok-partitioning);
-    this shape is kept for the strictly simpler executed plan — one
-    fewer join, half the generated rows. 16x->64x growth is measured
-    linear-in-data (4.0x time for 4x rows), the correct asymptote
-    for an operator that must scan every basket. Fan-out stays
-    sum(C(basket,2)) bounded by the cap — the classic bounded
-    item-pair pattern, never |items|^2. Count tables are exact; only
-    the final cosine is quantized.
+    Scale shape: the basket table is built in ONE shuffle —
+    ``groupBy(ok).agg(slice(sort_array(collect_set(pk)), 1, cap))``
+    fuses the dedup, the pk-order sort and the cap into a single
+    hash aggregation (map-side partial collect_set already dedups
+    per mapper, so the shuffle carries distinct parts per order, not
+    raw lines). The r9 formulation spent TWO full-table exchanges
+    here (distinct on (ok, pk), then a row_number window re-shuffled
+    on ok); the 16x stress showed those prefix shuffles dominating
+    wall time (8.71 s / ratio 7.62), so fusing them is the direct
+    fix. Semantics are bit-identical: first ``cap`` distinct parts
+    in ascending pk order. Per-key aggregation state is the distinct
+    parts of one order — the same single-task concentration the
+    window formulation had (its hot partition was the whole basket
+    in one sort), only held in a hash buffer instead of a spillable
+    sort, bounded in any basket-shaped source; a corpus with truly
+    unbounded mega-baskets needs an upstream line cap either way
+    because the window shape concentrates identically. Pair
+    generation is MAP-SIDE — each capped basket array emits exactly
+    its C(b,2) i<j combinations via nested array transforms, so no
+    self-join machinery runs and no b^2 transient rows are
+    materialized. Fan-out stays sum(C(basket,2)) bounded by the cap
+    — the classic bounded item-pair pattern, never |items|^2. Count
+    tables are exact; only the final cosine is quantized.
     """
     li = t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    w = Window.partitionBy("ok").orderBy("pk")
-    # Materialize the capped basket table ONCE (lazy checkpoint): it
-    # is consumed twice below (pair arrays + the na counts) and
-    # Catalyst does not deduplicate a DAG's common subplan, so the
-    # distinct + window tree would otherwise run per consumer.
-    li = li.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") <= _CF_MAX_BASKET
-    ).drop("__rn").localCheckpoint(eager=False)
-    na = li.groupBy("pk").agg(F.count("*").alias("n"))
-    # groupBy(ok) reuses the window's ok-partitioning (no shuffle);
-    # the SQL-lambda form sidesteps PySpark's Python-lambda arity
+    )
+    # Materialize the capped basket-ARRAY table ONCE (lazy
+    # checkpoint): it is consumed twice below (pair arrays + the na
+    # counts) and Catalyst does not deduplicate a DAG's common
+    # subplan, so the aggregation would otherwise run per consumer.
+    # Checkpointing the array form also caches |orders| rows instead
+    # of the exploded (order, part) table.
+    baskets = (
+        li.groupBy("ok")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set("pk")), 1, _CF_MAX_BASKET
+            ).alias("ps")
+        )
+        .localCheckpoint(eager=False)
+    )
+    # Part frequencies over the SAME capped baskets (explode of the
+    # checkpointed arrays — no corpus rescan, no second dedup).
+    na = (
+        baskets.select(F.explode("ps").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count("*").alias("n"))
+    )
+    # The SQL-lambda form sidesteps PySpark's Python-lambda arity
     # introspection. slice() is 1-based: element i (0-based) pairs
     # with everything from position i+2 on.
     pairs = (
-        li.groupBy("ok")
-        .agg(F.sort_array(F.collect_list("pk")).alias("ps"))
+        baskets
         .select(F.explode(F.expr(
             "flatten(transform(ps, (x, i) -> "
             "transform(slice(ps, i + 2, size(ps)), "
