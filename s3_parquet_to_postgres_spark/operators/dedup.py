@@ -389,13 +389,19 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.explode(shingles_of(F.col("__toks"), n)).alias("shingle"),
     )
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("gdf"))
+    # Global df per shingle as a WINDOW count, not a groupBy+join:
+    # the join form derives the corpus shingle explode TWICE
+    # (Catalyst does not deduplicate the common subplan); the window
+    # attaches gdf in the same single shuffle that the filter needs.
+    sh = sh.withColumn(
+        "gdf", F.count("*").over(Window.partitionBy("shingle"))
+    )
     if max_shingle_df is not None:
-        freq = freq.filter(F.col("gdf") <= max_shingle_df)
+        sh = sh.filter(F.col("gdf") <= max_shingle_df)
     # Canonical order: rarest first (ties broken by shingle text) --
     # shared rare shingles surface in the first prefix positions.
     ordered = (
-        sh.join(freq, "shingle")
+        sh
         .groupBy("id")
         .agg(
             F.transform(
@@ -483,13 +489,17 @@ def _jaccard_inverted(
         F.explode(shingles_of(F.col("__toks"), n)).alias("shingle"),
     )
     if max_shingle_df is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("gdf"))
-            .filter(F.col("gdf") <= max_shingle_df)
-            .select("shingle")
+        # WINDOW-count df cap, not groupBy+semi-join: the semi-join
+        # derives the corpus shingle explode twice (no common-subplan
+        # dedup in Catalyst); the window filters in the one shuffle,
+        # with no O(|shingles|) keep-list to broadcast.
+        sh = (
+            sh.withColumn(
+                "__gdf", F.count("*").over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("__gdf") <= max_shingle_df)
+            .drop("__gdf")
         )
-        sh = sh.join(keep, "shingle", "left_semi")
     # Materialize the capped posting-list table ONCE: both consumers
     # below (sizes, pair_inter) would otherwise re-derive the whole
     # corpus explode + df-prune tree, doubling the scan and shuffle
@@ -547,65 +557,143 @@ def containment_pairs(
     EITHER direction clears ``threshold``, with both directions
     reported.
 
-    Same scale posture as ``_jaccard_inverted`` (shared posting-list
-    buckets, candidate volume proportional to collisions, hot-shingle
-    ``max_shingle_df`` cap bounding per-shingle fan-out at cap^2);
-    sizes derive from the capped posting lists so the corpus explodes
-    once into one aggregation tree.
+    Scale posture (r10 redesign, measured at 16x volume): docs
+    collapse to EXACT-SHINGLE-SET clusters before any pairing.
+    Containment is a pure set function, so every member of a cluster
+    has identical size, identical intersection with any partner, and
+    identical containments — the posting-list/intersection machinery
+    only ever needs to run on one representative per cluster, and the
+    member-level answer is a pure JOIN fan-out of the rep-level one.
+    On a corpus with heavy exact duplication (the 16x key-shifted
+    stress IS one: every text appears 16x; real crawl corpora are
+    boilerplate-ridden the same way) this collapses the dominant
+    stage — the r9 shape fed ~13M candidate pairs into a pair-count
+    aggregation at 16x (11.5-12.2 s wall; profiled at ~10 s of it in
+    the pair stage) because copies pair copy-against-copy; rep-level
+    pairing is copy-count-free and the 2.4M required output rows are
+    produced by two equi-joins instead of a 13M-group aggregation.
+    A PPJoin-style prefix filter was measured first and rejected: at
+    threshold 0.5 the prefix is ~65% of these small post-cap sets and
+    cut candidates only 33% (12.9M -> 8.7M) while forcing an array
+    join-back per survivor.
+
+    Rep-level machinery is the same bounded posting-list shape as
+    ``_jaccard_inverted`` (doc-level ``max_shingle_df`` cap applied
+    BEFORE clustering, bounding per-shingle fan-out; cluster count
+    per shingle <= capped df). Cluster state is never collected: a
+    cluster key is md5 over the canonically-sorted shingle list
+    (\\x1f-joined; shingles are whitespace-tokenized word n-grams, so
+    the separator cannot split ambiguously on any \\s-tokenized
+    corpus), membership stays a TABLE, and both expansions are
+    equi-joins on that key — a boilerplate mega-cluster's quadratic
+    intra output is the answer's own size, distributed by AQE
+    skew-join splitting rather than concentrated in one buffer. No
+    O(corpus) broadcast anywhere.
     """
     sh = spread(df).withColumn("__toks", ws_tokens(text_col)).select(
         F.col(id_col).alias("id"),
         F.explode(shingles_of(F.col("__toks"), n)).alias("shingle"),
     )
     if max_shingle_df is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("gdf"))
-            .filter(F.col("gdf") <= max_shingle_df)
-            .select("shingle")
+        # WINDOW-count df cap, not groupBy+semi-join: the semi-join
+        # derives the corpus shingle explode twice (no common-subplan
+        # dedup in Catalyst); the window filters in the one shuffle,
+        # with no O(|shingles|) keep-list to broadcast.
+        sh = (
+            sh.withColumn(
+                "__gdf", F.count("*").over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("__gdf") <= max_shingle_df)
+            .drop("__gdf")
         )
-        sh = sh.join(keep, "shingle", "left_semi")
-    # Materialize the capped posting-list table ONCE: both consumers
-    # below (sizes, pair_inter) would otherwise re-derive the whole
-    # corpus explode + df-prune tree, doubling the scan and shuffle
-    # work. Post-cap buckets are bounded (distinct shingles x <=cap
-    # ids), so the localCheckpoint is cheap and truncates the
-    # expensive lineage; lazy (eager=False) so building the plan
-    # stays job-free and the persist folds into the first action.
-    buckets = (
-        sh.groupBy("shingle")
-        .agg(F.collect_list("id").alias("ids"))
+    # Canonical per-doc set table, checkpointed ONCE: feeds the
+    # membership table, the representative selection and the rep
+    # posting explode — without it each consumer re-derives the
+    # corpus tokenize + df-cap tree. Per-doc state is the doc's own
+    # distinct-shingle list (bounded by document length, the buffer
+    # any per-doc tokenize op holds).
+    docs_arr = (
+        sh.groupBy("id")
+        .agg(F.sort_array(F.collect_list("shingle")).alias("shs"))
+        .select(
+            "id", "shs", F.size("shs").alias("n_sh"),
+            F.md5(F.concat_ws("\x1f", "shs")).alias("ck"),
+        )
         .localCheckpoint(eager=False)
     )
-    sizes = (
-        buckets.select(F.explode("ids").alias("id"))
-        .groupBy("id")
-        .agg(F.count("*").alias("n_sh"))
+    members = docs_arr.select("id", "ck", "n_sh")
+    # One representative per cluster, WITHOUT a rep-id join: every
+    # member's shs/n_sh are identical by construction of ck, so
+    # first() is deterministic in value and the cluster table drops
+    # straight out of one aggregation.
+    rep_sh = (
+        docs_arr.groupBy("ck")
+        .agg(F.first("n_sh").alias("n_sh"), F.first("shs").alias("shs"))
+        .select("ck", "n_sh", F.explode("shs").alias("shingle"))
     )
+    buckets = rep_sh.groupBy("shingle").agg(
+        F.collect_list(F.struct("ck", "n_sh")).alias("cs")
+    )
+    # In-bucket i<j cluster combinations, canonicalized by cluster
+    # key with the set sizes kept aligned: the aggregation yields
+    # (pair, n_a, n_b, inter) complete, so no size join ever touches
+    # the pair table.
     pair_expr = F.expr(
-        "flatten(transform(ids, (x, i) ->"
-        " transform(slice(ids, i + 2, size(ids)), y ->"
-        " named_struct('id_a', least(x, y), 'id_b', greatest(x, y)))))"
+        "flatten(transform(cs, (x, i) ->"
+        " transform(slice(cs, i + 2, size(cs)), y ->"
+        " named_struct("
+        "'ck_a', if(x.ck < y.ck, x.ck, y.ck),"
+        " 'n_a', if(x.ck < y.ck, x.n_sh, y.n_sh),"
+        " 'ck_b', if(x.ck < y.ck, y.ck, x.ck),"
+        " 'n_b', if(x.ck < y.ck, y.n_sh, x.n_sh)))))"
     )
-    pair_inter = (
-        buckets.filter(F.size("ids") >= 2)
+    rep_pairs = (
+        buckets.filter(F.size("cs") >= 2)
         .select(F.explode(pair_expr).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .groupBy(
+            F.col("p.ck_a").alias("ck_a"), F.col("p.ck_b").alias("ck_b"),
+            F.col("p.n_a").alias("n_a"), F.col("p.n_b").alias("n_b"),
+        )
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    c_ab = F.col("inter") / F.col("n_a")
-    c_ba = F.col("inter") / F.col("n_b")
-    return (
-        pair_inter.join(sa, "id_a").join(sb, "id_b")
+    qual = rep_pairs.select(
+        "ck_a", "ck_b",
+        (F.col("inter") / F.col("n_a")).alias("c_ab"),
+        (F.col("inter") / F.col("n_b")).alias("c_ba"),
+    ).filter((F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold))
+    # Cross-cluster expansion: every member pair inherits the rep
+    # pair's containments; the reported a/b orientation follows the
+    # member ids (output contract: id_a < id_b).
+    cross = (
+        qual
+        .join(members.select(F.col("ck").alias("ck_a"),
+                             F.col("id").alias("ida")), "ck_a")
+        .join(members.select(F.col("ck").alias("ck_b"),
+                             F.col("id").alias("idb")), "ck_b")
         .select(
-            "id_a", "id_b",
-            c_ab.alias("containment_a_in_b"),
-            c_ba.alias("containment_b_in_a"),
-        )
-        .filter(
-            (F.col("containment_a_in_b") >= threshold)
-            | (F.col("containment_b_in_a") >= threshold)
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            F.when(F.col("ida") < F.col("idb"), F.col("c_ab"))
+            .otherwise(F.col("c_ba")).alias("containment_a_in_b"),
+            F.when(F.col("ida") < F.col("idb"), F.col("c_ba"))
+            .otherwise(F.col("c_ab")).alias("containment_b_in_a"),
         )
     )
+    if threshold > 1.0:
+        # Identical sets score exactly 1.0 both ways — above-1
+        # thresholds (degenerate: containment cannot exceed 1) admit
+        # no intra-cluster pair.
+        return cross
+    # Intra-cluster pairs: identical sets, containment inter/n = 1.0
+    # exactly in both engines' float division (n/n).
+    m2 = members.select(F.col("ck"), F.col("id").alias("idb"))
+    intra = (
+        members.join(m2, "ck")
+        .filter(F.col("id") < F.col("idb"))
+        .select(
+            F.col("id").alias("id_a"), F.col("idb").alias("id_b"),
+            F.lit(1.0).alias("containment_a_in_b"),
+            F.lit(1.0).alias("containment_b_in_a"),
+        )
+    )
+    return cross.unionByName(intra)

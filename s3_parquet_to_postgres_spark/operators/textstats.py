@@ -121,6 +121,49 @@ def winnow_fingerprints(
     )
 
 
+def winnow_doc_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    max_fp_df: int = 100,
+) -> DataFrame:
+    """Per-doc canonical winnowing-fingerprint SETS after the
+    df-[2, cap] filter: (id, fps sorted array, n_fp, ck md5 set key).
+
+    The df filter runs as a WINDOW count, not a groupBy+semi-join:
+    the semi-join form derives the winnowing corpus scan TWICE (once
+    under the count aggregate, once as the probe side; Catalyst does
+    not deduplicate the common subplan) and was measured 2x the cost
+    of the single-derivation window at 16x volume (6.9 s vs 3.4 s).
+    One shuffle on the fingerprint, no O(|fingerprints|) keep-list
+    broadcast anywhere. Dropping df=1 fingerprints is exact for any
+    pair semantics (nothing shares them); df>cap is the declared
+    boilerplate cap.
+    """
+    from pyspark.sql.window import Window
+
+    fp = winnow_fingerprints(df, id_col, text_col, k, w)
+    wdf = Window.partitionBy("fingerprint")
+    fpk = (
+        fp.withColumn("__fdf", F.count("*").over(wdf))
+        .filter((F.col("__fdf") >= 2) & (F.col("__fdf") <= max_fp_df))
+        .drop("__fdf")
+    )
+    return (
+        fpk.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("fingerprint")).alias("fps"))
+        .select(
+            F.col(id_col).alias("id"), "fps",
+            F.size("fps").alias("n_fp"),
+            F.md5(F.concat_ws(
+                "\x1f", F.expr("cast(fps as array<string>)")
+            )).alias("ck"),
+        )
+    )
+
+
 def passage_overlap_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -144,24 +187,82 @@ def passage_overlap_pairs(
     pinpoint a copied passage, and its in-bucket fan-out is the one
     quadratic risk at corpus scale. The cap is part of the declared
     semantics so the oracle reproduces it exactly.
+
+    Scale posture (r10, shared with ``containment_pairs``): docs
+    collapse to EXACT-FINGERPRINT-SET clusters before pairing.
+    shared_fps is a pure set function, so every member of a cluster
+    shares identically with any partner; pairing runs once per
+    cluster pair and the member-level answer is a join fan-out of
+    the rep-level one. On an exact-duplicate-heavy corpus (the 16x
+    key-shifted stress replicates every text; crawl corpora mirror
+    boilerplate the same way) this removes the copy-against-copy
+    quadratic from the pair aggregation — this operator fed every
+    graph entry's edge list, and its pair stage dominated
+    graph_pagerank's 16x wall (~8 s of 10.9). Set equality is
+    decided AFTER the df-[2, cap] fingerprint filter, which is
+    exact: a df=1 fingerprint can never contribute to any pair
+    (nothing shares it), and a df>cap fingerprint is dropped as
+    declared semantics, so the filtered set determines every pair
+    count. Intra-cluster pairs share their whole (filtered) set;
+    cross-cluster counts come from one rep-level bucket pairing.
+    Cluster membership stays a TABLE (never collected), expansions
+    are equi-joins on the md5 set key.
     """
-    fp = winnow_fingerprints(df, id_col, text_col, k, w)
-    buckets = (
-        fp.groupBy("fingerprint")
-        .agg(F.collect_list(F.col(id_col)).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_fp_df))
+    # Canonical per-doc fingerprint-set table, checkpointed ONCE: it
+    # feeds the membership table and the rep posting explode (each
+    # would otherwise re-derive the winnowing scan + df filter). The
+    # plan-hygiene test asserts the un-truncated subtree
+    # (``winnow_doc_sets``) scans the corpus exactly once and the
+    # post-checkpoint plan not at all.
+    docs_arr = winnow_doc_sets(
+        df, id_col, text_col, k, w, max_fp_df
+    ).localCheckpoint(eager=False)
+    members = docs_arr.select("id", "ck", "n_fp")
+    rep_fp = (
+        docs_arr.groupBy("ck")
+        .agg(F.first("fps").alias("fps"))
+        .select("ck", F.explode("fps").alias("fingerprint"))
+    )
+    buckets = rep_fp.groupBy("fingerprint").agg(
+        F.collect_list("ck").alias("cks")
     )
     pair_expr = F.expr(
-        "flatten(transform(ids, (x, i) ->"
-        " transform(slice(ids, i + 2, size(ids)), y ->"
-        " named_struct('id_a', least(x, y), 'id_b', greatest(x, y)))))"
+        "flatten(transform(cks, (x, i) ->"
+        " transform(slice(cks, i + 2, size(cks)), y ->"
+        " named_struct('ck_a', least(x, y), 'ck_b', greatest(x, y)))))"
     )
-    return (
-        buckets.select(F.explode(pair_expr).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+    rep_pairs = (
+        buckets.filter(F.size("cks") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.ck_a").alias("ck_a"), F.col("p.ck_b").alias("ck_b"))
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+    cross = (
+        rep_pairs
+        .join(members.select(F.col("ck").alias("ck_a"),
+                             F.col("id").alias("ida")), "ck_a")
+        .join(members.select(F.col("ck").alias("ck_b"),
+                             F.col("id").alias("idb")), "ck_b")
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            "shared_fps",
+        )
+    )
+    # Intra-cluster pairs: identical filtered sets share every
+    # fingerprint, so shared_fps is the set size itself.
+    m2 = members.select("ck", F.col("id").alias("idb"))
+    intra = (
+        members.filter(F.col("n_fp") >= min_shared)
+        .join(m2, "ck")
+        .filter(F.col("id") < F.col("idb"))
+        .select(
+            F.col("id").alias("id_a"), F.col("idb").alias("id_b"),
+            F.col("n_fp").cast("long").alias("shared_fps"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def repetition_signals(

@@ -1395,14 +1395,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are symmetrized into a directed edge list; the operator
     # checkpoints it once so the corpus is NOT re-scanned per
     # iteration.
-    from ..operators.components import pagerank
+    from ..operators.components import pagerank, symmetrize
 
     pairs = T.passage_overlap_pairs(t(spark, sf_dir, "documents"))
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    )
+    edges = symmetrize(pairs)
     return pagerank(edges).select(F.col("id").alias("doc_id"), "pagerank")
 
 
@@ -1502,12 +1498,10 @@ def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-derives the whole winnowing pipeline (the pre-checkpoint
     # executed plan showed 30 corpus scans). The oracle unrolls the
     # same three rounds.
+    from ..operators.components import symmetrize
+
     pairs = T.passage_overlap_pairs(t(spark, sf_dir, "documents"))
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    ).localCheckpoint(eager=False)
+    edges = symmetrize(pairs).localCheckpoint(eager=False)
     dist = (
         edges.select("src")
         .distinct()
@@ -1558,15 +1552,13 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic tiebreak, stated semantics). Each round is one
     # edge equi-join + one vote aggregate sharing the dst
     # partitioning; the oracle replays all rounds.
+    from ..operators.components import symmetrize
+
     pairs = T.passage_overlap_pairs(t(spark, sf_dir, "documents"))
     # Checkpointed for the same reason as graph_shortest_hops: one
     # consumer per round plus the seed scan would otherwise re-derive
     # the winnowing pipeline each time.
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    ).localCheckpoint(eager=False)
+    edges = symmetrize(pairs).localCheckpoint(eager=False)
     labels = edges.select("src").distinct().select(
         F.col("src").alias("id"), F.col("src").alias("label")
     )

@@ -80,9 +80,9 @@ def text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("s.a", "s.b").alias("a"),
         F.greatest("s.a", "s.b").alias("b"),
     ).distinct()
-    edges = e.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    from ..operators.components import symmetrize
+
+    edges = symmetrize(e, a="a", b="b")
     pr = pagerank(edges).select(F.col("id").alias("token"), "pagerank")
     return pr.orderBy(F.desc("pagerank"), F.asc("token")).limit(25)
 

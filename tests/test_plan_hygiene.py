@@ -172,12 +172,29 @@ def test_single_lineitem_scan(name, spark):
 # the bucket key precisely so the expensive signature aggregation runs
 # once; a second documents scan is that optimization regressing.
 @pytest.mark.parametrize(
-    "name", ["dedup_minhash_lsh", "dedup_simhash", "dedup_passage_pairs"]
+    "name", ["dedup_minhash_lsh", "dedup_simhash"]
 )
 def test_single_documents_scan(name, spark):
     plan = _plan_of(all_queries()[name](spark, SF))
     scans = plan.count("documents.parquet")
     assert scans == 1, f"{name}: {scans} documents scans (want 1)"
+
+
+def test_passage_pairs_single_scan_behind_checkpoint(spark):
+    # r10 shape: the whole winnowing pipeline lives inside ONE
+    # lazily-checkpointed doc-set subtree. Two-sided invariant: the
+    # un-truncated subtree (winnow_doc_sets) scans the corpus exactly
+    # once, and the entry plan scans it zero times (every consumer
+    # reads the checkpoint, never re-derives the pipeline).
+    from s3_parquet_to_postgres_spark.operators.textstats import (
+        winnow_doc_sets,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    inner = _plan_of(winnow_doc_sets(docs))
+    assert inner.count("documents.parquet") == 1, inner[:2000]
+    outer = _plan_of(all_queries()["dedup_passage_pairs"](spark, SF))
+    assert outer.count("documents.parquet") == 0, outer[:2000]
 
 
 def test_correlated_subquery_decorrelates(spark):
