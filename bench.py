@@ -119,6 +119,10 @@ EXTRA = [
     "event_streaks_chunked",
     "similarity_topk_vectors_flat",
     "event_ewma_chunked",
+    # round-10 addition: nested parquet ingestion (write happens once
+    # per session via the entry's fixture memo; timed runs measure
+    # the nested read + dotted-path flatten)
+    "source_nested_ingest",
 ]
 
 

@@ -35,78 +35,76 @@ FLAGSHIP: list[str] = [
     # stays catalog-covered by the recursive-canonicalizing in-repo
     # harnesses (tests/test_oracle_parity.py, tools/drive_entry.py).
     #
-    # ROUND-9 ROTATION (finishing the evidence walk): after r8 the
-    # only catalog entries whose latest green driver row predates r5
-    # are the 47 remaining r4-cohort entries -- this window takes ALL
-    # of them, so after r9 the rotation has lapped the entire
-    # catalog twice (no entry's evidence older than r5). The other 3
-    # slots re-prove the entries this round's work touched:
-    # event_ewma_chunked (the r8 verdict's cheaper-stitch item:
-    # chunked_frame_list gained a summary_mode="agg" tail rebuild,
-    # measured end-to-end, and the entry was REVERTED to window mode
-    # when the measurement showed agg ~40% slower on this sparse
-    # corpus -- see the entry docstring; its plan ends the round at
-    # the r8 shape, re-proven here anyway), event_top_paths_chunked
-    # (frame values struct-wrapped so NULL event_types keep their
-    # positional slot, ADVICE r8), and event_concurrency_chunked
-    # (endpoint construction now shared verbatim with the plain
-    # entry via _concurrency_endpoints, ADVICE r8). All three share
-    # their plain partners' oracle SQL, and the partners event_ewma /
-    # event_top_paths ride in this window's r4 cohort, so the driver
-    # hash re-proves twin bit-equality in the same round the plans
-    # moved.
-    # --- r9 changed-plan re-proofs (3) ---
-    "event_ewma_chunked",
-    "event_top_paths_chunked",
-    "event_concurrency_chunked",
-    # --- r4 cohort (47: the full remainder) ---
-    "agg_histogram_quantiles",
-    "agg_mad_outliers",
-    "agg_percentile_disc",
-    "basket_part_pairs",
-    "corpus_diff",
-    "dedup_corpus_pipeline",
-    "dedup_keep_first_by_key",
-    "dedup_passage_pairs",
-    "dedup_semantic",
-    "event_enrich_customer",
-    "event_ewma",
-    "event_funnel_windowed",
-    "event_gapfill_interp",
-    "event_lookback_attribution",
-    "event_rollup_incremental",
-    "event_user_anomaly",
-    "event_window_sliding",
-    "event_window_tumbling",
-    "graph_triangles",
-    "ml_calibration_bins",
-    "ml_linear_score",
-    "ml_pr_curve",
-    "multimodal_frames",
-    "multimodal_phash_pairs",
-    "multimodal_resize",
-    "sample_contrastive_pairs",
-    "sample_group_fixed",
-    "sample_mixture",
-    "sample_pack_sequences",
-    "sample_split",
-    "scalar_map",
-    "scalar_timestamp",
-    "scalar_url",
-    "scalar_winsorize",
-    "table_skew_profile",
-    "text_bigram_lm",
-    "text_collocations",
-    "text_decontaminate",
-    "text_entropy",
-    "text_fingerprint",
-    "text_pii_scrub",
-    "text_quality",
-    "text_repetition",
-    "text_token_stats",
-    "text_top_bigrams",
-    "text_winnow_fingerprints",
-    "value_histogram",
+    # ROUND-10 ROTATION: after r9 the oldest latest-green cohort is
+    # the 49 r5-window entries -- this window takes ALL of them, so
+    # the walk's invariant becomes "no entry's external evidence
+    # older than r6". The cohort HAPPENS to contain every headline
+    # plan r10 changed (graph_pagerank grouped adjacency +
+    # cluster-collapsed passage edges, dedup_containment cluster
+    # collapse, dedup_ngram_jaccard window df-cap, ml_item_cf fused
+    # basket aggregation, text_textrank symmetrize+pagerank,
+    # graph_shortest_hops symmetrize), so the driver hash re-proves
+    # each changed plan in the same round it moved. The 50th slot is
+    # the round's NEW entry, source_nested_ingest (nested parquet
+    # round-trip through the require_flat boundary). Changed-plan
+    # entries that live OUTSIDE this window
+    # (graph_label_propagation, graph_triangles, dedup_passage_pairs,
+    # dedup_corpus_pipeline, corpus_curation_pipeline -- all green
+    # r8/r9) are re-proven this round by the in-repo dual-scale
+    # sweeps (tools/drive_entry.py at sf0.01 + sf0.1, recorded in
+    # PROGRESS.jsonl) and rotate into the r11 window.
+    # --- r10 new entry (1) ---
+    "source_nested_ingest",
+    # --- r5 cohort (49: the full remainder) ---
+    "agg_bootstrap_ci",
+    "agg_contingency_chi2",
+    "agg_entropy_categorical",
+    "agg_gini_segment",
+    "agg_ipf_raking",
+    "agg_pricing_summary",
+    "agg_spatial_density",
+    "agg_timeseries_acf",
+    "corpus_report",
+    "dedup_containment",
+    "dedup_ngram_jaccard",
+    "dedup_rate_by_source",
+    "event_attribution_ushape",
+    "event_bot_signals",
+    "event_changepoint",
+    "event_concurrency",
+    "event_forecast_linear",
+    "event_markov_stationary",
+    "event_running_unique",
+    "event_seasonality",
+    "event_survival",
+    "graph_pagerank",
+    "graph_shortest_hops",
+    "ml_ab_test",
+    "ml_adaboost_stumps",
+    "ml_cluster_purity",
+    "ml_item_cf",
+    "ml_kmeans_embeddings",
+    "ml_knn_eval",
+    "ml_logreg_train",
+    "ml_naive_bayes",
+    "ml_naive_bayes_holdout",
+    "ml_ndcg_eval",
+    "ml_tree_stump",
+    "ml_user_features",
+    "multimodal_dedup",
+    "scalar_geo",
+    "scalar_geohash",
+    "scalar_inet",
+    "table_dp_counts",
+    "table_drift_psi",
+    "text_bm25",
+    "text_chunk_split",
+    "text_ngram_novelty",
+    "text_perplexity_buckets",
+    "text_phrase_search",
+    "text_rake",
+    "text_readability",
+    "text_textrank",
 ]
 
 

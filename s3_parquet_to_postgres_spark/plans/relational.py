@@ -56,6 +56,101 @@ FROM lineitem
 """
 
 
+# Session-scoped memo of written nested fixtures: the entry is an
+# INGESTION demo whose fn() call materializes a parquet write (a real
+# job); plan-inspection sweeps call every fn repeatedly, so the write
+# runs once per (session, sf_dir) and later calls only read.
+_NESTED_FIXTURE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def source_nested_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuinely NESTED parquet ingestion through the documented
+    flat-structs-only boundary (SURVEY §1.2/§7.3; reference:
+    src/parquet_ops.rs:56-83 silently SKIPS GroupType fields — this
+    engine instead fails fast and supports the explicit flatten).
+
+    The entry round-trips real nesting: orders fold into
+    ``order_info: struct<okey, money: struct<odate, total>>``
+    (struct-of-struct) plus ``lines: array<struct<lnum, qty, price>>``
+    (list-of-struct), are WRITTEN to parquet and read back with
+    ``scan_parquet``. The read schema is then (1) proven to trip
+    ``require_flat``'s typed CastPlanError — the boundary is load-
+    bearing, not decorative — and (2) flattened the documented way:
+    dotted-path projection for the struct leaves, ``explode`` for the
+    list, scalar casts last, and the flat result passes
+    ``require_flat``. The oracle replays the logical content from the
+    flat tables (inner join: explode drops order rows with no lines,
+    which TPC-H data never has). ``sort_array`` on the line structs
+    pins the list order so the written fixture is deterministic.
+    """
+    import os
+
+    from ..operators.casts import CastPlanError, require_flat
+    from ..sources.parquet import scan_parquet
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _NESTED_FIXTURE_CACHE.get(key)
+    if path is None:
+        o = t(spark, sf_dir, "orders")
+        li = t(spark, sf_dir, "lineitem")
+        lines = li.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_list(F.struct(
+                F.col("l_linenumber").alias("lnum"),
+                F.col("l_quantity").alias("qty"),
+                F.col("l_extendedprice").alias("price"),
+            ))).alias("lines")
+        )
+        nested = o.join(lines, o.o_orderkey == lines.l_orderkey).select(
+            F.struct(
+                F.col("o_orderkey").alias("okey"),
+                F.struct(
+                    F.col("o_orderdate").alias("odate"),
+                    F.col("o_totalprice").alias("total"),
+                ).alias("money"),
+            ).alias("order_info"),
+            "lines",
+        )
+        path = (f"/tmp/spark_graft_nested-"
+                f"{spark.sparkContext.applicationId}-"
+                f"{os.path.basename(os.path.abspath(sf_dir))}")
+        nested.write.mode("overwrite").parquet(path)
+        _NESTED_FIXTURE_CACHE[key] = path
+
+    back = scan_parquet(spark, path)
+    try:
+        require_flat(back, "nested ingest")
+    except CastPlanError:
+        pass  # expected: both nested columns named in the error
+    else:  # pragma: no cover - boundary regression guard
+        raise AssertionError(
+            "require_flat accepted a nested schema: boundary regressed"
+        )
+    flat = back.select(
+        F.col("order_info.okey").alias("okey"),
+        F.date_format("order_info.money.odate", "yyyy-MM-dd")
+        .alias("odate"),
+        F.col("order_info.money.total").cast("double").alias("total"),
+        F.explode("lines").alias("ln"),
+    ).select(
+        "okey", "odate", "total",
+        F.col("ln.lnum").cast("long").alias("lnum"),
+        F.col("ln.qty").cast("double").alias("qty"),
+        F.col("ln.price").cast("double").alias("price"),
+    )
+    return require_flat(flat, "nested ingest flattened")
+
+
+SOURCE_NESTED_INGEST_SQL = """
+SELECT o_orderkey AS okey,
+       strftime(o_orderdate, '%Y-%m-%d') AS odate,
+       CAST(o_totalprice AS DOUBLE) AS total,
+       CAST(l_linenumber AS BIGINT) AS lnum,
+       CAST(l_quantity AS DOUBLE) AS qty,
+       CAST(l_extendedprice AS DOUBLE) AS price
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+"""
+
+
 def ref_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "lineitem").agg(
         F.count("*").alias("total"),
@@ -2020,6 +2115,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec("ref_project_rename_cast", ref_project_rename_cast,
               REF_PROJECT_RENAME_CAST_SQL,
               "reference pipeline P1-P8 as a query (src/runner.rs:17-45)"),
+    QuerySpec("source_nested_ingest", source_nested_ingest,
+              SOURCE_NESTED_INGEST_SQL,
+              "nested parquet (struct-of-struct + list<struct>) write/"
+              "read round-trip + require_flat boundary + dotted-path "
+              "flatten (reference GroupType skip src/parquet_ops.rs:75)"),
     QuerySpec("ref_count", ref_count, REF_COUNT_SQL,
               "COUNT(*) / COUNT(col) (reference test SQL src/runner.rs:177)"),
     QuerySpec("ref_sort_limit", ref_sort_limit, REF_SORT_LIMIT_SQL,

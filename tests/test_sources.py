@@ -123,3 +123,44 @@ def test_scan_skip_all_corrupt_is_io_error(spark, tmp_path):
     (bad / "part-0.parquet").write_bytes(b"junk")
     with _pytest.raises(IOError):
         scan_parquet(spark, [str(bad)], on_corrupt="skip")
+
+
+def test_nested_ingest_round_trip_and_boundary(spark):
+    # The r10 nested-ingestion entry: the written fixture must carry
+    # REAL nesting (struct-of-struct + list<struct>), the boundary
+    # must reject it with both columns named, and the flattened
+    # result must replay the flat-table join exactly.
+    from pyspark.sql.types import ArrayType, StructType
+
+    from s3_parquet_to_postgres_spark.operators.casts import (
+        CastPlanError, require_flat,
+    )
+    from s3_parquet_to_postgres_spark.plans.relational import (
+        _NESTED_FIXTURE_CACHE, source_nested_ingest,
+    )
+    from s3_parquet_to_postgres_spark.sources.parquet import scan_parquet
+
+    sf = "/root/testdata/sf0.001"
+    flat = source_nested_ingest(spark, sf)
+    # fixture written + memoized for this session
+    import os
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf))
+    path = _NESTED_FIXTURE_CACHE[key]
+    back = scan_parquet(spark, path)
+    types = dict((f.name, f.dataType) for f in back.schema.fields)
+    assert isinstance(types["order_info"], StructType)
+    assert isinstance(types["order_info"]["money"].dataType, StructType)
+    assert isinstance(types["lines"], ArrayType)
+    assert isinstance(types["lines"].elementType, StructType)
+    try:
+        require_flat(back, "test")
+    except CastPlanError as e:
+        assert "order_info" in str(e) and "lines" in str(e)
+    else:
+        raise AssertionError("require_flat accepted nesting")
+    # flattened row count == the flat join's
+    from pyspark.sql import functions as F
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    want = o.join(li, o.o_orderkey == li.l_orderkey).count()
+    assert flat.count() == want
