@@ -56,6 +56,12 @@ class SourceSpec:
     endpoint: str | None = None
     # Staging directory for endpoint mode (default: a per-run tempdir).
     stage_dir: str | None = None
+    # Static headers for endpoint-mode requests (tuple of (name,
+    # value) pairs -- hashable, this dataclass is frozen). The client
+    # is credential-free by design; this exists for S3-compatible
+    # stubs that insist on an Authorization header being PRESENT
+    # (moto) -- a placeholder, never a secret.
+    endpoint_headers: tuple[tuple[str, str], ...] = ()
 
     def key_to_path(self, key: str) -> str:
         """S3 key -> Spark-readable URI. Executors read S3 directly via

@@ -103,7 +103,10 @@ def run(
                 "keys resolve to s3a:// URLs via the bucket; without "
                 "it bare keys cannot be staged)."
             )
-        client = S3HttpClient(spec.source.endpoint)
+        client = S3HttpClient(
+            spec.source.endpoint,
+            extra_headers=dict(spec.source.endpoint_headers),
+        )
         stage_root = spec.source.stage_dir or tempfile.mkdtemp(
             prefix="s3stage-"
         )

@@ -69,7 +69,8 @@ class S3HttpClient:
     """
 
     def __init__(self, endpoint: str, timeout: float = 30.0,
-                 max_concurrency: int = 5):
+                 max_concurrency: int = 5,
+                 extra_headers: dict[str, str] | None = None):
         if not endpoint.startswith(("http://", "https://")):
             raise S3HttpError(f"endpoint must be http(s): {endpoint!r}")
         self.endpoint = endpoint.rstrip("/")
@@ -77,6 +78,16 @@ class S3HttpClient:
         # Reference parity: at most 5 concurrent GETs
         # (src/s3_download.rs:34-128 uses a bounded download pool).
         self.max_concurrency = max(1, max_concurrency)
+        # Static headers on every request. The client remains
+        # credential-free by design (SigV4 belongs to the S3A primary
+        # path); some S3-compatible stubs (moto) reject requests with
+        # NO Authorization header at all, and a static placeholder
+        # header satisfies them. Never a secret -- a secret would need
+        # real signing.
+        self.extra_headers = dict(extra_headers or {})
+
+    def _request(self, url: str) -> Request:
+        return Request(url, headers=self.extra_headers)
 
     # -- single object
 
@@ -88,7 +99,7 @@ class S3HttpClient:
         are not plain MD5s and are skipped."""
         url = f"{self.endpoint}/{quote(bucket)}/{quote(key, safe='/')}"
         try:
-            with urlopen(Request(url), timeout=self.timeout) as resp:
+            with urlopen(self._request(url), timeout=self.timeout) as resp:
                 body = resp.read()
                 etag = (resp.headers.get("ETag") or "").strip('"')
         except OSError as e:
@@ -116,7 +127,7 @@ class S3HttpClient:
                 q += f"&continuation-token={quote(token, safe='')}"
             url = f"{self.endpoint}/{quote(bucket)}?{q}"
             try:
-                with urlopen(Request(url), timeout=self.timeout) as resp:
+                with urlopen(self._request(url), timeout=self.timeout) as resp:
                     doc = resp.read()
             except OSError as e:
                 raise S3HttpError(f"LIST {bucket}/{prefix} failed: {e}") from e
