@@ -585,10 +585,13 @@ def containment_pairs(
     (\\x1f-joined; shingles are whitespace-tokenized word n-grams, so
     the separator cannot split ambiguously on any \\s-tokenized
     corpus), membership stays a TABLE, and both expansions are
-    equi-joins on that key — a boilerplate mega-cluster's quadratic
-    intra output is the answer's own size, distributed by AQE
-    skew-join splitting rather than concentrated in one buffer. No
-    O(corpus) broadcast anywhere.
+    equi-joins on that key. Cluster size is STRUCTURALLY bounded by
+    ``max_shingle_df``: a kept shingle shared by all k members has
+    df >= k, and kept means df <= cap — so k <= cap, intra fan-out
+    <= C(cap, 2) per cluster, and a boilerplate storm larger than
+    the cap loses all its shingles to the df filter and pairs not at
+    all (exactly the pre-collapse behavior: its bucket rows were
+    df-dropped too). No O(corpus) broadcast anywhere.
     """
     sh = spread(df).withColumn("__toks", ws_tokens(text_col)).select(
         F.col(id_col).alias("id"),

@@ -206,7 +206,12 @@ def passage_overlap_pairs(
     count. Intra-cluster pairs share their whole (filtered) set;
     cross-cluster counts come from one rep-level bucket pairing.
     Cluster membership stays a TABLE (never collected), expansions
-    are equi-joins on the md5 set key.
+    are equi-joins on the md5 set key. Cluster size is STRUCTURALLY
+    bounded by ``max_fp_df``: a kept fingerprint shared by all k
+    members has df >= k <= cap, so intra fan-out is <= C(cap, 2)
+    per cluster and a boilerplate storm beyond the cap loses its
+    fingerprints to the df filter entirely (the pre-collapse
+    behavior too).
     """
     # Canonical per-doc fingerprint-set table, checkpointed ONCE: it
     # feeds the membership table and the rep posting explode (each
