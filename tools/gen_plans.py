@@ -206,12 +206,43 @@ SECTIONS = [
     ),
     (
         "ml_item_cf",
-        "Bounded item-pair generation entirely map-side: capped baskets"
-        " become sorted arrays (groupBy reuses the cap-window's"
-        " ok-partitioning) and each emits exactly its C(b,2) i<j pair"
-        " structs via nested array transforms -- no self-join operator,"
-        " no b^2 transient rows, and the only corpus-width exchanges are"
-        " the distinct + cap-window prefix feeding the checkpoint.",
+        "Bounded item-pair generation entirely map-side: ONE collect_set"
+        " aggregation (r10) fuses basket dedup, pk-sort and the cap --"
+        " map-side partial sets dedup before the single corpus-width"
+        " exchange -- and each capped basket array emits exactly its"
+        " C(b,2) i<j pair structs via nested array transforms: no"
+        " self-join operator, no b^2 transient rows. The r9 shape spent"
+        " TWO exchanges (distinct + cap-window) on the same prefix; a"
+        " window-dedup one-exchange alternative was measured and"
+        " rejected (SCALE_CHECK r10 64x note).",
+    ),
+    (
+        "graph_pagerank",
+        "Iterative PageRank over the winnowing passage-overlap graph,"
+        " r10 shape: the edge list is built from CLUSTER-collapsed"
+        " passage pairs (exact-fingerprint-set reps pair once, members"
+        " expand by equi-joins -- no copy-against-copy quadratic),"
+        " symmetrized in one subtree (exploded 2-struct array, not a"
+        " unionAll re-derivation), folded into a grouped adjacency"
+        " (vertex, outdeg, dst-array) and checkpointed ONCE. Each of"
+        " the 10 rounds is a V-row join (dst explode after the join"
+        " feeds map-side partial sums) + one message aggregation"
+        " exchange; rank/outdeg is one division per vertex. The plan"
+        " shown is the post-checkpoint segment -- the corpus pipeline"
+        " materializes exactly once ahead of it.",
+    ),
+    (
+        "dedup_containment",
+        "Exact shingle-containment pairs, r10 cluster-collapse shape:"
+        " docs group by md5 of their (df-window-capped) shingle set;"
+        " pair counting runs once per cluster pair with both set sizes"
+        " carried inside the posting structs, so the pair table never"
+        " joins a size aggregation; member-level output (incl."
+        " containment-1.0 intra pairs) expands via equi-joins on the"
+        " set key. Cluster size is structurally <= the df cap, so"
+        " intra fan-out is bounded at C(cap,2) per cluster. The df cap"
+        " itself is a window count -- one shuffle, no second corpus"
+        " derivation, no keep-list broadcast.",
     ),
 ]
 
