@@ -20,7 +20,7 @@ from pyspark.sql.window import Window
 
 from ..functions import dround, md5_unit
 from ..functions.numeric import sql_md5_unit
-from .base import QuerySpec, t
+from .base import QuerySpec, size_scaled_partitions, t
 from .ext import pagerank_oracle_sql
 
 # Token conventions. TextRank works on the alphabetic-word stream
@@ -344,27 +344,57 @@ def ml_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic "model fits in a broadcast, data never moves" pattern.
     Gradient shuffle volume per round = |docs| longs, independent of
     corpus width.
+
+    r10: both checkpointed tables (x and y) are hash-partitioned by
+    doc_id with an explicit co-partition count BEFORE the checkpoint,
+    so every per-iteration doc_id requirement (the per-doc margin
+    groupBy, the m⋈y residual join, the x⋈r gradient join) is already
+    satisfied and plans with ZERO new Exchanges — the only exchange
+    left inside an iteration is the 16-row map-combined bucket sum.
+    Previously each of the 3 iterations re-shuffled x twice by doc_id
+    and re-scanned documents to rebuild+shuffle y. Partition count is
+    size-scaled (see base.size_scaled_partitions: derived from the
+    documents table's on-disk bytes, clamped to the conf cap — 1 at
+    local test scale, cluster-sized on a cluster), explicit so AQE
+    coalescing cannot desynchronize the two sides' partitioning. AQE is toggled OFF just around the
+    two checkpoint builds: under AQE the checkpointed LogicalRDD
+    records UnknownPartitioning (measured: the repartition then buys
+    nothing and every iteration exchange stays); planned without AQE
+    it records hashpartitioning(doc_id, n) and the iteration plans
+    collapse to exchange-free aggregates/joins.
     """
     from ..functions import md5_unit
 
+    n_part = size_scaled_partitions(spark, sf_dir, "documents")
     d = t(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.expr(_WS_TOKS_SPARK).alias("w")
     )
-    x = (
-        d.select("doc_id", F.explode("w").alias("tok"))
-        .withColumn(
-            "bucket",
-            F.floor(md5_unit("tok") * _LR_BUCKETS).cast("long"),
+    aqe_key = "spark.sql.adaptive.enabled"
+    aqe_was = spark.conf.get(aqe_key)
+    spark.conf.set(aqe_key, "false")
+    try:
+        x = (
+            d.select("doc_id", F.explode("w").alias("tok"))
+            .withColumn(
+                "bucket",
+                F.floor(md5_unit("tok") * _LR_BUCKETS).cast("long"),
+            )
+            .groupBy("doc_id", "bucket")
+            .agg(F.count("*").alias("cnt"))
+            .repartition(n_part, "doc_id")
+            .localCheckpoint(eager=True)
         )
-        .groupBy("doc_id", "bucket")
-        .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=True)
-    )
-    y = d.select(
-        "doc_id",
-        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
-        .cast("long").alias("y"),
-    )
+        y = (
+            d.select(
+                "doc_id",
+                F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+                .cast("long").alias("y"),
+            )
+            .repartition(n_part, "doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set(aqe_key, aqe_was)
     # ONE bounded scalar (doc count), computed once off the
     # checkpointed feature table: as a lazy aggregate it re-ran its
     # distinct-shuffle inside every iteration's weight update.
