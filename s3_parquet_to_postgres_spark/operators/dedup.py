@@ -620,7 +620,10 @@ def containment_pairs(
         .agg(F.sort_array(F.collect_list("shingle")).alias("shs"))
         .select(
             "id", "shs", F.size("shs").alias("n_sh"),
-            F.md5(F.concat_ws("\x1f", "shs")).alias("ck"),
+            # 16-byte binary cluster key (unhex(md5)): the pair stage
+            # shuffles two cks per candidate row, so the narrower key
+            # halves its dominant columns vs md5's 32-char hex string.
+            F.unhex(F.md5(F.concat_ws("\x1f", "shs"))).alias("ck"),
         )
         .localCheckpoint(eager=False)
     )

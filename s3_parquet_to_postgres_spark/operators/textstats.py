@@ -157,9 +157,12 @@ def winnow_doc_sets(
         .select(
             F.col(id_col).alias("id"), "fps",
             F.size("fps").alias("n_fp"),
-            F.md5(F.concat_ws(
+            # 16-byte binary set key: unhex halves the ck bytes the
+            # bucket/pair shuffles carry vs the 32-char md5 hex string
+            # (guide: narrower types), with identical injectivity.
+            F.unhex(F.md5(F.concat_ws(
                 "\x1f", F.expr("cast(fps as array<string>)")
-            )).alias("ck"),
+            ))).alias("ck"),
         )
     )
 
