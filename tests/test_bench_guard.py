@@ -1,11 +1,20 @@
-"""Bench regression guard: the newest BENCH_HISTORY.jsonl record must
-not be >2x slower than the best prior record for any headline query.
+"""Bench regression guard: the newest rev's BENCH_HISTORY.jsonl pool
+must not be >2.5x slower than the best prior-rev record for any
+headline query.
 
-bench.py appends one record per run (the driver runs it each round),
-so this test makes a silent regression loud the next time the suite
-runs after a bench. It inspects recorded history only -- it does NOT
-re-run the bench (sf0.1 timings belong to bench.py's controlled
+bench.py appends one RAW record per run (the driver runs it each
+round), so this test makes a silent regression loud the next time the
+suite runs after a bench. It inspects recorded history only -- it does
+NOT re-run the bench (sf0.1 timings belong to bench.py's controlled
 local[32] run, not to this local[8] test session).
+
+Noise robustness (r10 verdict item 1): a single raw sample on this
+host can be inflated up to ~2.9x by noisy neighbors (the recorded
+``noise_factor`` column), so the guard compares the MERGED same-rev
+minimum of the latest rev's samples -- the same min-over-samples
+currency bench.py itself prints -- and additionally scales the budget
+by the pool's quietest observed noise_factor. A real plan regression
+survives any number of samples; a noise spike does not.
 """
 
 from __future__ import annotations
@@ -18,12 +27,12 @@ import pytest
 REPO = pathlib.Path(__file__).resolve().parents[1]
 HISTORY = REPO / "BENCH_HISTORY.jsonl"
 
-# Budget: a query regresses when it exceeds best * FACTOR + SLACK.
-# The multiplicative factor absorbs this host's noisy-neighbor
-# inflation (observed up to ~1.7x uniform with an empty process
-# table); the small absolute slack absorbs scheduler jitter on
-# sub-300ms queries WITHOUT exempting them the way a 1s floor would
-# (a 0.18s query regressing to 0.99s must still trip).
+# Budget: a query regresses when it exceeds best * FACTOR + SLACK
+# (with FACTOR further scaled by the latest pool's quietest
+# noise_factor when even the pool minimum was taken under load).
+# The small absolute slack absorbs scheduler jitter on sub-300ms
+# queries WITHOUT exempting them the way a 1s floor would (a 0.18s
+# query regressing to 0.99s must still trip).
 FACTOR = 2.5
 SLACK_SEC = 0.3
 
@@ -38,6 +47,14 @@ REBASELINED = {
     # rose ~0.3s -> ~1.0-1.5s by design; the new plan's 16x scale
     # ratio is 1.06x (SCALE_CHECK.md round-5 supplement).
     "ml_rfm_segments": 1786789000,
+    # r10 (commit 08b27ff): exact-set cluster collapse before pair
+    # generation (operators/dedup.py containment_pairs docstring,
+    # operators/textstats.py passage_overlap_pairs). Costs ~0.5-1s at
+    # sf0.1 in exchange for halved 16x/64x walls (SCALE_CHECK.md r10
+    # supplement: dedup_containment 64x 18.1->10.6s). Pre-r10 bests
+    # ran the direct-pairing plan and are not comparable.
+    "dedup_containment": 1786923910,
+    "corpus_curation_pipeline": 1786923910,
 }
 
 
@@ -55,28 +72,115 @@ def _records():
     return out
 
 
-def test_latest_bench_not_regressed_vs_history_best():
-    recs = _records()
+def find_regressions(recs: list[dict]) -> list[str]:
+    """Compare the latest rev's merged per-query minima against the
+    best record from EARLIER samples (any rev, REBASELINED-filtered).
+    Pure function over parsed history records so a unit test can feed
+    it synthetic pools. Records are assumed chronological (bench.py
+    appends). Only records at the latest record's cpus count compare
+    (legacy records without a cpus field are local[32])."""
     if len(recs) < 2:
-        pytest.skip("need >=2 sf0.1 bench records to compare")
+        return []
     latest = recs[-1]
+    cpus = latest.get("cpus", 32)
+    recs = [r for r in recs if r.get("cpus", 32) == cpus]
+    if len(recs) < 2:
+        return []
+    latest_rev = latest.get("rev")
+    if latest_rev is not None:
+        pool = [r for r in recs if r.get("rev") == latest_rev]
+    else:
+        pool = [latest]  # dirty-tree sample: nothing merges with it
+    pool_ids = {id(r) for r in pool}
+    prior = [r for r in recs if id(r) not in pool_ids]
+    if not prior:
+        return []
+
     best: dict[str, float] = {}
-    for rec in recs[:-1]:
+    for rec in prior:
         for name, sec in rec["queries"].items():
             if rec.get("ts", 0) < REBASELINED.get(name, 0):
                 continue  # pre-rebaseline plan, not comparable
             if name not in best or sec < best[name]:
                 best[name] = sec
+
+    merged: dict[str, float] = {}
+    for rec in pool:
+        for name, sec in rec["queries"].items():
+            if name not in merged or sec < merged[name]:
+                merged[name] = sec
+    # Quietest load under which the pool minima were observed: if even
+    # that was a loaded host, a uniform wall inflation is expected and
+    # must not read as a plan regression.
+    noise = min(float(r.get("noise_factor") or 1.0) for r in pool)
+    factor = FACTOR * max(1.0, noise)
+
     regressions = []
-    for name, sec in latest["queries"].items():
-        if name in best and sec > best[name] * FACTOR + SLACK_SEC:
+    for name, sec in merged.items():
+        if name in best and sec > best[name] * factor + SLACK_SEC:
             regressions.append(
                 f"{name}: {sec:.3f}s vs historical best {best[name]:.3f}s"
+                f" (budget x{factor:.2f}+{SLACK_SEC})"
             )
+    return regressions
+
+
+def test_latest_bench_not_regressed_vs_history_best():
+    recs = _records()
+    if len(recs) < 2:
+        pytest.skip("need >=2 sf0.1 bench records to compare")
+    regressions = find_regressions(recs)
     assert not regressions, (
-        "headline queries regressed >2x vs BENCH_HISTORY best "
-        f"(rev {latest.get('rev')}): " + "; ".join(regressions)
+        "headline queries regressed >2.5x vs BENCH_HISTORY best "
+        f"(rev {recs[-1].get('rev')}): " + "; ".join(regressions)
     )
+
+
+def test_guard_catches_synthetic_regression():
+    """The noise-robust comparison must still catch a real plan
+    regression: every sample of the new rev 3x slower than the old
+    rev's best, under quiet-host calibration."""
+    old = [
+        {"ts": 1, "rev": "aaaa111", "sf": 0.1, "noise_factor": 1.0,
+         "queries": {"q_fast": 0.5, "q_slow": 2.0}},
+        {"ts": 2, "rev": "aaaa111", "sf": 0.1, "noise_factor": 1.2,
+         "queries": {"q_fast": 0.55, "q_slow": 2.2}},
+    ]
+    new = [
+        {"ts": 3, "rev": "bbbb222", "sf": 0.1, "noise_factor": 1.0,
+         "queries": {"q_fast": 1.8, "q_slow": 2.1}},
+        {"ts": 4, "rev": "bbbb222", "sf": 0.1, "noise_factor": 1.1,
+         "queries": {"q_fast": 1.9, "q_slow": 2.0}},
+    ]
+    regs = find_regressions(old + new)
+    assert len(regs) == 1 and regs[0].startswith("q_fast:"), regs
+
+
+def test_guard_ignores_single_noisy_sample():
+    """One sample taken under 2x noisy-neighbor load must not trip the
+    guard when a quieter same-rev sample shows the plan is fine --
+    exactly the r10 tpch_q10 false positive."""
+    recs = [
+        {"ts": 1, "rev": "aaaa111", "sf": 0.1, "noise_factor": 1.0,
+         "queries": {"q": 0.6}},
+        {"ts": 2, "rev": "bbbb222", "sf": 0.1, "noise_factor": 1.0,
+         "queries": {"q": 0.7}},
+        {"ts": 3, "rev": "bbbb222", "sf": 0.1, "noise_factor": 2.1,
+         "queries": {"q": 1.9}},  # noisy spike, same rev as ts=2
+    ]
+    assert find_regressions(recs) == []
+
+
+def test_guard_does_not_merge_across_cpu_counts():
+    """An 8-core scaling run is slower by design; it must neither trip
+    the guard against 32-core bests nor loosen them."""
+    recs = [
+        {"ts": 1, "rev": "aaaa111", "sf": 0.1, "noise_factor": 1.0,
+         "queries": {"q": 0.6}},
+        {"ts": 2, "rev": "aaaa111", "sf": 0.1, "cpus": 8,
+         "noise_factor": 1.0, "queries": {"q": 2.4}},
+    ]
+    assert find_regressions(recs) == []
 
 
 # Pinned post-Arrow-kernel bests (sf0.1, quiet host, best-of-3).
@@ -89,7 +193,7 @@ PINNED_BEST = {
     "multimodal_phash_pairs": 1.15,   # r3: 3-segment phash blocking
     "similarity_ann_pq": 0.56,        # r3: Arrow encode/ADC kernels
     "ml_pca_power": 0.60,             # r3: Arrow partial-Gram matmul
-    "dedup_containment": 1.87,        # r4: posting lists built once
+    "dedup_containment": 1.87,        # r4 posting lists; r10 reclustered
     "graph_pagerank": 2.78,           # r4: lazy setup checkpoints
 }
 
@@ -99,10 +203,24 @@ def test_kernel_queries_not_regressed_vs_pinned_best():
     if not recs:
         pytest.skip("no bench records")
     latest = recs[-1]
+    cpus = latest.get("cpus", 32)
+    latest_rev = latest.get("rev")
+    pool = [
+        r for r in recs
+        if r.get("cpus", 32) == cpus
+        and latest_rev is not None and r.get("rev") == latest_rev
+    ] or [latest]
+    merged: dict[str, float] = {}
+    for rec in pool:
+        for name, sec in rec["queries"].items():
+            if name not in merged or sec < merged[name]:
+                merged[name] = sec
+    noise = min(float(r.get("noise_factor") or 1.0) for r in pool)
+    factor = FACTOR * max(1.0, noise)
     regressions = []
     for name, best in PINNED_BEST.items():
-        sec = latest["queries"].get(name)
-        if sec is not None and sec > best * FACTOR + SLACK_SEC:
+        sec = merged.get(name)
+        if sec is not None and sec > best * factor + SLACK_SEC:
             regressions.append(
                 f"{name}: {sec:.3f}s vs pinned kernel best {best:.3f}s"
             )

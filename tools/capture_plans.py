@@ -1,12 +1,14 @@
 """Capture `.explain("formatted")` output for named catalog queries into
-plans/r10/<query>_<suffix>.txt (the round-10 optimization evidence files).
+plans/rNN/<query>_<suffix>.txt (each optimization round's evidence files).
 
 Usage:
-    python tools/capture_r10_plans.py <suffix> <outdir> <query> [query ...]
+    python tools/capture_plans.py <suffix> <outdir> <query> [query ...]
 
-Run from any checkout (a git worktree at the r9 snapshot produces the
-`before` files); <outdir> should be the MAIN repo's plans/r10 directory so
-both sides land in one committed place.
+e.g. python tools/capture_plans.py after plans/r11 dedup_containment
+
+Run from any checkout (a git worktree at the prior round's snapshot
+produces the `before` files); <outdir> should be the MAIN repo's
+plans/rNN directory so both sides land in one committed place.
 """
 
 from __future__ import annotations
