@@ -161,13 +161,17 @@ def _calibrate(spark) -> float:
 
 
 def _merge_same_rev_history(
-    timings: dict[str, float], rev: str | None, sf_val, path: str
+    timings: dict[str, float], rev: str | None, sf_val, cpus: int,
+    path: str,
 ) -> tuple[dict[str, float], int]:
     """Best-of-session per-query map (round-4 verdict item 4): fold in
     the minima of earlier BENCH_HISTORY samples taken at the SAME git
-    rev + sf. Same rev means identical plans, so a cross-sample min is
-    pure noise reduction and can never mask a code regression; samples
-    from other revs never merge."""
+    rev + sf + cpus. Same rev means identical plans, so a cross-sample
+    min is pure noise reduction and can never mask a code regression;
+    samples from other revs never merge. cpus is in the key (r10
+    verdict item 2) so a low-core `$SPARK_GRAFT_CPUS` scaling run
+    reports low-core numbers instead of 32-core pool minima; legacy
+    records that predate the cpus field were all local[32] runs."""
     if not rev:
         return timings, 0
     merged = dict(timings)
@@ -179,7 +183,11 @@ def _merge_same_rev_history(
                     e = json.loads(line)
                 except json.JSONDecodeError:
                     continue
-                if e.get("rev") != rev or e.get("sf") != sf_val:
+                if (
+                    e.get("rev") != rev
+                    or e.get("sf") != sf_val
+                    or int(e.get("cpus", 32)) != cpus
+                ):
                     continue
                 n += 1
                 for q, t in (e.get("queries") or {}).items():
@@ -264,12 +272,15 @@ def main() -> None:
     # The history log keeps RAW samples only (the merged record never
     # feeds back into the log); the printed JSON line reports
     # per-query best-of-session across same-rev samples.
+    from s3_parquet_to_postgres_spark.session import DEFAULT_CPUS
+
     raw = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings[n] for n in HEADLINE), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "cpus": DEFAULT_CPUS,
         "calibration_pre_sec": calibration_pre,
         "calibration_post_sec": calibration_post,
         "calibration_sec": calibration,
@@ -277,7 +288,7 @@ def main() -> None:
         "noise_factor": round(calibration / CALIBRATION_REF, 3),
     }
     merged, n_prior = _merge_same_rev_history(
-        timings, rev, sf_val, history
+        timings, rev, sf_val, DEFAULT_CPUS, history
     )
     try:
         with open(history, "a") as fh:

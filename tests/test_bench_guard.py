@@ -183,6 +183,41 @@ def test_guard_does_not_merge_across_cpu_counts():
     assert find_regressions(recs) == []
 
 
+def test_bench_merge_keys_on_cpus():
+    """bench.py's same-rev history merge must not fold low-core scaling
+    samples into 32-core minima or vice versa (r10 verdict item 2: the
+    driver's 8-core run printed 32-core pool minima)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", REPO / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    hist = REPO / "tests" / "_tmp_bench_hist.jsonl"
+    try:
+        with open(hist, "w") as fh:
+            # legacy record (no cpus field == local[32]) and an 8-core
+            # record, same rev+sf
+            fh.write(json.dumps({
+                "rev": "r1", "sf": 0.1, "queries": {"q": 0.5},
+            }) + "\n")
+            fh.write(json.dumps({
+                "rev": "r1", "sf": 0.1, "cpus": 8, "queries": {"q": 2.0},
+            }) + "\n")
+        merged32, n32 = bench._merge_same_rev_history(
+            {"q": 0.9}, "r1", 0.1, 32, str(hist)
+        )
+        assert (merged32["q"], n32) == (0.5, 1)  # legacy==32 merges
+        merged8, n8 = bench._merge_same_rev_history(
+            {"q": 2.5}, "r1", 0.1, 8, str(hist)
+        )
+        assert (merged8["q"], n8) == (2.0, 1)  # 32-core min NOT folded
+    finally:
+        hist.unlink(missing_ok=True)
+
+
 # Pinned post-Arrow-kernel bests (sf0.1, quiet host, best-of-3).
 # These queries each moved off interpreted higher-order functions onto
 # Arrow/numpy kernels (a 5-100x class change per SURVEY 2.8); pinning

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 
 
@@ -32,6 +33,17 @@ def pool(entries: list[dict], revs: list[str]) -> list[dict]:
     return [e for e in entries if e.get("rev") in revs]
 
 
+def med_noise(samples: list[dict]) -> float:
+    """Median noise_factor over only the samples that carry one
+    (legacy records predate the calibration probe)."""
+    vals = [
+        float(s["noise_factor"])
+        for s in samples
+        if isinstance(s.get("noise_factor"), (int, float))
+    ]
+    return statistics.median(vals) if vals else float("nan")
+
+
 def minima(samples: list[dict]) -> dict[str, float]:
     out: dict[str, float] = {}
     for s in samples:
@@ -44,6 +56,11 @@ def minima(samples: list[dict]) -> dict[str, float]:
 def main() -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     entries = load(os.path.join(root, "BENCH_HISTORY.jsonl"))
+    # Pools are per-core-count: low-core $SPARK_GRAFT_CPUS scaling runs
+    # are slower by design and must not mix with local[32] minima.
+    # Legacy records without a cpus field were all local[32] runs.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    entries = [e for e in entries if int(e.get("cpus", 32)) == cpus]
     args = sys.argv[1:]
 
     if not args:
@@ -52,20 +69,20 @@ def main() -> None:
             by_rev.setdefault(str(e.get("rev")), []).append(e)
         print(f"{'rev':>10} {'n':>3} {'min_total':>9} {'med_noise':>9}")
         for rev, samples in by_rev.items():
-            noises = sorted(
-                s.get("noise_factor", float("nan")) for s in samples
-            )
-            med = noises[len(noises) // 2] if noises else float("nan")
             tot = min(s.get("value", float("inf")) for s in samples)
-            print(f"{rev:>10} {len(samples):>3} {tot:>9.3f} {med:>9.3f}")
+            print(
+                f"{rev:>10} {len(samples):>3} {tot:>9.3f} "
+                f"{med_noise(samples):>9.3f}"
+            )
         return
 
     sides = [a.split("+") for a in args]
     pools = [pool(entries, revs) for revs in sides]
     for revs, p in zip(sides, pools):
-        noises = sorted(s.get("noise_factor", 9.9) for s in p)
-        med = noises[len(noises) // 2] if noises else float("nan")
-        print(f"# {'+'.join(revs)}: {len(p)} samples, median noise {med}")
+        print(
+            f"# {'+'.join(revs)}: {len(p)} samples, "
+            f"median noise {med_noise(p):.3f}"
+        )
     mins = [minima(p) for p in pools]
 
     if len(mins) == 1:
