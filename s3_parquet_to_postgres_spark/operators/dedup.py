@@ -33,6 +33,15 @@ from .textstats import ws_tokens
 # (Spark 4 default) -- no BIGDECIMAL, no wraparound, fully JVM-side.
 _P = (1 << 31) - 1
 
+# Exact-set cluster collapse engages once copies exceed this multiple
+# of distinct sets (docs / clusters). Direct id-level pairing is
+# cheaper below it (fewer stages, narrower pair keys); rep-level
+# pairing wins above it because direct pair volume grows with the
+# SQUARE of cluster size. Shared by containment_pairs here and
+# passage_overlap_pairs (textstats.py), which measure the ratio with
+# one aggregation over their already-checkpointed per-doc set table.
+CLUSTER_COLLAPSE_MIN_DUP = 1.5
+
 
 def portable_hash60(col: Column | str) -> Column:
     """Cross-engine deterministic 60-bit hash: the first 15 hex chars
@@ -592,6 +601,26 @@ def containment_pairs(
     the cap loses all its shingles to the df filter and pairs not at
     all (exactly the pre-collapse behavior: its bucket rows were
     df-dropped too). No O(corpus) broadcast anywhere.
+
+    Duplication-adaptive shape (r11): on a LOW-duplication corpus the
+    clusters are ~all singletons and the rep machinery (the groupBy(ck)
+    rep aggregation, both member fan-out joins, the intra self-join +
+    union) only adds stages while doubling the pair-stage key width
+    (16-byte ck vs the caller's id). The per-doc set table the cluster
+    key derives from is checkpointed anyway, so ONE cheap stats
+    aggregation on it (docs vs distinct cks — the discriminator the
+    r10 log thought unknowable) picks the shape at plan-construction
+    time, the same measure-then-plan move AQE makes for join strategy.
+    Both shapes compute the exact same pairs: the direct path pairs
+    ids in the very same capped posting buckets (identical docs then
+    share every shingle, so their pair surfaces with inter = n, i.e.
+    containment exactly 1.0 = the cluster path's intra literal), the
+    cluster path collapses copies first and fans members back. The
+    switch threshold is conservative: the cluster path wins once
+    copies are >~1.5x docs because pair volume grows with the SQUARE
+    of cluster size on the direct path (measured r10: 16x copies made
+    the direct pair stage ~10 s of an 11.5 s wall at 16x volume,
+    halved by collapsing).
     """
     sh = spread(df).withColumn("__toks", ws_tokens(text_col)).select(
         F.col(id_col).alias("id"),
@@ -627,6 +656,45 @@ def containment_pairs(
         )
         .localCheckpoint(eager=False)
     )
+    # One stats job on the (now-materialized) checkpoint decides the
+    # pairing shape; the checkpoint is reused by every branch below,
+    # so the corpus scan still happens exactly once.
+    n_docs, n_clusters = docs_arr.agg(
+        F.count("*"), F.count_distinct("ck")
+    ).first()
+    if n_docs <= CLUSTER_COLLAPSE_MIN_DUP * n_clusters:
+        post = docs_arr.select(
+            "id", "n_sh", F.explode("shs").alias("shingle")
+        )
+        buckets = post.groupBy("shingle").agg(
+            F.collect_list(F.struct("id", "n_sh")).alias("cs")
+        )
+        pair_expr = F.expr(
+            "flatten(transform(cs, (x, i) ->"
+            " transform(slice(cs, i + 2, size(cs)), y ->"
+            " named_struct("
+            "'id_a', if(x.id < y.id, x.id, y.id),"
+            " 'n_a', if(x.id < y.id, x.n_sh, y.n_sh),"
+            " 'id_b', if(x.id < y.id, y.id, x.id),"
+            " 'n_b', if(x.id < y.id, y.n_sh, x.n_sh)))))"
+        )
+        pairs = (
+            buckets.filter(F.size("cs") >= 2)
+            .select(F.explode(pair_expr).alias("p"))
+            .groupBy(
+                F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"),
+                F.col("p.n_a").alias("n_a"), F.col("p.n_b").alias("n_b"),
+            )
+            .agg(F.count("*").alias("inter"))
+        )
+        return pairs.select(
+            "id_a", "id_b",
+            (F.col("inter") / F.col("n_a")).alias("containment_a_in_b"),
+            (F.col("inter") / F.col("n_b")).alias("containment_b_in_a"),
+        ).filter(
+            (F.col("containment_a_in_b") >= threshold)
+            | (F.col("containment_b_in_a") >= threshold)
+        )
     members = docs_arr.select("id", "ck", "n_sh")
     # One representative per cluster, WITHOUT a rep-id join: every
     # member's shs/n_sh are identical by construction of ck, so

@@ -215,7 +215,20 @@ def passage_overlap_pairs(
     per cluster and a boilerplate storm beyond the cap loses its
     fingerprints to the df filter entirely (the pre-collapse
     behavior too).
+
+    Duplication-adaptive shape (r11, shared with
+    ``containment_pairs``): one stats aggregation over the
+    checkpointed per-doc set table (docs vs distinct set keys) picks
+    between this cluster machinery and direct id-level pairing at
+    plan-construction time. Both are exact — identical docs share
+    every filtered fingerprint, so the direct path surfaces their
+    pair with shared_fps = n_fp, precisely the intra literal — but on
+    a low-duplication corpus the direct path skips the rep
+    aggregation, both member fan-out joins and the intra union, and
+    pairs on the caller's id instead of the 16-byte ck.
     """
+    from .dedup import CLUSTER_COLLAPSE_MIN_DUP
+
     # Canonical per-doc fingerprint-set table, checkpointed ONCE: it
     # feeds the membership table and the rep posting explode (each
     # would otherwise re-derive the winnowing scan + df filter). The
@@ -225,6 +238,28 @@ def passage_overlap_pairs(
     docs_arr = winnow_doc_sets(
         df, id_col, text_col, k, w, max_fp_df
     ).localCheckpoint(eager=False)
+    n_docs, n_clusters = docs_arr.agg(
+        F.count("*"), F.count_distinct("ck")
+    ).first()
+    if n_docs <= CLUSTER_COLLAPSE_MIN_DUP * n_clusters:
+        post = docs_arr.select("id", F.explode("fps").alias("fingerprint"))
+        buckets = post.groupBy("fingerprint").agg(
+            F.collect_list("id").alias("ids")
+        )
+        pair_expr = F.expr(
+            "flatten(transform(ids, (x, i) ->"
+            " transform(slice(ids, i + 2, size(ids)), y ->"
+            " named_struct('id_a', least(x, y), 'id_b', greatest(x, y)))))"
+        )
+        return (
+            buckets.filter(F.size("ids") >= 2)
+            .select(F.explode(pair_expr).alias("p"))
+            .groupBy(
+                F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+            )
+            .agg(F.count("*").alias("shared_fps"))
+            .filter(F.col("shared_fps") >= min_shared)
+        )
     members = docs_arr.select("id", "ck", "n_fp")
     rep_fp = (
         docs_arr.groupBy("ck")

@@ -601,3 +601,46 @@ def test_corpus_report_accounting_closes(spark, sf_dir):
     # dup copies across strata equal the global dedup delta
     keepers = d.groupBy(F.sha2("text", 256)).count().count()
     assert sum(r.n_dup_copies for r in rows) == d.count() - keepers
+
+
+def test_adaptive_pairing_shapes_agree_on_dup_heavy_corpus(spark):
+    """The r11 duplication-adaptive switch is a pure plan choice: the
+    direct id-level pairing and the cluster-collapse pairing must
+    return BIT-IDENTICAL rows on the same corpus. This corpus has dup
+    ratio 4 (> the 1.5 switch), so the natural call takes the cluster
+    path; monkeypatching the switch forces the direct path. Covers
+    intra pairs (copies, containment exactly 1.0 / shared_fps = n_fp)
+    and cross pairs (a subset doc against a longer host)."""
+    import s3_parquet_to_postgres_spark.operators.dedup as D
+    from s3_parquet_to_postgres_spark.operators.textstats import (
+        passage_overlap_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    host = base + " " + " ".join(f"w{i} x{i} y{i}" for i in range(12))
+    other = "one two three four five six seven eight nine ten eleven"
+    rows = []
+    did = 0
+    for text in (base, host, other):
+        for _ in range(4):  # every text x4 -> ratio 4 > 1.5
+            rows.append((did, text))
+            did += 1
+    rows.append((did, "lonely unique document with enough words here"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def both(fn):
+        assert D.CLUSTER_COLLAPSE_MIN_DUP == 1.5
+        clustered = sorted(map(tuple, fn().collect()))
+        saved = D.CLUSTER_COLLAPSE_MIN_DUP
+        D.CLUSTER_COLLAPSE_MIN_DUP = float("inf")
+        try:
+            direct = sorted(map(tuple, fn().collect()))
+        finally:
+            D.CLUSTER_COLLAPSE_MIN_DUP = saved
+        return clustered, direct
+
+    c_cl, c_di = both(lambda: D.containment_pairs(
+        df, threshold=0.5, max_shingle_df=100))
+    assert c_cl == c_di and len(c_cl) >= 6 + 6 + 16  # intra x2 + cross
+    p_cl, p_di = both(lambda: passage_overlap_pairs(df))
+    assert p_cl == p_di and len(p_cl) >= 6 + 6 + 16
