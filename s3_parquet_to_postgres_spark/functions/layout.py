@@ -46,6 +46,27 @@ def _est_scan_partitions(spark, size: int) -> int:
     return max(1, size // max(1, max_split))
 
 
+def explode_width(spark, n_rows: int) -> int:
+    """Explicit shuffle width for a stage feeding a CPU-quadratic
+    in-bucket pair explode. AQE coalesces post-shuffle partitions by
+    BYTES, but a C(bucket, 2) explode multiplies CPU far beyond its
+    input bytes, so byte-based coalescing strands the fan-out on 1-4
+    cores while the rest of the machine idles (measured sf0.1: the
+    containment pair stage ran 3.3 s of task CPU in 4 AQE-coalesced
+    tasks; the pagerank edge build's pair stage in ONE). Pinning the
+    width with an explicit same-key repartition keeps AQE's hands off
+    (REPARTITION_BY_NUM shuffle origins are never coalesced) while
+    the following same-key groupBy reuses the exchange, so NO extra
+    shuffle is added. Width: one task per ~250k posting rows (known
+    from the caller's stats aggregation), floored at the core count,
+    ceilinged at the session's shuffle-partition conf so the cluster
+    posture set by the deployer is respected at volume."""
+    dp = max(1, spark.sparkContext.defaultParallelism)
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions", str(dp)))
+    need = -(-int(n_rows) // 250_000)
+    return max(dp, min(need, max(sp, dp)))
+
+
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition df up to ``min_partitions`` (default: the session's
     defaultParallelism) iff the input is narrow.

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.layout import spread
+from ..functions.layout import explode_width, spread
 from .textstats import ws_tokens
 
 # Mersenne prime 2^31-1: universal-hash modulus. 31-bit values keep
@@ -657,16 +657,17 @@ def containment_pairs(
         .localCheckpoint(eager=False)
     )
     # One stats job on the (now-materialized) checkpoint decides the
-    # pairing shape; the checkpoint is reused by every branch below,
-    # so the corpus scan still happens exactly once.
-    n_docs, n_clusters = docs_arr.agg(
-        F.count("*"), F.count_distinct("ck")
+    # pairing shape AND the pair-stage width; the checkpoint is reused
+    # by every branch below, so the corpus scan still happens once.
+    n_docs, n_clusters, n_post = docs_arr.agg(
+        F.count("*"), F.count_distinct("ck"), F.sum("n_sh")
     ).first()
+    width = explode_width(docs_arr.sparkSession, n_post or 0)
     if n_docs <= CLUSTER_COLLAPSE_MIN_DUP * n_clusters:
         post = docs_arr.select(
             "id", "n_sh", F.explode("shs").alias("shingle")
         )
-        buckets = post.groupBy("shingle").agg(
+        buckets = post.repartition(width, "shingle").groupBy("shingle").agg(
             F.collect_list(F.struct("id", "n_sh")).alias("cs")
         )
         pair_expr = F.expr(
@@ -705,7 +706,7 @@ def containment_pairs(
         .agg(F.first("n_sh").alias("n_sh"), F.first("shs").alias("shs"))
         .select("ck", "n_sh", F.explode("shs").alias("shingle"))
     )
-    buckets = rep_sh.groupBy("shingle").agg(
+    buckets = rep_sh.repartition(width, "shingle").groupBy("shingle").agg(
         F.collect_list(F.struct("ck", "n_sh")).alias("cs")
     )
     # In-bucket i<j cluster combinations, canonicalized by cluster

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.layout import spread
+from ..functions.layout import explode_width, spread
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
 # Deliberately deterministic and SQL-expressible so the DuckDB oracle
@@ -238,12 +238,15 @@ def passage_overlap_pairs(
     docs_arr = winnow_doc_sets(
         df, id_col, text_col, k, w, max_fp_df
     ).localCheckpoint(eager=False)
-    n_docs, n_clusters = docs_arr.agg(
-        F.count("*"), F.count_distinct("ck")
+    n_docs, n_clusters, n_post = docs_arr.agg(
+        F.count("*"), F.count_distinct("ck"), F.sum("n_fp")
     ).first()
+    width = explode_width(docs_arr.sparkSession, n_post or 0)
     if n_docs <= CLUSTER_COLLAPSE_MIN_DUP * n_clusters:
         post = docs_arr.select("id", F.explode("fps").alias("fingerprint"))
-        buckets = post.groupBy("fingerprint").agg(
+        buckets = post.repartition(width, "fingerprint").groupBy(
+            "fingerprint"
+        ).agg(
             F.collect_list("id").alias("ids")
         )
         pair_expr = F.expr(
@@ -266,7 +269,9 @@ def passage_overlap_pairs(
         .agg(F.first("fps").alias("fps"))
         .select("ck", F.explode("fps").alias("fingerprint"))
     )
-    buckets = rep_fp.groupBy("fingerprint").agg(
+    buckets = rep_fp.repartition(width, "fingerprint").groupBy(
+        "fingerprint"
+    ).agg(
         F.collect_list("ck").alias("cks")
     )
     pair_expr = F.expr(
