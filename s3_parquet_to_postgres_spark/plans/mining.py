@@ -791,14 +791,22 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
                          (F.col("w_all") - F.col("err_pos")).alias("err")),
             )).alias("p"),
         ).select("b", "w_all", "p.pol", "p.err")
-        wb = Window.orderBy(F.col("err").asc(), F.col("b").asc(),
-                            F.col("pol").asc())
+        # Best stump as ONE lexicographic min(struct) aggregation
+        # (partial/map-side combinable) instead of a global-order
+        # window + row_number filter: same (err, b, pol) tiebreak,
+        # one fewer exchange per round (r11, guide §2.4). The struct
+        # carries the payload fields BEHIND the ordering triple;
+        # (b, pol) is unique per row, so they never influence the
+        # winner.
         err_c = F.greatest(
             F.least(F.col("err"), F.col("w_all") - 1), F.lit(1)
         ).cast("double")
         best = (
-            cand.withColumn("__rn", F.row_number().over(wb))
-            .filter(F.col("__rn") == 1)
+            cand.agg(F.min(F.struct("err", "b", "pol", "w_all")).alias("m"))
+            .select("m.*")
+            # Empty corpus: a global min over zero rows yields one
+            # all-NULL row where the window+filter form yielded none.
+            .where(F.col("b").isNotNull())
             .select(
                 F.col("b").alias("best_b"),
                 F.col("pol").alias("best_pol"),

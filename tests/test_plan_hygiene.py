@@ -49,7 +49,9 @@ GLOBAL_WINDOW_OK = {
     "event_changepoint",        # daily series
     "event_seasonality",        # 7 weekday rows
     "event_survival",           # per-day churn table (window days)
-    "ml_adaboost_stumps",       # quantized threshold candidates
+    # ml_adaboost_stumps left this list in r11: its per-round best
+    # stump is now a lexicographic min(struct) aggregation, not a
+    # global-order window.
     "ml_auc_eval",              # <=1e6+1 distinct quantized scores
     "ml_ndcg_eval",             # top-k-limited ranking per query
     "ml_pr_curve",              # <=1e6+1 distinct quantized scores
