@@ -152,12 +152,17 @@ def chunked_cumsum(
     # skips all-NULL buckets); the has-prior flag distinguishes
     # "prior buckets summed to nothing" from "no non-null prior at
     # all" so NULL local prefixes resolve exactly like the window.
-    prior_sum = F.sum("__cw_total").over(w_buckets)
-    offsets = totals.select(
+    # One named window column, then derive (r11): referencing the
+    # window expression twice in a single select extracts TWO sum
+    # window expressions into the Window node.
+    priored = totals.withColumn(
+        "__cw_prior", F.sum("__cw_total").over(w_buckets)
+    )
+    offsets = priored.select(
         *partition_cols,
         _BKT,
-        F.coalesce(prior_sum, F.lit(0)).alias(_OFF),
-        prior_sum.isNotNull().alias("__cw_has_prior"),
+        F.coalesce(F.col("__cw_prior"), F.lit(0)).alias(_OFF),
+        F.col("__cw_prior").isNotNull().alias("__cw_has_prior"),
     )
     stitched_val = (
         F.when(
@@ -255,23 +260,29 @@ def sessionize_chunked(
 def _boundary_summary(
     local: DataFrame,
     partition_cols: Sequence[str],
-    order: Sequence[Column],
-    rev_order: Sequence[Column],
+    order_cols: Sequence[str],
     take_last_row: bool,
     summary_source: str,
 ) -> DataFrame:
     """One row per (key, bucket): the value of ``summary_source`` at
-    the bucket's boundary row (last row by ``order`` when
+    the bucket's boundary row (last row by ``order_cols`` when
     ``take_last_row`` else first), taken VERBATIM — a NULL there is a
-    real observation (lag semantics), not something to skip."""
-    edge = Window.partitionBy(*partition_cols, _BKT).orderBy(
-        *(rev_order if take_last_row else order)
-    )
-    return (
-        local.withColumn("__cw_edge_rn", F.row_number().over(edge))
-        .filter(F.col("__cw_edge_rn") == 1)
-        .select(*partition_cols, _BKT,
-                F.col(summary_source).alias("__cw_sum_val"))
+    real observation (lag semantics), not something to skip.
+
+    Implemented as one ``max_by``/``min_by`` aggregation over a struct
+    of the order keys instead of a reverse-sort + row_number window
+    (r11, guide §2.4): the input is already hash-partitioned on
+    (key..., bucket) by the local window's exchange, so the aggregate
+    adds NO exchange and NO second sort — the old form re-sorted every
+    (key, bucket) descending just to pick one row. Struct comparison
+    ranks a NULL field lowest, exactly the window's ASC NULLS FIRST;
+    the struct itself is never NULL so no row is skipped, and
+    max_by/min_by carry the boundary row's value verbatim (a NULL
+    value stays NULL)."""
+    pick = F.max_by if take_last_row else F.min_by
+    ord_struct = F.struct(*[F.col(c) for c in order_cols])
+    return local.groupBy(*partition_cols, _BKT).agg(
+        pick(F.col(summary_source), ord_struct).alias("__cw_sum_val")
     )
 
 
@@ -303,7 +314,6 @@ def chunked_lag(
     partition_cols = list(partition_cols)
     val = F.col(value_col) if isinstance(value_col, str) else value_col
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
-    rev = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
     b = _bucketed(df, ts_col, bucket_width_sec).withColumn("__cw_val", val)
 
     w_local = Window.partitionBy(*partition_cols, _BKT).orderBy(*order)
@@ -312,7 +322,7 @@ def chunked_lag(
     )
 
     summary = _boundary_summary(
-        local, partition_cols, order, rev,
+        local, partition_cols, [ts_col, *tiebreak_cols],
         take_last_row=True, summary_source="__cw_val",
     )
     w_buckets = Window.partitionBy(*partition_cols).orderBy(F.col(_BKT).asc())
@@ -416,7 +426,6 @@ def chunked_frame_list(
     partition_cols = list(partition_cols)
     val = F.col(value_col) if isinstance(value_col, str) else value_col
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
-    rev = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
     drop_nulls = lambda lst: F.transform(  # noqa: E731
         F.filter(lst, lambda x: x["v"].isNotNull()), lambda x: x["v"]
     )
@@ -510,27 +519,36 @@ def chunked_frame_list(
         # The boundary row's frame list minus its oldest row when the
         # frame is full (the boundary row itself stays: it is the
         # next bucket's immediate predecessor).
-        s = F.size(F.col(_LOC))
+        # Boundary row's own frame list, sliced to the tail AFTER the
+        # one-row-per-bucket pick (r11): the old shape sliced every
+        # row's list and then reverse-sorted to keep one per bucket.
+        s = F.size(F.col("__cw_sum_val"))
         m = F.least(s, F.lit(k - 1))
-        local = local.withColumn(
-            "__cw_tail", F.slice(F.col(_LOC), s - m + 1, m)
-        )
         summary = _boundary_summary(
-            local, partition_cols, order, rev,
-            take_last_row=True, summary_source="__cw_tail",
+            local, partition_cols, [ts_col, *tiebreak_cols],
+            take_last_row=True, summary_source=_LOC,
+        ).withColumn(
+            "__cw_sum_val", F.slice(F.col("__cw_sum_val"), s - m + 1, m)
         )
     w_buckets = Window.partitionBy(*partition_cols).orderBy(F.col(_BKT).asc())
-    flat = F.flatten(
-        F.collect_list("__cw_sum_val").over(
-            w_buckets.rowsBetween(-(k - 1), -1)
-        )
+    # One named window column, then derive: inlining the window
+    # expression into the when/slice below would extract SIX identical
+    # collect_list window expressions (one per reference) into the
+    # Window node (r11 plan evidence); a withColumn keeps it at one.
+    flattened = summary.withColumn(
+        "__cw_flat",
+        F.flatten(
+            F.collect_list("__cw_sum_val").over(
+                w_buckets.rowsBetween(-(k - 1), -1)
+            )
+        ),
     )
-    fs = F.size(flat)
+    fs = F.size(F.col("__cw_flat"))
     fm = F.least(fs, F.lit(k - 1))
-    carry = summary.select(
+    carry = flattened.select(
         *partition_cols, _BKT,
-        F.when(fs == 0, flat)
-        .otherwise(F.slice(flat, fs - fm + 1, fm))
+        F.when(fs == 0, F.col("__cw_flat"))
+        .otherwise(F.slice(F.col("__cw_flat"), fs - fm + 1, fm))
         .alias("__cw_carry"),
     )
 
@@ -579,7 +597,6 @@ def chunked_last_carry(
     partition_cols = list(partition_cols)
     val = F.col(value_col) if isinstance(value_col, str) else value_col
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
-    rev = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
     b = _bucketed(df, ts_col, bucket_width_sec).withColumn("__cw_val", val)
 
     w_local = Window.partitionBy(*partition_cols, _BKT).orderBy(*order)
@@ -594,7 +611,7 @@ def chunked_last_carry(
     local = b.withColumn(_LOC, local_carry)
 
     summary = _boundary_summary(
-        local, partition_cols, order, rev,
+        local, partition_cols, [ts_col, *tiebreak_cols],
         take_last_row=forward, summary_source=_LOC,
     )
     w_buckets = Window.partitionBy(*partition_cols).orderBy(F.col(_BKT).asc())

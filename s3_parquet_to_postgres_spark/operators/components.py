@@ -250,24 +250,38 @@ def pagerank(
     # job, and every later job reuses the cached blocks. The groupBy
     # leaves the checkpointed RDD hash-partitioned on the vertex id,
     # so each round's join sees a pre-partitioned build side.
-    adj = (
-        e.groupBy("src")
-        .agg(
-            F.count("*").alias("outdeg"),
-            F.collect_list("dst").alias("dsts"),
+    from ..session import eager_build_scope
+
+    with eager_build_scope(e.sparkSession):
+        adj = (
+            e.groupBy("src")
+            .agg(
+                F.count("*").alias("outdeg"),
+                F.collect_list("dst").alias("dsts"),
+            )
+            .select(F.col("src").alias("a_id"), "outdeg", "dsts")
+            .localCheckpoint(eager=False)
         )
-        .select(F.col("src").alias("a_id"), "outdeg", "dsts")
-        .localCheckpoint(eager=False)
-    )
-    # N is ONE bounded scalar (vertex count): a driver-side count here
-    # replaces a per-iteration broadcast-aggregate job. Symmetric
-    # edges mean every vertex has out-edges, so adj's keys ARE the
-    # vertex set, and every vertex receives mail every round (each
-    # neighbor sends a strictly positive rank/outdeg) -- no per-round
-    # no-inbox backfill join exists; see the loop. The float ops are
-    # unchanged -- (1-d)/N and 1/N are the same IEEE-double divisions
-    # the oracle replays, just folded to literals.
-    n = float(adj.count())
+        # N is ONE bounded scalar (vertex count): a driver-side count
+        # here replaces a per-iteration broadcast-aggregate job.
+        # Symmetric edges mean every vertex has out-edges, so adj's
+        # keys ARE the vertex set, and every vertex receives mail
+        # every round (each neighbor sends a strictly positive
+        # rank/outdeg) -- no per-round no-inbox backfill join exists;
+        # see the loop. The float ops are unchanged -- (1-d)/N and 1/N
+        # are the same IEEE-double divisions the oracle replays, just
+        # folded to literals. AQE off for the build
+        # (eager_build_scope): the whole upstream edge derivation +
+        # count runs as ONE job instead of one per shuffle stage, and
+        # the checkpointed adjacency records its real
+        # hashpartitioning(src) so iteration joins see a
+        # pre-partitioned build side instead of re-exchanging it. The
+        # same stats job measures |E| (sum of out-degrees = messages
+        # per round), which sizes the loop's shuffle width below.
+        n_v, n_e = adj.agg(
+            F.count("*").alias("nv"), F.sum("outdeg").alias("ne")
+        ).first()
+        n = float(n_v)
     if n == 0.0:
         # Empty graph (e.g. a corpus where no document yields an
         # edge): zero vertices, zero rows -- the literal 1/n below
@@ -276,17 +290,84 @@ def pagerank(
             F.col("a_id").alias("id"),
             F.lit(None).cast("double").alias("pagerank"),
         )
-    ranks = adj.select(F.col("a_id").alias("id"), F.lit(1.0 / n).alias("r"))
-    base_term, d = F.lit((1.0 - damping) / n), F.lit(damping)
+    spark = e.sparkSession
+    # The whole iteration runs EAGERLY inside the same AQE-off scope
+    # (r11): executed lazily under AQE, every round's message exchange
+    # became its own query-stage JOB (measured: 24 jobs end-to-end at
+    # sf0.1, ~45-85 ms of driver latency each — over a third of the
+    # query's wall); planned non-adaptively the ten rounds chain into
+    # ONE job of ~11 stages, and the checkpointed adjacency's known
+    # hashpartitioning(src) lets each round's join probe it without a
+    # fresh exchange (one exchange per round — the groupBy(to) message
+    # sum — which is the Pregel floor). AQE is not missed inside the
+    # loop: rank tables are V-row and uniform, the per-round join keys
+    # are unique per side (no skew-join case), and receiver-side
+    # aggregation skew is out of AQE's scope anyway (guide §2.5).
+    #
+    # Loop shuffle width: without AQE's coalescing the round exchanges
+    # would inherit the conf width (32 single-digit-row tasks per
+    # round at sf0.1 — task launch overhead dominated); size it from
+    # the MEASURED per-round message volume instead, clamped to the
+    # session conf so cluster posture wins at volume (guide §2:
+    # scale-adaptive partitioning). adj is co-partitioned to the same
+    # width (one tiny V-row job) so every round's join stays
+    # exchange-free. The final checkpoint is registered with the
+    # ranking-pin registry so bench/oracle loops drain its blocks
+    # between constructions.
+    sp_key = "spark.sql.shuffle.partitions"
+    sp_was = spark.conf.get(sp_key)
+    width = max(1, min(-(-int(n_e) // 250_000), int(sp_was)))
+    with eager_build_scope(spark):
+        if width != int(sp_was):
+            adj = adj.repartition(width, "a_id").localCheckpoint(
+                eager=True
+            )
+        spark.conf.set(sp_key, str(width))
+        try:
+            ranks = adj.select(
+                F.col("a_id").alias("id"), F.lit(1.0 / n).alias("r")
+            )
+            base_term = F.lit((1.0 - damping) / n)
+            d = F.lit(damping)
+            ranks = _pagerank_rounds(ranks, adj, iters, base_term, d)
+        finally:
+            spark.conf.set(sp_key, sp_was)
+        ranks = ranks.localCheckpoint(eager=True)
+    from ..functions import dround
+    from .ranking import _acquire_pin_handle, _live_pins
+
+    try:
+        _live_pins.append(_acquire_pin_handle(ranks))
+    except Exception:
+        pass  # no early release; session GC reclaims (ranking.py note)
+
+    return ranks.select("id", dround("r", 6).alias("pagerank"))
+
+
+def _pagerank_rounds(ranks, adj, iters, base_term, d):
+    """The damped power-iteration rounds (see ``pagerank``); split out
+    so the conf scoping above stays readable."""
     for i in range(iters):
-        msgs = ranks.join(adj, F.col("id") == F.col("a_id")).select(
+        # Deliberate join strategy (guide §3.1): the planner's size
+        # estimates put the V-row rank table under the broadcast
+        # threshold, and a broadcast join per round is one
+        # driver-collect JOB per round locally and a full rank-table
+        # broadcast per round at cluster scale. Both sides are already
+        # hash-partitioned on the join key (ranks by the previous
+        # round's groupBy(to), adj by the checkpointed groupBy(src) or
+        # the explicit co-partition), so a shuffled-hash join probes
+        # them exchange-free with ranks — the narrow side, 16
+        # bytes/row vs adj's neighbor arrays — as build.
+        msgs = ranks.hint("shuffle_hash").join(
+            adj, F.col("id") == F.col("a_id")
+        ).select(
             F.explode("dsts").alias("to"),
             (F.col("r") / F.col("outdeg")).alias("c"),
         )
         inbox = msgs.groupBy("to").agg(F.sum("c").alias("s"))
-        # Symmetric edges: dst(inbox) == src(verts) as a SET and every
-        # vertex's inbox is non-empty, so the new rank table comes
-        # straight off the message aggregation -- the earlier
+        # Symmetric edges: dst(inbox) == src(verts) as a SET and
+        # every vertex's inbox is non-empty, so the new rank table
+        # comes straight off the message aggregation -- the earlier
         # verts-left-join backfill (one more join + exchange per
         # round, x iters) computed base + d*coalesce(s, 0) with s
         # never NULL. Same floats, one fewer shuffle per round.
@@ -294,17 +375,14 @@ def pagerank(
             F.col("to").alias("id"),
             (base_term + d * F.col("s")).alias("r"),
         )
-        # Truncate lineage every few rounds: a 10-iteration lazy plan
-        # is ~40 operators deep and Catalyst analysis cost grows with
-        # depth; the rank table is V rows, so materializing is cheap
-        # and value-neutral. Cadence 5 measured best at sf0.1 (one
-        # mid-loop materialization): every-3 pays an extra job,
-        # never-checkpointing pays deep-plan analysis.
+        # Truncate lineage every few rounds: a 10-iteration lazy
+        # plan is ~40 operators deep and Catalyst analysis cost
+        # grows with depth at every loop op. LAZY: the marked RDD
+        # materializes inside the final eager-checkpoint job, so
+        # the truncation adds no job of its own.
         if (i + 1) % 5 == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=False)
-    from ..functions import dround
-
-    return ranks.select("id", dround("r", 6).alias("pagerank"))
+    return ranks
 
 
 def triangle_counts(

@@ -644,24 +644,30 @@ def containment_pairs(
     # corpus tokenize + df-cap tree. Per-doc state is the doc's own
     # distinct-shingle list (bounded by document length, the buffer
     # any per-doc tokenize op holds).
-    docs_arr = (
-        sh.groupBy("id")
-        .agg(F.sort_array(F.collect_list("shingle")).alias("shs"))
-        .select(
-            "id", "shs", F.size("shs").alias("n_sh"),
-            # 16-byte binary cluster key (unhex(md5)): the pair stage
-            # shuffles two cks per candidate row, so the narrower key
-            # halves its dominant columns vs md5's 32-char hex string.
-            F.unhex(F.md5(F.concat_ws("\x1f", "shs"))).alias("ck"),
+    from ..session import eager_build_scope
+
+    with eager_build_scope(df.sparkSession):
+        docs_arr = (
+            sh.groupBy("id")
+            .agg(F.sort_array(F.collect_list("shingle")).alias("shs"))
+            .select(
+                "id", "shs", F.size("shs").alias("n_sh"),
+                # 16-byte binary cluster key (unhex(md5)): the pair
+                # stage shuffles two cks per candidate row, so the
+                # narrower key halves its dominant columns vs md5's
+                # 32-char hex string.
+                F.unhex(F.md5(F.concat_ws("\x1f", "shs"))).alias("ck"),
+            )
+            .localCheckpoint(eager=False)
         )
-        .localCheckpoint(eager=False)
-    )
-    # One stats job on the (now-materialized) checkpoint decides the
-    # pairing shape AND the pair-stage width; the checkpoint is reused
-    # by every branch below, so the corpus scan still happens once.
-    n_docs, n_clusters, n_post = docs_arr.agg(
-        F.count("*"), F.count_distinct("ck"), F.sum("n_sh")
-    ).first()
+        # One stats job on the (now-materialized) checkpoint decides
+        # the pairing shape AND the pair-stage width; the checkpoint is
+        # reused by every branch below, so the corpus scan still
+        # happens once. AQE off for the build (eager_build_scope): one
+        # job instead of one per shuffle stage.
+        n_docs, n_clusters, n_post = docs_arr.agg(
+            F.count("*"), F.count_distinct("ck"), F.sum("n_sh")
+        ).first()
     width = explode_width(docs_arr.sparkSession, n_post or 0)
     if n_docs <= CLUSTER_COLLAPSE_MIN_DUP * n_clusters:
         post = docs_arr.select(

@@ -235,12 +235,17 @@ def passage_overlap_pairs(
     # plan-hygiene test asserts the un-truncated subtree
     # (``winnow_doc_sets``) scans the corpus exactly once and the
     # post-checkpoint plan not at all.
-    docs_arr = winnow_doc_sets(
-        df, id_col, text_col, k, w, max_fp_df
-    ).localCheckpoint(eager=False)
-    n_docs, n_clusters, n_post = docs_arr.agg(
-        F.count("*"), F.count_distinct("ck"), F.sum("n_fp")
-    ).first()
+    from ..session import eager_build_scope
+
+    with eager_build_scope(df.sparkSession):
+        docs_arr = winnow_doc_sets(
+            df, id_col, text_col, k, w, max_fp_df
+        ).localCheckpoint(eager=False)
+        # AQE off for the eager build (eager_build_scope): the
+        # checkpoint + stats run as one job instead of one per stage.
+        n_docs, n_clusters, n_post = docs_arr.agg(
+            F.count("*"), F.count_distinct("ck"), F.sum("n_fp")
+        ).first()
     width = explode_width(docs_arr.sparkSession, n_post or 0)
     if n_docs <= CLUSTER_COLLAPSE_MIN_DUP * n_clusters:
         post = docs_arr.select("id", F.explode("fps").alias("fingerprint"))

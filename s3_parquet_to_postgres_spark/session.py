@@ -121,6 +121,45 @@ def local_session(app_name: str = "s3-parquet-to-postgres-spark") -> SparkSessio
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def eager_build_scope(spark: SparkSession):
+    """AQE off for the duration of a plan-construction-time eager build
+    (``localCheckpoint`` + the stats/count job that materializes it).
+
+    Two reasons, both measured (r10 ml_logreg_train, r11 dedup/graph):
+
+    * Under AQE a checkpointed LogicalRDD records UnknownPartitioning,
+      so a downstream join/aggregate on the build's own grouping key
+      re-exchanges it; planned without AQE it records the real
+      hashpartitioning and iteration plans collapse to exchange-free.
+    * AQE executes one JOB per query stage. An eager build with k
+      shuffles pays k driver round-trips (~45-85 ms each at local
+      scale) where the non-adaptive plan runs one job. Queries that
+      construct several checkpoints pay this per checkpoint.
+
+    The scope only covers driver-side plan construction of bounded
+    intermediate tables (checkpoint + one stats job); the main query
+    still plans and runs under AQE with its coalescing/skew handling.
+
+    NOT thread-safe: this toggles a SESSION-wide conf, so concurrent
+    plan construction on the same SparkSession would race and could be
+    planned without AQE. The engine's driver contract constructs plans
+    sequentially on one thread; a future parallel harness must give
+    each thread its own session (``spark.newSession()``) before
+    reusing this helper.
+    """
+    key = "spark.sql.adaptive.enabled"
+    was = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, was)
+
+
 def apply_required_confs(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable subset of base confs to an existing
     session (the driver hands us a pre-built SparkSession; static confs
