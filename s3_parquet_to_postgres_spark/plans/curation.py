@@ -923,8 +923,16 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintenance exactly like event_rollup_incremental's partials.
     """
     li = t(spark, sf_dir, "lineitem")
-    cells = li.select(
-        F.md5(F.col("l_partkey").cast("string")).alias("h")
+    # Pre-aggregate by key BEFORE hashing (r11, guide §2.3 "aggregate
+    # before you shuffle" applied to CPU): CMS cells are additive, so
+    # md5 + the 4-way depth explode need only run once per DISTINCT
+    # part key (bounded by the part table) instead of once per
+    # lineitem row, with the per-key counts carried as weights. The
+    # key pre-count is itself map-side combinable; every cell count
+    # comes out identical.
+    key_counts = li.groupBy("l_partkey").agg(F.count("*").alias("kc"))
+    cells = key_counts.select(
+        F.md5(F.col("l_partkey").cast("string")).alias("h"), "kc"
     ).select(
         F.explode(
             F.array(*[
@@ -934,9 +942,10 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 for j in range(_CMS_DEPTH)
             ])
-        ).alias("c")
+        ).alias("c"),
+        "kc",
     ).groupBy(F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket")).agg(
-        F.count("*").alias("cnt")
+        F.sum("kc").alias("cnt")
     )
     probes = spark.range(1, 6).select(F.col("id").alias("probe_key"))
     probe_cells = probes.select(

@@ -210,12 +210,20 @@ def _nb_confusion(
         .select("doc_id", "actual", "cls",
                 (F.col("s") + F.col("pq")).alias("score"))
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cls"))
-    pred = scored.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
+    # argmax via lexicographic min(struct(-score, cls)) instead of a
+    # per-doc row_number window (r11, the ml_adaboost_stumps pattern):
+    # same winner — smallest -score = largest score, tie broken by
+    # lexicographically-first class — with map-side partial
+    # combination and no per-doc Sort+Window pass. Scores are
+    # 1e-9-quantized log sums, orders of magnitude inside long range,
+    # so the negation cannot overflow.
+    pred = scored.groupBy("doc_id", "actual").agg(
+        F.min(
+            F.struct((-F.col("score")).alias("ns"), F.col("cls"))
+        ).alias("best")
     )
     return pred.groupBy(
-        F.col("actual"), F.col("cls").alias("predicted")
+        F.col("actual"), F.col("best.cls").alias("predicted")
     ).agg(F.count("*").alias("n"))
 
 

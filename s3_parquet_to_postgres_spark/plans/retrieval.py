@@ -359,11 +359,18 @@ def similarity_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     not raw scores, cross the fusion boundary, which is what makes
     mixing heterogeneous scorers legitimate.
     """
+    # Top-depth BEFORE ranking (r11): orderBy+limit plans as
+    # TakeOrdered (per-partition heaps, fully parallel), so the
+    # unpartitioned row_number window — a one-task sort of EVERY
+    # candidate — runs over at most _RRF_DEPTH rows. Identical ranks:
+    # both forms select the same top rows under the same total order.
+    # (ml_ndcg_eval already used this shape.)
     lex = _bm25_scored(spark, sf_dir)
     w_lex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    lex_r = lex.select(
-        "doc_id", F.row_number().over(w_lex).alias("r_lex")
-    ).filter(F.col("r_lex") <= _RRF_DEPTH)
+    lex_r = (
+        lex.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_RRF_DEPTH)
+        .select("doc_id", F.row_number().over(w_lex).alias("r_lex"))
+    )
 
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -387,10 +394,13 @@ def similarity_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w_den = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
-    den_r = sims.select(
-        F.col("vec_id").alias("doc_id"),
-        F.row_number().over(w_den).alias("r_den"),
-    ).filter(F.col("r_den") <= _RRF_DEPTH)
+    den_r = (
+        sims.orderBy(F.desc("sim"), F.asc("vec_id")).limit(_RRF_DEPTH)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number().over(w_den).alias("r_den"),
+        )
+    )
 
     def _contrib(rank_col):
         return F.when(
