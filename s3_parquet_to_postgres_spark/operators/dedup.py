@@ -191,51 +191,150 @@ def minhash_lsh_pairs(
     with everything, so no discriminating near-dup signal is lost.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, n,
-                             hash_family)
+    from ..session import eager_build_scope
+
+    # Duplication-adaptive collapse (r11, the containment_pairs design
+    # at the SIGNATURE level): every output row is a pure function of
+    # the two signatures -- the band hashes that bucket a pair and the
+    # zip_with equality estimate that scores it -- so docs with
+    # IDENTICAL signatures (exact copies always are) can collapse to
+    # one representative before banding. The signature table is
+    # checkpointed (the plan's most expensive stage, now with two
+    # consumers), one stats job picks the shape. Above the dup
+    # threshold, banding/bucketing/pair-exploding run per DISTINCT
+    # signature: copy pairs come from the cluster table as intra
+    # pairs (identical sigs agree on all num_hashes rows => estimate
+    # exactly 1.0), cross pairs fan members back via equi-joins on a
+    # 16-byte md5 signature key. The bucket-size guard counts DOCS
+    # (sum of cluster sizes), preserving the declared cap; an intra
+    # pair is emitted iff its cluster reaches >= 1 kept bucket --
+    # exactly pre-collapse reachability (a size>=2 cluster's own
+    # bucket always holds >= 2 docs, so only an over-cap boilerplate
+    # storm drops it, same as before).
+    with eager_build_scope(df.sparkSession):
+        sig = minhash_signatures(
+            df, id_col, text_col, num_hashes, n, hash_family
+        ).localCheckpoint(eager=False)
+        n_docs, n_sigs = sig.agg(
+            F.count("*"), F.count_distinct("sig")
+        ).first()
     # Band bucket key: hash of the band's signature slice rendered as
     # a comma-joined string. md5 under the portable family so the
     # DuckDB oracle reproduces the buckets byte-for-byte.
     band_hasher = F.xxhash64 if hash_family == "xxhash64" else F.md5
-    banded = sig.select(
-        "id",
-        "sig",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: band_hasher(
-                    F.concat_ws(
-                        ",", F.transform(
-                            F.slice("sig", b * rows + 1, rows),
-                            lambda x: x.cast("string"),
+
+    def band_cols(src: DataFrame, keep: list[str]) -> DataFrame:
+        return src.select(
+            *keep,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: band_hasher(
+                        F.concat_ws(
+                            ",", F.transform(
+                                F.slice("sig", b * rows + 1, rows),
+                                lambda x: x.cast("string"),
+                            )
                         )
-                    )
-                ),
-            )
-        ).alias("band", "band_hash"),
-    )
-    buckets = (
-        banded.groupBy("band", "band_hash")
-        .agg(F.collect_list(F.struct("id", "sig")).alias("ms"))
-        .filter(
-            (F.size("ms") >= 2) & (F.size("ms") <= max_bucket_size)
+                    ),
+                )
+            ).alias("band", "band_hash"),
         )
+
+    if n_docs <= CLUSTER_COLLAPSE_MIN_DUP * (n_sigs or 1):
+        banded = band_cols(sig, ["id", "sig"])
+        buckets = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.collect_list(F.struct("id", "sig")).alias("ms"))
+            .filter(
+                (F.size("ms") >= 2) & (F.size("ms") <= max_bucket_size)
+            )
+        )
+        pair_expr = F.expr(
+            "flatten(transform(ms, (x, i) ->"
+            " transform(slice(ms, i + 2, size(ms)), y ->"
+            " named_struct("
+            "   'id_a', least(x.id, y.id),"
+            "   'id_b', greatest(x.id, y.id),"
+            "   'jaccard_est',"
+            "   size(filter(zip_with(x.sig, y.sig, (p, q) -> p = q),"
+            f"              e -> e)) / {num_hashes}))))"
+        )
+        return (
+            buckets.select(F.explode(pair_expr).alias("p"))
+            .select("p.id_a", "p.id_b", "p.jaccard_est")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    # Cluster path: one rep per distinct signature. 16-byte binary
+    # cluster key (md5 over the comma-joined signature, the
+    # containment ck convention) so the member fan-out joins shuffle
+    # 16 bytes per row instead of the 32-long array.
+    sk = F.unhex(F.md5(F.concat_ws(
+        ",", F.transform(F.col("sig"), lambda x: x.cast("string"))
+    )))
+    keyed = sig.select("id", "sig", sk.alias("ck"))
+    clusters = keyed.groupBy("ck").agg(
+        F.first("sig").alias("sig"), F.count("*").alias("csize")
+    )
+    banded = band_cols(clusters, ["ck", "sig", "csize"])
+    # Same-key repartition pins the bucket stage's width against AQE
+    # byte-based coalescing (explode_width rationale: the C(k,2) pair
+    # explode multiplies CPU beyond its input bytes); the following
+    # same-key groupBy reuses the exchange, no shuffle added.
+    width = explode_width(df.sparkSession, int(n_sigs or 0) * bands)
+    buckets = (
+        banded.repartition(width, "band", "band_hash")
+        .groupBy("band", "band_hash")
+        .agg(
+            F.collect_list(F.struct("ck", "sig")).alias("ms"),
+            F.sum("csize").alias("nd"),
+        )
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= max_bucket_size))
     )
     pair_expr = F.expr(
         "flatten(transform(ms, (x, i) ->"
         " transform(slice(ms, i + 2, size(ms)), y ->"
         " named_struct("
-        "   'id_a', least(x.id, y.id),"
-        "   'id_b', greatest(x.id, y.id),"
+        "   'ck_a', if(x.ck < y.ck, x.ck, y.ck),"
+        "   'ck_b', if(x.ck < y.ck, y.ck, x.ck),"
         "   'jaccard_est',"
         "   size(filter(zip_with(x.sig, y.sig, (p, q) -> p = q),"
         f"              e -> e)) / {num_hashes}))))"
     )
-    return (
+    rep_pairs = (
         buckets.select(F.explode(pair_expr).alias("p"))
-        .select("p.id_a", "p.id_b", "p.jaccard_est")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("p.ck_a", "p.ck_b", "p.jaccard_est")
+        .dropDuplicates(["ck_a", "ck_b"])
     )
+    cross = (
+        rep_pairs
+        .join(keyed.select(F.col("ck").alias("ck_a"),
+                           F.col("id").alias("ida")), "ck_a")
+        .join(keyed.select(F.col("ck").alias("ck_b"),
+                           F.col("id").alias("idb")), "ck_b")
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            "jaccard_est",
+        )
+    )
+    kept_cks = buckets.select(
+        F.explode(F.transform("ms", lambda m: m["ck"])).alias("ck")
+    ).distinct()
+    multi = clusters.filter(F.col("csize") >= 2).join(kept_cks, "ck")
+    k1 = keyed.join(multi.select("ck"), "ck").select("ck", "id")
+    intra = (
+        k1.join(k1.select("ck", F.col("id").alias("idb")), "ck")
+        .filter(F.col("id") < F.col("idb"))
+        .select(
+            F.col("id").alias("id_a"), F.col("idb").alias("id_b"),
+            # Identical signatures agree on every row; the original
+            # expression evaluates to size/num_hashes = exactly 1.0.
+            (F.lit(num_hashes) / F.lit(num_hashes))
+            .alias("jaccard_est"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

@@ -644,3 +644,51 @@ def test_adaptive_pairing_shapes_agree_on_dup_heavy_corpus(spark):
     assert c_cl == c_di and len(c_cl) >= 6 + 6 + 16  # intra x2 + cross
     p_cl, p_di = both(lambda: passage_overlap_pairs(df))
     assert p_cl == p_di and len(p_cl) >= 6 + 6 + 16
+
+
+def test_minhash_adaptive_collapse_agrees_on_dup_heavy_corpus(spark):
+    """The r11 signature-level collapse in minhash_lsh_pairs is a pure
+    plan choice: rep-level banding + member fan-out must return
+    BIT-IDENTICAL rows to per-doc banding. Dup ratio 4 (> the 1.5
+    switch) takes the cluster path naturally; monkeypatching forces
+    the direct path. Covers intra pairs (copies, jaccard_est exactly
+    1.0), cross pairs (near-identical texts whose sigs share >= 1
+    band), and the doc-count bucket cap (max_bucket_size below the
+    copy count must drop the same pairs on both paths)."""
+    import s3_parquet_to_postgres_spark.operators.dedup as D
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " lambda"  # shares most shingles -> sigs overlap
+    other = "one two three four five six seven eight nine ten eleven"
+    rows = []
+    did = 0
+    for text in (base, near, other):
+        for _ in range(4):  # every text x4 -> ratio 4 > 1.5
+            rows.append((did, text))
+            did += 1
+    rows.append((did, "lonely unique document with enough words here"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def both(fn):
+        assert D.CLUSTER_COLLAPSE_MIN_DUP == 1.5
+        clustered = sorted(map(tuple, fn().collect()))
+        saved = D.CLUSTER_COLLAPSE_MIN_DUP
+        D.CLUSTER_COLLAPSE_MIN_DUP = float("inf")
+        try:
+            direct = sorted(map(tuple, fn().collect()))
+        finally:
+            D.CLUSTER_COLLAPSE_MIN_DUP = saved
+        return clustered, direct
+
+    cl, di = both(lambda: D.minhash_lsh_pairs(df))
+    assert cl == di
+    # three clusters of 4 copies each -> >= 18 intra pairs at est 1.0
+    assert sum(1 for _, _, e in cl if e == 1.0) >= 18
+    # base vs near share bands (checked: stable under the fixed
+    # xxhash64 family) -> at least one member-fanned cross pair
+    assert any(e < 1.0 for _, _, e in cl)
+
+    # doc-count cap: 4-copy clusters exceed a cap of 3 in every
+    # bucket, so their pairs vanish identically on both paths
+    cl3, di3 = both(lambda: D.minhash_lsh_pairs(df, max_bucket_size=3))
+    assert cl3 == di3
