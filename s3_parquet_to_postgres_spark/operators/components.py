@@ -330,9 +330,15 @@ def pagerank(
             base_term = F.lit((1.0 - damping) / n)
             d = F.lit(damping)
             ranks = _pagerank_rounds(ranks, adj, iters, base_term, d)
+            # The eager checkpoint MUST sit inside the conf scope:
+            # shuffle.partitions is read at PHYSICAL planning time,
+            # which for every lazily-built round happens right here --
+            # checkpointing after the restore planned rounds 6-10 at
+            # the session width (measured: five 32-task stages of a
+            # 15k-row exchange, ~0.3 s each, in the loop job).
+            ranks = ranks.localCheckpoint(eager=True)
         finally:
             spark.conf.set(sp_key, sp_was)
-        ranks = ranks.localCheckpoint(eager=True)
     from ..functions import dround
     from .ranking import _acquire_pin_handle, _live_pins
 
