@@ -47,11 +47,14 @@ SECTIONS = [
         "dedup_minhash_lsh",
         "Sketches as flat aggregations: ONE corpus scan, one explode, the 32"
         " permuted hashes computed in a Project feeding a partial/final"
-        " min-aggregation, band buckets grouped with collect_list (no"
-        " self-join, so the expensive signature subplan is not duplicated),"
-        " in-bucket pairing via a higher-order transform. No n^2 stage; the"
-        " max_bucket_size guard bounds pairing fan-out under degenerate"
-        " collisions.",
+        " min-aggregation into a checkpointed signature table (r11: one"
+        " stats job on it picks duplication-adaptive banding -- per-doc on"
+        " low-dup corpora as shown here, per-DISTINCT-signature with member"
+        " fan-out above the 1.5x switch), band buckets grouped with"
+        " collect_list (no self-join, so the expensive signature subplan is"
+        " not duplicated), in-bucket pairing via a higher-order transform."
+        " No n^2 stage; the max_bucket_size guard bounds pairing fan-out"
+        " under degenerate collisions.",
     ),
     (
         "similarity_topk_cosine",
@@ -219,17 +222,18 @@ SECTIONS = [
     (
         "graph_pagerank",
         "Iterative PageRank over the winnowing passage-overlap graph,"
-        " r10 shape: the edge list is built from CLUSTER-collapsed"
-        " passage pairs (exact-fingerprint-set reps pair once, members"
-        " expand by equi-joins -- no copy-against-copy quadratic),"
-        " symmetrized in one subtree (exploded 2-struct array, not a"
-        " unionAll re-derivation), folded into a grouped adjacency"
-        " (vertex, outdeg, dst-array) and checkpointed ONCE. Each of"
-        " the 10 rounds is a V-row join (dst explode after the join"
-        " feeds map-side partial sums) + one message aggregation"
-        " exchange; rank/outdeg is one division per vertex. The plan"
-        " shown is the post-checkpoint segment -- the corpus pipeline"
-        " materializes exactly once ahead of it.",
+        " r11 shape: the edge build (duplication-adaptive passage"
+        " pairing, single-subtree symmetrize, grouped adjacency"
+        " checkpointed once) and all 10 power-iteration rounds run as"
+        " non-adaptive construction-time jobs -- each round an"
+        " exchange-free shuffled-hash join against the co-partitioned"
+        " adjacency plus ONE message-aggregation exchange at a width"
+        " sized from the measured edge count (6 jobs end-to-end vs 26"
+        " under per-stage AQE jobs + per-round broadcast builds). The"
+        " plan shown is therefore the final segment: a scan of the"
+        " checkpointed rank table + the dround projection; the"
+        " machinery's own plans are in plans/r11/ and the operator"
+        " docstring (operators/components.pagerank).",
     ),
     (
         "dedup_containment",
