@@ -174,12 +174,30 @@ def test_single_lineitem_scan(name, spark):
 # the bucket key precisely so the expensive signature aggregation runs
 # once; a second documents scan is that optimization regressing.
 @pytest.mark.parametrize(
-    "name", ["dedup_minhash_lsh", "dedup_simhash"]
+    "name", ["dedup_simhash"]
 )
 def test_single_documents_scan(name, spark):
     plan = _plan_of(all_queries()[name](spark, SF))
     scans = plan.count("documents.parquet")
     assert scans == 1, f"{name}: {scans} documents scans (want 1)"
+
+
+def test_minhash_single_scan_behind_checkpoint(spark):
+    # r11 shape: the signature pipeline lives inside ONE
+    # lazily-checkpointed subtree (it feeds both the banding and the
+    # duplication discriminator). Two-sided invariant, mirroring the
+    # passage-pairs test below: the un-truncated signature subtree
+    # scans the corpus exactly once, and the entry plan scans it zero
+    # times (banding reads the checkpoint, never re-derives).
+    from s3_parquet_to_postgres_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    inner = _plan_of(minhash_signatures(docs))
+    assert inner.count("documents.parquet") == 1, inner[:2000]
+    outer = _plan_of(all_queries()["dedup_minhash_lsh"](spark, SF))
+    assert outer.count("documents.parquet") == 0, outer[:2000]
 
 
 def test_passage_pairs_single_scan_behind_checkpoint(spark):
